@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query on sf0.001.
+``queries()``    — named (spark, sf_dir) -> DataFrame callables, one
+                   per implemented operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents; column names
+                   are aliased identically on both sides (the driver
+                   sorts columns by name and value-hashes).
 """
 
 from __future__ import annotations
@@ -13,26 +14,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from concurrent_etl_spark.engine import DEFAULT_SF_DIR, load_tables
+from concurrent_etl_spark.operators.etl import flagship_confirmation
+from concurrent_etl_spark import queries_catalog
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: lineitem fact -> 4-dim broadcast join chain -> load projection."""
+    return flagship_confirmation(load_tables(spark, DEFAULT_SF_DIR))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return queries_catalog.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return queries_catalog.ORACLES

@@ -1,0 +1,71 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query executes to completion with a cheap terminal action
+(count via noop write semantics) so the measured time is the real
+plan execution, not just plan construction. A warmup query absorbs
+JVM/codegen startup so numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline subset — representative of scan, join, agg, window, text ops
+HEADLINE = [
+    "flagship_confirmation",
+    "groupby_agg_pricing",
+    "window_topk_per_group",
+    "semi_join_inlist",
+    "dedup_by_key",
+    "tumbling_window_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from concurrent_etl_spark.engine import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+
+    # warmup: JVM + codegen + parquet footer caches
+    queries["groupby_agg_pricing"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        # force full execution of every operator in the plan
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""SparkSession construction and table loading.
+
+The reference hand-rolled its runtime: thread pools, semaphores,
+1000-row chunk loops, process priority boosts
+(``case_2/Normal.py:19,97-109,297-298``). All of that is Spark's job
+here — this module only centralizes session config so every entry
+point (tests, bench, driver harness) gets the same tuned session.
+
+Scale notes (100 TB design):
+  * AQE on: runtime partition coalescing, skew-join splitting, and
+    dynamic broadcast conversion replace every hand-tuned chunk size
+    in the reference.
+  * ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound;
+    on a real cluster set it ~2-3x total cores and let AQE coalesce.
+  * Arrow enabled for every pandas_udf / mapInPandas boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: canonical table names shipped in /root/testdata/sf*/
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def get_spark(
+    app_name: str = "concurrent-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Local test/bench runs use ``local[$SPARK_GRAFT_CPUS]``; on a real
+    cluster the master comes from the environment and these configs
+    hold as-is (AQE does the runtime adaptation).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: the scale story ---------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle / broadcast sizing ------------------------------
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- python boundary: always Arrow ---------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- deterministic session timezone for date/ts functions ----
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark
+        # rejects natively; read as long-nanos and convert in load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # quieter driver logs
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one canonical parquet table.
+
+    Parquet scan => free column pruning + predicate pushdown; the
+    reference's hand-rolled "early projection after read"
+    (``case_1/NormalETL.py:26``) is subsumed by Catalyst.
+
+    ``events.ts`` arrives as TIMESTAMP(NANOS); Spark reads it as
+    long-nanos (legacy.parquet.nanosAsLong) and we truncate to
+    microseconds — the same truncation DuckDB applies.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    """Load every canonical table as a dict of lazy DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register all canonical tables as temp views for spark.sql()."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,98 @@
+"""Composite ETL pipelines (SURVEY.md §2.6-2.8, §3 EP1/EP3).
+
+The reference's two end-to-end jobs, re-shaped Spark-first onto the
+canonical testdata star schema:
+
+  * ``case1_pipeline``  — EP1/EP2: glob-read files, route by
+    filename template, project+rename, cast measures, append-sink.
+    The per-file loop / thread pool / process pool all collapse into
+    one lazy plan (case_1/NormalETL.py:40-43 and friends).
+
+  * ``flagship_confirmation`` — EP3's per-chunk transform
+    (case_2/Normal.py:163-273): staging casts, then the 4-dim
+    left-join chain attaching surrogate keys, then the final load
+    projection. Re-shaped: lineitem is the fact feed; orders ->
+    customer -> nation -> region is the dimension chain (all
+    broadcast — at 100 TB the lineitem scan never shuffles for
+    these joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.functions.strings import path_stem, template_token
+
+
+def route_templates(df: DataFrame, file_col: str = "_source_file") -> DataFrame:
+    """Filename-template routing (P4, case_1/NormalETL.py:13-24).
+
+    Adds ``template`` = token after the last '_' of the file stem.
+    Unknown templates are kept and tagged rather than aborting — a
+    100 TB job dead-letters bad inputs instead of crashing the driver;
+    callers filter ``template IN (...)`` and divert the rest.
+    """
+    stem = path_stem(F.col(file_col))
+    return df.withColumn("template", template_token(stem))
+
+
+def with_provenance(df: DataFrame) -> DataFrame:
+    """Attach per-row source-file provenance (S1).
+
+    The reference materialized a Python list of paths
+    (case_1/NormalETL.py:8-9); in Spark the source handles listing
+    and ``input_file_name()`` recovers provenance per row.
+    """
+    return df.withColumn("_source_file", F.input_file_name())
+
+
+def flagship_confirmation(tables: dict[str, DataFrame]) -> DataFrame:
+    """EP3 transform re-shaped onto testdata (the flagship query).
+
+    lineitem (fact feed) --left join--> orders --> customer -->
+    nation --> region, derive typed/measure columns, project the
+    load list. Mirrors the 4x dim join of case_2/Normal.py:232-236
+    and the final projection :266-273.
+
+    Plan shape to verify via .explain(): 4 BroadcastHashJoins over a
+    single lineitem scan, no Exchange on the fact side.
+    """
+    li = tables["lineitem"]
+    orders = tables["orders"]
+    customer = tables["customer"]
+    nation = tables["nation"]
+    region = tables["region"]
+
+    # staging-style derivations (F3-F9 analogues on real columns)
+    fact = li.withColumns(
+        {
+            "gross_revenue": F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ),
+            "ship_year": F.year("l_shipdate"),
+        }
+    )
+
+    # explicit key equalities (no shared column names across dims)
+    joined = (
+        fact.join(F.broadcast(orders), fact["l_orderkey"] == orders["o_orderkey"], "left")
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "left")
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "left")
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "left")
+    )
+
+    # final load projection (P3)
+    return joined.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("gross_revenue"),
+        F.col("ship_year"),
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )

@@ -1,0 +1,737 @@
+"""Named query catalog: Spark callable + DuckDB oracle SQL pairs.
+
+Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions)
+registers here as ``(spark, sf_dir) -> DataFrame`` with an equivalent
+ANSI-SQL oracle. Conventions that make the driver's hash comparison
+deterministic:
+
+  * every computed column is aliased identically on both sides;
+  * double aggregates go through exact DECIMAL accumulation and are
+    cast back to DOUBLE (`CAST(SUM(CAST(x AS DECIMAL(18,4))) AS
+    DOUBLE)`) — bit-identical regardless of accumulation order, so
+    Spark's partitioned sums match DuckDB's sequential ones;
+  * per-row IEEE arithmetic is left unrounded (same ops => same bits);
+  * cross-engine hashing uses md5 (hex string in both engines),
+    never engine-native hash functions;
+  * every query is order-insensitive (the driver sorts) but any
+    LIMIT/top-k query carries a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.engine import load_table, load_tables
+from concurrent_etl_spark.functions.casts import parse_date, parse_time_of_day, staged_cast
+from concurrent_etl_spark.functions.strings import (
+    drop_last_chars,
+    first_chars,
+    last_chars,
+    path_stem,
+    template_token,
+)
+from concurrent_etl_spark.operators.dims import upsert_dimension
+from concurrent_etl_spark.operators.etl import flagship_confirmation
+from concurrent_etl_spark.operators.relational import (
+    anti_join,
+    composite_key_join,
+    dedup_by_key,
+    new_keys,
+    semi_join,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable + its oracle."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dsum(col: str, alias: str, scale: int = 4) -> F.Column:
+    """Order-insensitive exact sum of a double col, returned as double."""
+    return (
+        F.sum(F.col(col).cast(f"decimal(18,{scale})"))
+        .cast("double")
+        .alias(alias)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship (EP3 transform re-shaped; SURVEY §3, §7 step 1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "flagship_confirmation",
+    oracle="""
+    SELECT
+      l.l_orderkey   AS orderkey,
+      l.l_linenumber AS linenumber,
+      l.l_quantity   AS quantity,
+      ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS gross_revenue,
+      CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+      l.l_returnflag AS returnflag,
+      o.o_orderstatus AS orderstatus,
+      c.c_name       AS customer_name,
+      c.c_mktsegment AS mktsegment,
+      n.n_name       AS nation_name,
+      r.r_name       AS region_name
+    FROM lineitem l
+    LEFT JOIN orders   o ON l.l_orderkey  = o.o_orderkey
+    LEFT JOIN customer c ON o.o_custkey   = c.c_custkey
+    LEFT JOIN nation   n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region   r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-dim broadcast left-join chain (J1) + load projection (P3).
+
+    Reference: case_2/Normal.py:232-236 (joins), :266-273 (projection).
+    """
+    return flagship_confirmation(load_tables(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Projection / rename / filter (P1-P4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "projection_rename",
+    oracle="""
+    SELECT o_orderkey AS order_id, o_orderstatus AS status,
+           o_totalprice AS total_price
+    FROM orders
+    """,
+)
+def q_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered column subset + bulk rename (P1/P2, case_2/Normal.py:173-174)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .toDF("order_id", "status", "total_price")
+    )
+
+
+@query(
+    "template_route",
+    oracle="""
+    WITH files AS (
+      SELECT doc_id,
+             '/data/sample/export_' || CAST(doc_id AS VARCHAR) || '_'
+               || CASE WHEN doc_id % 2 = 0 THEN 'OPERATIONS' ELSE 'CONFIRMATION' END
+               || '.xlsx' AS path
+      FROM documents
+    )
+    SELECT doc_id, path,
+           regexp_replace(list_extract(string_split_regex(path, '[/\\\\]'), -1), '\\.[^.]*$', '') AS stem,
+           list_extract(string_split(regexp_replace(list_extract(string_split_regex(path, '[/\\\\]'), -1), '\\.[^.]*$', ''), '_'), -1) AS template
+    FROM files
+    """,
+)
+def q_template_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename -> stem -> template-token routing (P4/F1/F2).
+
+    Reference: case_1/NormalETL.py:13-24. Synthesizes paths from
+    doc_id so the oracle can reproduce them.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("/data/sample/export_"),
+            F.col("doc_id").cast("string"),
+            F.lit("_"),
+            F.when(F.col("doc_id") % 2 == 0, "OPERATIONS").otherwise("CONFIRMATION"),
+            F.lit(".xlsx"),
+        ).alias("path"),
+    )
+    stem = path_stem("path")
+    return files.select(
+        "doc_id",
+        "path",
+        stem.alias("stem"),
+        template_token(stem).alias("template"),
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_quantity AS quantity, l_returnflag AS returnflag
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_returnflag = 'R' AND l_shipdate IS NOT NULL
+    """,
+)
+def q_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates pushed to the parquet scan (P4-class)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_quantity") > 30)
+            & (F.col("l_returnflag") == "R")
+            & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_returnflag").alias("returnflag"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4, P5, P6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "anti_join_new_keys",
+    oracle="""
+    SELECT DISTINCT c.c_custkey AS custkey
+    FROM customer c
+    WHERE c.c_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-key detection: distinct non-null keys absent from dim (P5/J3).
+
+    Reference: ``~isin & ~isnull`` mask, case_2/Normal.py:63-67.
+    left_anti matches pandas semantics (SQL NOT IN would drop all
+    rows if the subquery ever contains a NULL).
+    """
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return new_keys(customer, orders, "custkey")
+
+
+@query(
+    "semi_join_inlist",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           o_totalprice AS totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote IN-list fetch as a broadcast semi join (P6/J4/S4).
+
+    Reference collected keys and spliced a SQL string
+    (case_2/Normal.py:244-257); the driver round-trip disappears.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return semi_join(orders, keys, "o_custkey").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+@query(
+    "composite_key_join",
+    oracle="""
+    WITH lookup AS (
+      SELECT user_id, event_type, COUNT(*) AS type_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS type_value
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           l.type_events, l.type_value
+    FROM events e
+    LEFT JOIN lookup l
+      ON e.user_id = l.user_id AND e.event_type = l.event_type
+    """,
+)
+def q_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join on a composite key (J2, case_2/Normal.py:263)."""
+    events = load_table(spark, sf_dir, "events")
+    lookup = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("type_events"),
+        _dsum("value", "type_value"),
+    )
+    return composite_key_join(
+        events.select("event_id", "user_id", "event_type"),
+        lookup,
+        ["user_id", "event_type"],
+    )
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT s.s_name AS supplier_name, n.n_name AS nation_name,
+           s.s_acctbal AS acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (engine surface beyond the reference, §2.3)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        F.col("s_name").alias("supplier_name"),
+        F.col("n_name").alias("nation_name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS customer_name,
+           o.o_orderkey AS orderkey
+    FROM customer c
+    FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (engine surface, §2.3)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "full").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("customer_name"),
+        F.col("o_orderkey").alias("orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / distinct / set ops (A1-A6 + engine surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_by_key",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           MIN(l_partkey) AS partkey, MIN(l_linenumber) AS linenumber,
+           MIN(l_quantity) AS quantity
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic drop_duplicates(subset=[key]) (A1, case_2/Normal.py:70)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.col("l_quantity").alias("quantity"),
+    )
+    return dedup_by_key(li, ["orderkey"])
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag AS returnflag, l_linestatus AS linestatus FROM lineitem",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (A2, case_2/Normal.py:253-255)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "count_audit",
+    oracle="""
+    SELECT 'lineitem' AS table_name, COUNT(*) AS n FROM lineitem
+    UNION ALL SELECT 'orders' AS table_name, COUNT(*) AS n FROM orders
+    UNION ALL SELECT 'customer' AS table_name, COUNT(*) AS n FROM customer
+    """,
+)
+def q_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-count audit (A3/S10, case_2/Normal.py:280-282)."""
+    parts = []
+    for t in ("lineitem", "orders", "customer"):
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.count("*").alias("n")
+            ).select(F.lit(t).alias("table_name"), "n")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "string_agg_inlist",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           string_agg(CAST(n_nationkey AS VARCHAR), ', ' ORDER BY n_nationkey) AS key_list
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect + string-agg IN-list building (A5, case_2/Normal.py:245).
+
+    Distributed: sort_array(collect_list()) per group, never a driver
+    collect.
+    """
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("n_nationkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ", ",
+            ).alias("key_list")
+        )
+    )
+
+
+@query(
+    "except_completeness",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT c_nationkey AS nationkey FROM customer
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference completeness check (A6, case_2/Normal.py:314)."""
+    nations = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    seen = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return nations.exceptAll(seen.distinct()).distinct()
+
+
+@query(
+    "groupby_agg_pricing",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style groupBy aggregation (engine surface, §2.4).
+
+    Partial (map-side) aggregation then a key shuffle — the only
+    shuffle in the plan; scales linearly at 100 TB.
+    """
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.min("l_extendedprice").cast("double").alias("min_price"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT o_orderstatus AS orderstatus, o_orderpriority AS orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (engine surface, §2.4)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup(
+            F.col("o_orderstatus").alias("orderstatus"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT custkey, orderkey, totalprice FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             o_totalprice AS totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number (engine surface, §2.4).
+
+    Total tiebreak (price desc, orderkey) keeps it deterministic.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "orderby_limit_topk",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, no global sort (§2.4)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "union_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (engine surface, §2.4)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions over staged strings (F3-F11)
+# ---------------------------------------------------------------------------
+
+@query(
+    "staged_casts",
+    oracle="""
+    WITH staged AS (
+      SELECT
+        CAST(o_orderkey AS VARCHAR)  AS orderkey_s,
+        CAST(o_totalprice AS VARCHAR) AS totalprice_s,
+        strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate_s
+      FROM orders
+    )
+    SELECT
+      TRY_CAST(orderkey_s AS BIGINT) AS orderkey,
+      TRY_CAST(totalprice_s AS DOUBLE) AS totalprice,
+      TRY_CAST(substring(orderdate_s, 1, 10) AS DATE) AS orderdate,
+      substring(orderdate_s, length(orderdate_s) - 7, 8) AS ordertime,
+      TRY_CAST('garbage' AS BIGINT) AS bad_int
+    FROM staged
+    """,
+)
+def q_staged_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-string staging -> typed casts (F3-F11, case_2/Normal.py:177-198).
+
+    Rebuilds the reference's dtype=str staging from typed parquet,
+    then applies the cast battery: int, float, date (first 10 chars),
+    time-of-day (last 8 chars), garbage -> NULL coercion.
+    """
+    staged = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("orderkey_s"),
+        F.col("o_totalprice").cast("string").alias("totalprice_s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate_s"),
+    )
+    return staged.select(
+        staged_cast("orderkey_s", "int").alias("orderkey"),
+        staged_cast("totalprice_s", "float").alias("totalprice"),
+        parse_date(first_chars("orderdate_s", 10)).alias("orderdate"),
+        parse_time_of_day(last_chars("orderdate_s", 8)).alias("ordertime"),
+        staged_cast(F.lit("garbage"), "int").alias("bad_int"),
+    )
+
+
+@query(
+    "string_slicing",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           substring(p_type, 1, 10) AS type_head,
+           CASE WHEN length(p_name) <= 3 THEN ''
+                ELSE substring(p_name, 1, length(p_name) - 3) END AS name_trimmed,
+           upper(p_brand) AS brand_upper,
+           p_brand || '_' || p_type AS brand_type
+    FROM part
+    """,
+)
+def q_string_slicing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring battery (F6-F8) + concat (F13) on part attributes.
+
+    The drop-last-3 mirrors the workCentre plant-suffix strip
+    (case_2/Normal.py:201).
+    """
+    return load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"),
+        first_chars("p_type", 10).alias("type_head"),
+        drop_last_chars("p_name", 3).alias("name_trimmed"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.concat_ws("_", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite: surrogate-key dimension upsert (§2.6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dimension_upsert",
+    oracle="""
+    WITH dim AS (
+      SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS id,
+             n_nationkey AS key
+      FROM nation WHERE n_nationkey < 15
+    ),
+    fresh AS (
+      SELECT DISTINCT c.c_nationkey AS key
+      FROM customer c
+      WHERE c.c_nationkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM dim d WHERE d.key = c.c_nationkey)
+    )
+    SELECT id, key FROM dim
+    UNION ALL
+    SELECT CAST(row_number() OVER (ORDER BY key)
+             + (SELECT COALESCE(MAX(id), 0) FROM dim) AS BIGINT) AS id,
+           key
+    FROM fresh
+    """,
+)
+def q_dimension_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """update_master_table re-expressed (§2.6, case_2/Normal.py:54-80).
+
+    Existing dim = nations < 15 with surrogate ids; batch = customer
+    nation keys; new members get max(id)+row_number in key order —
+    deterministic, race-free (single batch-level maintenance instead
+    of the reference's per-chunk read-check-insert).
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.orderBy("key")
+    dim = (
+        nation.where(F.col("n_nationkey") < 15)
+        .select(F.col("n_nationkey").alias("key"))
+        .select(F.row_number().over(w).cast("bigint").alias("id"), "key")
+    )
+    batch = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("key")
+    )
+    return upsert_dimension(dim, batch, "key")
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (§2.8 engine surface; batch semantics of the
+# streaming windows implemented in streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (T1-analog, §2.8)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+           event_type
+    FROM events
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (multimodal/semi-structured surface)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        "event_type",
+    )

@@ -1,0 +1,114 @@
+"""Unit tests for relational + composite operators (SURVEY §2.2-2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.operators.dims import upsert_dimension
+from concurrent_etl_spark.operators.relational import (
+    anti_join,
+    dedup_by_key,
+    new_keys,
+    semi_join,
+)
+
+
+class TestNewKeys:
+    def test_null_keys_dropped_and_distinct(self, spark):
+        batch = spark.createDataFrame(
+            [("a",), ("a",), (None,), ("b",), ("c",)], ["k"]
+        )
+        dim = spark.createDataFrame([("b",)], ["k"])
+        out = sorted(r["k"] for r in new_keys(batch, dim, "k").collect())
+        assert out == ["a", "c"]
+
+    def test_null_in_dim_does_not_swallow_batch(self, spark):
+        # SQL NOT IN with a NULL in the subquery returns no rows;
+        # the pandas ~isin (and our left_anti) keeps the new keys.
+        batch = spark.createDataFrame([("a",)], ["k"])
+        dim = spark.createDataFrame([(None,), ("b",)], ["k"])
+        assert [r["k"] for r in new_keys(batch, dim, "k").collect()] == ["a"]
+
+
+class TestJoins:
+    def test_anti_semi_partition(self, spark):
+        left = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+        right = spark.createDataFrame([(i,) for i in range(0, 10, 2)], ["k"])
+        a = anti_join(left, right, "k").count()
+        s = semi_join(left, right, "k").count()
+        assert a == 5 and s == 5
+        assert a + s == left.count()
+
+
+class TestDedup:
+    def test_deterministic_min(self, spark):
+        df = spark.createDataFrame(
+            [("k1", 5, "z"), ("k1", 3, "a"), ("k2", 1, "m")], ["k", "n", "s"]
+        )
+        rows = {r["k"]: (r["n"], r["s"]) for r in dedup_by_key(df, ["k"]).collect()}
+        assert rows == {"k1": (3, "a"), "k2": (1, "m")}
+
+    def test_all_key_columns_falls_back_to_distinct(self, spark):
+        df = spark.createDataFrame([(1, 2), (1, 2), (3, 4)], ["a", "b"])
+        assert dedup_by_key(df, ["a", "b"]).count() == 2
+
+
+class TestUpsertDimension:
+    def _dim(self, spark, keys):
+        if not keys:
+            return spark.createDataFrame([], "id bigint, key string")
+        w = Window.orderBy("key")
+        return (
+            spark.createDataFrame([(k,) for k in keys], ["key"])
+            .select(F.row_number().over(w).cast("bigint").alias("id"), "key")
+        )
+
+    def test_assigns_contiguous_ids_after_max(self, spark):
+        dim = self._dim(spark, ["a", "b"])
+        batch = spark.createDataFrame(
+            [("c",), ("b",), ("d",), (None,), ("c",)], ["key"]
+        )
+        out = {r["key"]: r["id"] for r in upsert_dimension(dim, batch, "key").collect()}
+        assert out == {"a": 1, "b": 2, "c": 3, "d": 4}
+
+    def test_idempotent(self, spark):
+        dim = self._dim(spark, ["a"])
+        batch = spark.createDataFrame([("b",)], ["key"])
+        once = upsert_dimension(dim, batch, "key")
+        twice = upsert_dimension(once, batch, "key")
+        assert sorted((r["id"], r["key"]) for r in twice.collect()) == [
+            (1, "a"),
+            (2, "b"),
+        ]
+
+    def test_empty_dim(self, spark):
+        dim = self._dim(spark, [])
+        batch = spark.createDataFrame([("x",), ("y",)], ["key"])
+        out = {r["key"]: r["id"] for r in upsert_dimension(dim, batch, "key").collect()}
+        assert out == {"x": 1, "y": 2}
+
+    def test_extra_cols_carried(self, spark):
+        dim = spark.createDataFrame([], "id bigint, key string, display string")
+        batch = spark.createDataFrame(
+            [("w1", "Widget One"), ("w1", "Widget Uno"), ("w2", "Widget Two")],
+            ["key", "display"],
+        )
+        out = {
+            r["key"]: (r["id"], r["display"])
+            for r in upsert_dimension(
+                dim, batch, "key", extra_cols=["display"]
+            ).collect()
+        }
+        assert out == {"w1": (1, "Widget One"), "w2": (2, "Widget Two")}
+
+
+class TestFlagshipPlan:
+    def test_no_shuffle_on_fact_side(self, tables):
+        """The 4-dim chain must be broadcast joins — the fact never moves."""
+        from concurrent_etl_spark.operators.etl import flagship_confirmation
+        from concurrent_etl_spark.plans.explain import assert_broadcast_joins
+
+        df = flagship_confirmation(tables)
+        assert_broadcast_joins(df, 4)
+        assert df.count() > 0
