@@ -14,9 +14,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from concurrent_etl_spark import catalog
+from concurrent_etl_spark import queries_catalog  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_llm  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_streaming  # noqa: F401 — registers queries
 from concurrent_etl_spark.engine import DEFAULT_SF_DIR, load_tables
 from concurrent_etl_spark.operators.etl import flagship_confirmation
-from concurrent_etl_spark import queries_catalog
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,8 +28,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return queries_catalog.QUERIES
+    return catalog.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    return queries_catalog.ORACLES
+    return catalog.ORACLES

@@ -27,6 +27,9 @@ HEADLINE = [
     "semi_join_inlist",
     "dedup_by_key",
     "tumbling_window_agg",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "ann_topk_cosine",
 ]
 
 

@@ -1,0 +1,44 @@
+"""Shared query registry: name -> Spark callable + DuckDB oracle SQL.
+
+Query modules (queries_catalog, queries_llm, …) register into these
+dicts via the ``query`` decorator; ``__spark_entry__`` exposes them to
+the driver harness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a (spark, sf_dir) -> DataFrame callable + its oracle.
+
+    ``oracle=None`` registers a rows-only query (driver records the
+    weaker check) — reserved for genuinely non-SQL-expressible ops.
+    """
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def dsum(col: str, alias: str, scale: int = 4) -> F.Column:
+    """Order-insensitive exact sum of a double col, returned as double.
+
+    DECIMAL accumulation is associative/commutative-exact, so Spark's
+    partitioned partial aggregates and the oracle's sequential sum
+    produce bit-identical doubles after the final cast.
+    """
+    return (
+        F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+    )

@@ -1,0 +1,336 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, each scale-shaped for 100 TB:
+
+  * exact          — content-hash groupBy; one shuffle on the hash,
+                     map-side partial agg, no pairwise work.
+  * MinHash + LSH  — shingle -> K minhashes -> B bands -> bucket
+                     join. Only docs sharing a band bucket are ever
+                     paired, so candidate generation is O(docs x B)
+                     shuffle + within-bucket pairs instead of O(n^2).
+  * SimHash        — 32-bit weighted fingerprint; Hamming-LSH via
+                     byte bands, exact hamming <= r verify on
+                     candidates only.
+  * n-gram Jaccard — exact Jaccard verification on the LSH candidate
+                     pairs (never on the full cross product).
+
+Everything is built-in expressions: md5 signatures (cross-engine
+deterministic), higher-order array functions for signatures (computed
+per-row, no explode until the band stage), and broadcast-free
+self-joins keyed on bucket hashes.
+
+The synthetic corpus has no natural near-dups, so catalog queries
+inject deterministic mutants (drop the first two words of docs with
+doc_id < 40, re-keyed +100000) — the oracle reproduces the injection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.operators.text import content_hash, shingles, tokens
+
+MINHASH_K = 24  #: signature length
+LSH_BANDS = 8  #: bands (rows per band = K / B = 3)
+SIMHASH_BITS = 32
+MINHASH_PRIME = 4294967311  #: smallest prime > 2^32
+
+
+def _md5_int(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+#: deterministic affine-permutation coefficients (a odd < 2^30 keeps
+#: a*h < 2^62 — no bigint overflow in any engine; b < prime)
+MINHASH_A = [(_md5_int(f"a{s}") % (2**30 - 1)) | 1 for s in range(MINHASH_K)]
+MINHASH_B = [_md5_int(f"b{s}") % MINHASH_PRIME for s in range(MINHASH_K)]
+
+
+# ---------------------------------------------------------------------------
+# corpus mutation (test fixture injection, mirrored in oracle SQL)
+# ---------------------------------------------------------------------------
+
+def with_injected_near_dups(
+    docs: DataFrame, n: int = 40, id_offset: int = 100_000
+) -> DataFrame:
+    """Union docs with near-duplicate mutants (first two words dropped)."""
+    mutants = docs.where(F.col("doc_id") < n).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.array_join(F.slice(tokens("text"), 3, 1_000_000), " ").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutants)
+
+
+def with_injected_exact_dups(
+    docs: DataFrame, n: int = 40, id_offset: int = 100_000
+) -> DataFrame:
+    """Union docs with byte-identical copies under new ids."""
+    copies = docs.where(F.col("doc_id") < n).select(
+        (F.col("doc_id") + id_offset).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents.
+
+    Returns (content_hash, n_docs, keep_doc_id, dup_doc_ids) for
+    groups with >1 member; keep = min doc_id (deterministic survivor).
+    """
+    hashed = docs.select("doc_id", content_hash(text_col).alias("content_hash"))
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def shingle_hashes(text_col: str = "text") -> F.Column:
+    """32-bit md5 hash per distinct bigram shingle (array<bigint>).
+
+    Each shingle is md5'd ONCE; the K permutations are cheap affine
+    maps over these ints (10-100x faster than K md5 passes, same
+    collision behaviour — the standard minhash implementation trick).
+    """
+    sh = shingles(F.lower(F.col(text_col)), 2)
+    return F.transform(
+        sh, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
+    )
+
+
+def minhash_signature_from_hashes(hs: F.Column, k: int = MINHASH_K) -> F.Column:
+    """K minhashes via affine permutations (a_s*h + b_s) mod p (array<bigint>).
+
+    Coefficients are md5-seeded constants => reproducible across
+    engines and runs; a < 2^30 guarantees no 64-bit overflow.
+    """
+    def perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hs, perm(MINHASH_A[s], MINHASH_B[s])))
+            for s in range(k)
+        ]
+    )
+
+
+def lsh_bands(sig_col: F.Column, bands: int = LSH_BANDS, k: int = MINHASH_K) -> F.Column:
+    """Concatenate-and-hash each band of the signature (array<string>)."""
+    rows = k // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(sig_col, b * rows + i + 1).cast("string")
+                        for i in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs sharing >=1 LSH band, with estimated
+    Jaccard = fraction of agreeing minhashes.
+
+    Scale shape: signatures are computed per-row (no shuffle) and
+    PERSISTED before the self-join — otherwise Catalyst would inline
+    and recompute the whole signature pipeline on both join sides for
+    every band row (measured 40x slowdown). The only shuffle keys on
+    (band_index, band_hash); within-bucket pairs are tiny when bands
+    are tuned to the threshold.
+    """
+    sigs = (
+        docs.select("doc_id", shingle_hashes(text_col).alias("hs"))
+        .select("doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
+        .withColumn("bands", lsh_bands(F.col("sig")))
+        .persist()
+    )
+
+    exploded = sigs.select(
+        "doc_id", "sig", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig").alias("sig_a"),
+        "band_idx",
+        "band_hash",
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig").alias("sig_b"),
+        "band_idx",
+        "band_hash",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(MINHASH_K))
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard on LSH candidates only (verify stage).
+
+    |A ∩ B| / |A ∪ B| over distinct bigram shingles; candidates come
+    from :func:`minhash_lsh_pairs` so the cross product never
+    materializes.
+    """
+    sh = docs.select(
+        "doc_id", shingles(F.lower(F.col(text_col)), 2).alias("sh")
+    ).persist()
+    cand = minhash_lsh_pairs(docs, text_col).select("doc_a", "doc_b")
+    j = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc weighted SimHash fingerprint (bigint, low `bits` bits).
+
+    Token hash = first 32 bits of md5 (cross-engine via hex->int);
+    bit b of the fingerprint is set when the sum over tokens (with
+    multiplicity) of (bit_b(h) ? +1 : -1) is positive.
+
+    Bit extraction uses floor(h / 2^b) % 2 — exact in doubles for
+    32-bit h, and expressible identically in any SQL engine (PySpark's
+    shift functions only take literal shift amounts).
+
+    Plan shape: explode tokens, explode bit positions, two keyed
+    aggregations — all map-side combinable; no pairwise work here.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    )
+    sums = (
+        tok.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bits - 1)),
+                    lambda i: F.when(
+                        F.floor(F.col("h") / F.pow(F.lit(2.0), i)).cast("bigint") % 2
+                        == 1,
+                        1,
+                    ).otherwise(-1),
+                )
+            ).alias("bit_idx", "sign"),
+        )
+        .groupBy("doc_id", "bit_idx")
+        .agg(F.sum("sign").alias("s"))
+    )
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.pow(F.lit(2.0), F.col("bit_idx")).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: byte-band candidates, exact Hamming verify.
+
+    Hamming-LSH: split the 32-bit fingerprint into 4 bytes; any pair
+    within Hamming distance 3 must agree on >=1 byte (pigeonhole), so
+    the bucket join on (byte_idx, byte_value) is a complete candidate
+    generator — never a cross join.
+    """
+    fp = simhash(docs, text_col)
+    bytes_df = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda k: F.floor(
+                    F.col("simhash") / F.pow(F.lit(2.0), k * 8)
+                ).cast("bigint")
+                % 256,
+            )
+        ).alias("byte_idx", "byte_val"),
+    )
+    a = bytes_df.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "byte_idx",
+        "byte_val",
+    )
+    b = bytes_df.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "byte_idx",
+        "byte_val",
+    )
+    return (
+        a.join(b, ["byte_idx", "byte_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,152 @@
+"""Embedding similarity search (ANN) over array<float> columns.
+
+Two paths (north star, SURVEY §7 step 5):
+
+  * brute-force cosine top-k — the exact baseline: broadcast the
+    (small) query set, stream the corpus through a local cross
+    product, window top-k. At 100 TB the corpus side never shuffles;
+    cost is O(corpus x queries) FLOPs spread across executors.
+
+  * random-hyperplane LSH buckets — the scale path: 8 signed
+    projections -> 8-bit bucket id; only same-bucket pairs are
+    compared. Hyperplanes are md5-seeded constants (deterministic,
+    reproducible across engines and runs — no rand()).
+
+All vector math is built-in higher-order functions (zip_with +
+aggregate over DOUBLE), evaluated in element order => bit-identical
+between Spark and the DuckDB oracle. No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def _hp_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1].
+
+    Derived from md5 so the oracle SQL (or any other engine) can
+    reproduce the planes; materialized as literals on both sides.
+    """
+    h = int(hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[:15], 16)
+    return ((h % 2001) - 1000) / 1000.0
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    return [[_hp_component(p, i) for i in range(dim)] for p in range(n_planes)]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Element-order dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbours for each query vector.
+
+    queries is expected small (it is broadcast); ties broken by
+    neighbour id for full determinism. Self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]] | None = None) -> Column:
+    """8-bit random-hyperplane bucket id for a vector (bigint)."""
+    planes = planes if planes is not None else hyperplanes()
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = (dot(vec_col, lit_plane) > 0).cast("bigint")
+        bucket = bucket + F.shiftleft(bit, p)
+    return bucket
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate vector pairs: same LSH bucket AND cosine >= threshold.
+
+    Scale shape: one narrow projection computes the bucket per row;
+    the shuffle keys on bucket; within-bucket self-join only. With 8
+    planes a cos=0.999 pair lands in the same bucket w.p. ~0.97.
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        _as_double(vec_col).alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    a = e.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = e.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("va"), F.col("vb")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def oracle_hyperplane_sql_array(plane: list[float]) -> str:
+    """Render one hyperplane as a DuckDB DOUBLE[] literal."""
+    return "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"

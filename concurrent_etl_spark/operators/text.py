@@ -1,0 +1,159 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond-the-reference surface (north star, SURVEY §7 step 5): token
+counting, shingling, quality scoring, language-ID heuristic, document
+fingerprinting. Everything is built-in Column expressions — JVM-side,
+codegen-friendly, linear scans with no shuffle; at 100 TB these run
+embarrassingly parallel over the document partitions.
+
+Cross-engine determinism rules (the DuckDB oracle must reproduce every
+value): md5 for hashing (lowercase hex in both engines), list/array
+higher-order functions that iterate in element order, and no
+engine-native hash/random functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic — deliberately small and hardcoded so the oracle SQL can
+#: embed the identical lists.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "zu", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est"),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, empties dropped (array<string>)."""
+    return F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda x: x != "")
+
+
+def shingles(col: Column | str, n: int = 2) -> Column:
+    """Word n-gram shingles as distinct space-joined strings.
+
+    Guarded for short docs (fewer than n tokens -> empty array);
+    Spark's sequence() would otherwise produce a descending range.
+    """
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish subword count: alpha runs, digit runs, other symbols.
+
+    A cheap proxy for tokenizer cost accounting over a corpus — the
+    regex mirrors common pre-tokenizers (letters / numbers / other).
+    """
+    return F.size(F.regexp_extract_all(_c(col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Heuristic quality score in [0,1] from length/structure ratios.
+
+    Components (equal weight):
+      * length_ok : 20..2000 chars
+      * token_len : mean token length in [3, 12]
+      * alpha_ratio: alphabetic chars / all non-space chars >= 0.8
+      * dedup_ratio: distinct tokens / tokens >= 0.3 (boilerplate guard)
+    """
+    c = _c(text_col)
+    t = tokens(c)
+    n_tok = F.size(t)
+    n_chars = F.length(c)
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    mean_tok_len = F.when(n_tok > 0, nonspace / n_tok).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    length_ok = ((n_chars >= 20) & (n_chars <= 2000)).cast("int")
+    tok_len_ok = ((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0)).cast("int")
+    alpha_ok = (
+        F.when(nonspace > 0, alpha / nonspace).otherwise(F.lit(0.0)) >= 0.8
+    ).cast("int")
+    dedup_ok = (distinct_ratio >= 0.3).cast("int")
+    return ((length_ok + tok_len_ok + alpha_ok + dedup_ok) / F.lit(4.0)).alias(
+        "quality"
+    )
+
+
+def lang_scores(text_col: Column | str) -> dict[str, Column]:
+    """Stopword-hit ratio per language (the language-ID heuristic)."""
+    t = tokens(F.lower(_c(text_col)))
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        hits = F.size(F.filter(t, lambda x: x.isin(*words)))  # noqa: B023
+        out[lang] = F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0))
+    return out
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """Argmax language by stopword ratio; 'und' (undetermined) when all 0.
+
+    Deterministic tiebreak: language name ascending — the oracle SQL
+    uses the same CASE ladder ordering.
+    """
+    scores = lang_scores(text_col)
+    langs = sorted(scores)  # deterministic evaluation order
+    best = None
+    best_score = None
+    for lang in langs:
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: Column | str, k: int = 4) -> Column:
+    """Bottom-k shingle-hash document fingerprint (winnowing-style).
+
+    md5 each bigram shingle, sort, keep the k smallest, concatenate —
+    a compact near-dup-stable sketch. Normalization: lower + trim.
+    """
+    sh = shingles(F.lower(_c(text_col)), 2)
+    hashed = F.array_sort(F.transform(sh, F.md5))
+    return F.array_join(F.slice(hashed, 1, k), "")
+
+
+def content_hash(text_col: Column | str) -> Column:
+    """Exact-dup content hash: md5 of whitespace-normalized lowercase."""
+    norm = F.array_join(tokens(F.lower(_c(text_col))), " ")
+    return F.md5(norm)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats projection used by the catalog query."""
+    return docs.select(
+        "doc_id",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_subwords"),
+        F.length(text_col).alias("n_chars_actual"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_guess"),
+        content_hash(text_col).alias("content_hash"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

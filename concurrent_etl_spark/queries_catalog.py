@@ -43,29 +43,8 @@ from concurrent_etl_spark.operators.relational import (
     semi_join,
 )
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    """Register a (spark, sf_dir) -> DataFrame callable + its oracle."""
-
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def _dsum(col: str, alias: str, scale: int = 4) -> F.Column:
-    """Order-insensitive exact sum of a double col, returned as double."""
-    return (
-        F.sum(F.col(col).cast(f"decimal(18,{scale})"))
-        .cast("double")
-        .alias(alias)
-    )
+from concurrent_etl_spark.catalog import QUERIES, ORACLES, query
+from concurrent_etl_spark.catalog import dsum as _dsum
 
 
 # ---------------------------------------------------------------------------

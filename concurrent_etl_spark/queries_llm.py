@@ -1,0 +1,391 @@
+"""LLM training-data pipeline queries: dedup, similarity, text, multimodal.
+
+Each query pairs a Spark implementation (operators/dedup.py,
+similarity.py, text.py, multimodal.py) with a DuckDB oracle that
+reproduces the identical pipeline in SQL. Cross-engine determinism
+comes from md5-based hashing, element-ordered list arithmetic, and
+exact integer/double operations (see operators' docstrings).
+
+The synthetic corpus has no natural near-duplicates (measured: max
+bigram Jaccard 0.12, embedding cosine uncorrelated with labels), so
+dedup/near-dup queries inject deterministic mutants inside the query
+— the oracle reproduces the injection, making the checks non-trivial
+at every scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.engine import load_table
+from concurrent_etl_spark.operators import dedup as D
+from concurrent_etl_spark.operators import multimodal as M
+from concurrent_etl_spark.operators import similarity as S
+from concurrent_etl_spark.operators import text as T
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments (must mirror operators/text.py exactly)
+# ---------------------------------------------------------------------------
+
+def _tok(x: str) -> str:
+    return f"list_filter(string_split_regex(trim({x}), '\\s+'), t -> t <> '')"
+
+
+def _shingles(x: str) -> str:
+    t = _tok(x)
+    return (
+        f"list_distinct(list_transform(range(1, len({t})), "
+        f"i -> array_to_string(list_slice({t}, i, i + 1), ' ')))"
+    )
+
+
+_CORPUS_NEAR = f"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_slice({_tok('text')}, 3, 100000000), ' ') AS text
+  FROM documents WHERE doc_id < 40
+)"""
+
+_CORPUS_EXACT = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 40
+)"""
+
+def _sql_int_list(vals: list[int]) -> str:
+    return "[" + ", ".join(str(v) for v in vals) + "]"
+
+
+# affine-permutation minhash over 32-bit shingle hashes; A/B literals
+# mirror operators/dedup.py MINHASH_A/MINHASH_B exactly
+from concurrent_etl_spark.operators.dedup import (  # noqa: E402
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME,
+)
+
+_SIG = (
+    f"list_transform(range(0, 24), s -> list_aggregate("
+    f"list_transform(hs, h -> (h * {_sql_int_list(MINHASH_A)}[s+1] "
+    f"+ {_sql_int_list(MINHASH_B)}[s+1]) % {MINHASH_PRIME}), 'min'))"
+)
+
+_BANDS = (
+    "list_transform(range(0, 8), b -> "
+    "md5(sig[b*3+1]::VARCHAR || '|' || sig[b*3+2]::VARCHAR || '|' "
+    "|| sig[b*3+3]::VARCHAR))"
+)
+
+_LSH_PAIRS = f"""
+sh AS (SELECT doc_id, {_shingles('lower(text)')} AS sh FROM corpus),
+hs AS (SELECT doc_id, sh,
+              list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+       FROM sh),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM hs),
+bands AS (
+  SELECT doc_id, sig, sh,
+         unnest({_BANDS}) AS band_hash,
+         generate_subscripts({_BANDS}, 1) AS band_idx
+  FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH {_CORPUS_EXACT},
+    h AS (SELECT doc_id,
+                 md5(array_to_string({_tok('lower(text)')}, ' ')) AS content_hash
+          FROM corpus)
+    SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+    FROM h GROUP BY content_hash HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy; one shuffle, no pairwise work."""
+    return D.exact_dup_groups(D.with_injected_exact_dups(_docs(spark, sf_dir)))
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_CORPUS_NEAR},
+    {_LSH_PAIRS}
+    SELECT p.doc_a, p.doc_b,
+           list_aggregate(list_transform(list_zip(sa.sig, sb.sig),
+             x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END), 'sum') / 24.0
+             AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup: 24 md5-minhashes, 8 bands x 3 rows.
+
+    Candidate pairs share >=1 band; estimated Jaccard = agreeing
+    signature fraction. Only the band bucket join shuffles.
+    """
+    return D.minhash_lsh_pairs(D.with_injected_near_dups(_docs(spark, sf_dir)))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_CORPUS_NEAR},
+    {_LSH_PAIRS}
+    SELECT * FROM (
+      SELECT p.doc_a, p.doc_b,
+             len(list_intersect(sa.sh, sb.sh)) /
+             len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+    ) WHERE jaccard >= 0.8
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram-Jaccard verify over the LSH candidates only."""
+    return D.ngram_jaccard_pairs(
+        D.with_injected_near_dups(_docs(spark, sf_dir)), threshold=0.8
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_CORPUS_NEAR},
+    tok AS (SELECT doc_id, unnest({_tok('lower(text)')}) AS t FROM corpus),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
+    bitsum AS (
+      SELECT doc_id, i.bit_idx,
+             SUM(CASE WHEN CAST(floor(h / power(2, i.bit_idx)) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit_idx) i
+      GROUP BY 1, 2),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN CAST(power(2, bit_idx) AS BIGINT)
+                      ELSE 0 END) AS simhash
+      FROM bitsum GROUP BY 1),
+    bytes AS (
+      SELECT doc_id, simhash, k.byte_idx,
+             CAST(floor(simhash / power(2, k.byte_idx * 8)) AS BIGINT) % 256 AS byte_val
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS byte_idx) k),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bytes a
+      JOIN bytes b ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
+                  AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup: 32-bit fingerprints, byte-band Hamming-LSH.
+
+    Pigeonhole: hamming <= 3 over 4 bytes => >=1 byte agrees, so the
+    byte-bucket join is a complete candidate generator.
+    """
+    pairs = D.simhash_pairs(
+        D.with_injected_near_dups(_docs(spark, sf_dir)), max_hamming=3
+    )
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def _oracle_dot(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> x[1] * x[2]), 'sum')"
+    )
+
+
+def _oracle_norm(a: str) -> str:
+    return (
+        f"sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+    )
+
+
+def _oracle_cos(a: str, b: str) -> str:
+    return f"{_oracle_dot(a, b)} / ({_oracle_norm(a)} * {_oracle_norm(b)})"
+
+
+def _oracle_bucket(v: str) -> str:
+    terms = []
+    for p, plane in enumerate(S.hyperplanes()):
+        arr = S.oracle_hyperplane_sql_array(plane)
+        terms.append(
+            f"(CASE WHEN {_oracle_dot(v, arr)} > 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+@query(
+    "ann_topk_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_oracle_cos('q.qv', 'e.v')} AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors (exact baseline).
+
+    Queries broadcast; corpus streams; window top-k per query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@query(
+    "embedding_neardup_lsh",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 1.02 + 0.005) AS v
+      FROM embeddings WHERE vec_id < 40),
+    b AS (SELECT vec_id, v, {_oracle_bucket('v')} AS bucket FROM corpus),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+             {_oracle_cos('a.v', 'b2.v')} AS cos_sim
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+    SELECT vec_a, vec_b, cos_sim FROM cand WHERE cos_sim >= 0.99
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH buckets + cosine verify.
+
+    Hyperplanes are md5-seeded constants => reproducible across
+    engines/runs. Only same-bucket pairs are compared.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    mutants = emb.where(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x * 1.02 + 0.005
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(mutants)
+    return S.lsh_neardup_pairs(corpus, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def _oracle_lang_sql() -> str:
+    tl = _tok("lower(text)")
+    scores = []
+    for lang in sorted(T.LANG_STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
+        scores.append(
+            f"CASE WHEN len({tl}) > 0 THEN "
+            f"len(list_filter({tl}, t -> list_contains([{words}], t))) / len({tl}) "
+            f"ELSE 0.0 END AS s_{lang}"
+        )
+    return ",\n           ".join(scores)
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+           {_oracle_lang_sql()},
+           len({_tok('text')}) AS n_tok,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+           len(list_distinct({_tok('text')})) AS n_distinct
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_subwords,
+           CAST(n_chars AS INTEGER) AS n_chars_actual,
+           ((CASE WHEN n_chars >= 20 AND n_chars <= 2000 THEN 1 ELSE 0 END) +
+            (CASE WHEN n_tok > 0 AND nonspace / n_tok >= 3.0
+                       AND nonspace / n_tok <= 12.0 THEN 1 ELSE 0 END) +
+            (CASE WHEN nonspace > 0 AND alpha / nonspace >= 0.8
+                  THEN 1 ELSE 0 END) +
+            (CASE WHEN n_tok > 0 AND n_distinct / n_tok >= 0.3
+                  THEN 1 ELSE 0 END)) / 4.0 AS quality,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess,
+           md5(array_to_string({_tok('lower(text)')}, ' ')) AS content_hash,
+           array_to_string(list_slice(list_sort(
+             list_transform({_shingles('lower(text)')}, x -> md5(x))), 1, 4), '')
+             AS fingerprint
+    FROM base
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis: token counts, quality, lang-ID,
+    content hash, bottom-k fingerprint — one linear scan."""
+    return T.text_stats(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                     ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte
+    FROM documents
+    """,
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through Arrow mapInPandas.
+
+    Exercises the real multimodal plumbing (binary column, typed
+    metadata, batched pandas UDF) with a deterministic byte-level
+    'decoder' the oracle can verify; real codecs are stubbed
+    (operators/multimodal.py).
+    """
+    return M.extract_features(M.synthesize_payloads(_docs(spark, sf_dir)))

@@ -1,0 +1,126 @@
+"""Structured Streaming tests: file-source ETL, checkpoint exactly-once,
+foreachBatch merge (SURVEY §2.8 T1-T5)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from concurrent_etl_spark.streaming.file_stream import (
+    file_stream_etl,
+    foreach_batch_upsert,
+    merge_into_parquet,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("qty", StringType()),  # all-string staging
+        StructField("price", DoubleType()),
+    ]
+)
+
+
+def _write_csv(path, rows, header="id,qty,price"):
+    path.write_text(header + "\n" + "\n".join(rows) + "\n")
+
+
+class TestFileStream:
+    def test_discover_transform_sink_exactly_once(self, spark, tmp_path):
+        src = tmp_path / "sample"
+        src.mkdir()
+        sink = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        _write_csv(src / "f1_OPERATIONS.csv", ["1,10,1.5", "2,20,2.5"])
+        _write_csv(src / "f2_OPERATIONS.csv", ["3,30,3.5"])
+
+        def transform(df):
+            return df.select(
+                "id",
+                F.col("qty").try_cast("long").alias("qty"),
+                "price",
+                "_source_file",
+            )
+
+        q = file_stream_etl(
+            spark, str(src), SCHEMA, transform, sink, ckpt, available_now=True
+        )
+        q.awaitTermination(60)
+        out = spark.read.parquet(sink)
+        assert out.count() == 3
+        assert dict(out.dtypes)["qty"] == "bigint"
+
+        # second run with one NEW file: checkpoint must skip f1/f2 (T2)
+        _write_csv(src / "f3_OPERATIONS.csv", ["4,40,4.5"])
+        q2 = file_stream_etl(
+            spark, str(src), SCHEMA, transform, sink, ckpt, available_now=True
+        )
+        q2.awaitTermination(60)
+        out2 = spark.read.parquet(sink)
+        assert out2.count() == 4  # not 7 — old files not reprocessed
+        files = [r[0] for r in out2.select("_source_file").distinct().collect()]
+        assert len(files) == 3
+
+
+class TestMergeIntoParquet:
+    def test_upsert_semantics(self, spark, tmp_path):
+        target = str(tmp_path / "fact")
+        first = spark.createDataFrame(
+            [(1, "a"), (2, "b")], ["id", "v"]
+        )
+        merge_into_parquet(spark, target, first, ["id"])
+        update = spark.createDataFrame(
+            [(2, "B"), (3, "c")], ["id", "v"]
+        )
+        merge_into_parquet(spark, target, update, ["id"])
+        rows = {r["id"]: r["v"] for r in spark.read.parquet(target).collect()}
+        assert rows == {1: "a", 2: "B", 3: "c"}
+
+    def test_idempotent_replay(self, spark, tmp_path):
+        """Re-running the same batch (checkpoint replay) must not dup."""
+        target = str(tmp_path / "fact")
+        batch = spark.createDataFrame([(1, "a")], ["id", "v"])
+        merge_into_parquet(spark, target, batch, ["id"])
+        merge_into_parquet(spark, target, batch, ["id"])
+        assert spark.read.parquet(target).count() == 1
+
+
+class TestForeachBatchPipeline:
+    def test_stream_to_merged_fact(self, spark, tmp_path):
+        """End-to-end T4: file stream -> foreachBatch -> merged fact table."""
+        src = tmp_path / "sample"
+        src.mkdir()
+        target = str(tmp_path / "fact")
+        ckpt = str(tmp_path / "ckpt")
+        _write_csv(src / "b1.csv", ["1,10,1.5", "1,10,1.5", "2,20,2.5"])
+
+        handler = foreach_batch_upsert(
+            spark,
+            target,
+            keys=["id"],
+            transform=lambda df: df.select(
+                "id", F.col("qty").try_cast("long").alias("qty"), "price"
+            ),
+        )
+        q = (
+            spark.readStream.format("csv")
+            .schema(SCHEMA)
+            .option("header", "true")
+            .load(str(src))
+            .writeStream.foreachBatch(handler)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = {r["id"]: r["qty"] for r in spark.read.parquet(target).collect()}
+        assert rows == {1: 10, 2: 20}  # in-batch dup collapsed by merge keys
