@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from concurrent_etl_spark.operators.text import content_hash, shingles, tokens
+from concurrent_etl_spark.operators.text import (
+    content_hash,
+    shingles_from_tokens,
+    tokens,
+)
 
 MINHASH_K = 24  #: signature length
 LSH_BANDS = 8  #: bands (rows per band = K / B = 3)
@@ -105,14 +109,25 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def shingle_hashes(text_col: str = "text") -> F.Column:
+def staged_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) with tokens staged before shingling.
+
+    Two-step projection so the token array is computed once per row,
+    not once per shingle (see text.shingles_from_tokens).
+    """
+    return (
+        docs.select("doc_id", tokens(F.lower(F.col(text_col))).alias("_toks"))
+        .select("doc_id", shingles_from_tokens(F.col("_toks"), 2).alias("sh"))
+    )
+
+
+def hash_shingles(sh: F.Column) -> F.Column:
     """32-bit md5 hash per distinct bigram shingle (array<bigint>).
 
     Each shingle is md5'd ONCE; the K permutations are cheap affine
     maps over these ints (10-100x faster than K md5 passes, same
     collision behaviour — the standard minhash implementation trick).
     """
-    sh = shingles(F.lower(F.col(text_col)), 2)
     return F.transform(
         sh, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
     )
@@ -166,7 +181,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     are tuned to the threshold.
     """
     sigs = (
-        docs.select("doc_id", shingle_hashes(text_col).alias("hs"))
+        staged_shingles(docs, text_col)
+        .select("doc_id", hash_shingles(F.col("sh")).alias("hs"))
         .select("doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
         .withColumn("bands", lsh_bands(F.col("sig")))
         .persist()
@@ -217,9 +233,7 @@ def ngram_jaccard_pairs(
     from :func:`minhash_lsh_pairs` so the cross product never
     materializes.
     """
-    sh = docs.select(
-        "doc_id", shingles(F.lower(F.col(text_col)), 2).alias("sh")
-    ).persist()
+    sh = staged_shingles(docs, text_col).persist()
     cand = minhash_lsh_pairs(docs, text_col).select("doc_a", "doc_b")
     j = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")

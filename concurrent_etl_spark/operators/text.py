@@ -37,13 +37,17 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda x: x != "")
 
 
-def shingles(col: Column | str, n: int = 2) -> Column:
-    """Word n-gram shingles as distinct space-joined strings.
+def shingles_from_tokens(t: Column, n: int = 2) -> Column:
+    """Word n-gram shingles from an ALREADY-STAGED token array column.
+
+    Pass a bound column (staged via a prior select), not a tokens()
+    expression: higher-order lambdas re-evaluate embedded
+    subexpressions per element, which turns shingling into O(n^2)
+    re-tokenization (measured ~8x slower at sf0.1).
 
     Guarded for short docs (fewer than n tokens -> empty array);
     Spark's sequence() would otherwise produce a descending range.
     """
-    t = tokens(col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
         lambda i: F.array_join(F.slice(t, i, n), " "),
@@ -51,6 +55,15 @@ def shingles(col: Column | str, n: int = 2) -> Column:
     return F.array_distinct(
         F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingles(col: Column | str, n: int = 2) -> Column:
+    """Word n-gram shingles straight from a text column (convenience).
+
+    Prefer staging tokens first (see shingles_from_tokens) in hot
+    paths.
+    """
+    return shingles_from_tokens(tokens(col), n)
 
 
 def token_count(col: Column | str) -> Column:
@@ -146,14 +159,68 @@ def content_hash(text_col: Column | str) -> Column:
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document stats projection used by the catalog query."""
-    return docs.select(
+    """Per-document stats projection used by the catalog query.
+
+    Tokenization is staged ONCE into array columns (toks, toks_l,
+    sh_l) and every downstream stat reads the staged arrays —
+    without this, each of the ~10 stats re-tokenizes the document
+    (higher-order functions are not common-subexpression-eliminated
+    across a Project), which measured 5-10x slower.
+    """
+    c = F.col(text_col)
+    staged = docs.select(
         "doc_id",
-        token_count(text_col).alias("n_tokens"),
-        bpe_ish_token_count(text_col).alias("n_subwords"),
-        F.length(text_col).alias("n_chars_actual"),
-        quality_score(text_col).alias("quality"),
-        lang_id(text_col).alias("lang_guess"),
-        content_hash(text_col).alias("content_hash"),
-        fingerprint(text_col).alias("fingerprint"),
+        c.alias("_text"),
+        tokens(c).alias("toks"),
+        tokens(F.lower(c)).alias("toks_l"),
+        F.length(c).alias("n_chars_actual"),
+        F.length(F.regexp_replace(c, r"\s", "")).alias("_nonspace"),
+        F.length(F.regexp_replace(c, r"[^a-zA-Z]", "")).alias("_alpha"),
+    ).withColumn("sh_l", shingles_from_tokens(F.col("toks_l"), 2))
+
+    n_tok = F.size("toks")
+    mean_tok_len = F.when(n_tok > 0, F.col("_nonspace") / n_tok).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(
+        n_tok > 0, F.size(F.array_distinct(F.col("toks"))) / n_tok
+    ).otherwise(F.lit(0.0))
+    quality = (
+        ((F.col("n_chars_actual") >= 20) & (F.col("n_chars_actual") <= 2000)).cast("int")
+        + ((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0)).cast("int")
+        + (
+            F.when(
+                F.col("_nonspace") > 0, F.col("_alpha") / F.col("_nonspace")
+            ).otherwise(F.lit(0.0))
+            >= 0.8
+        ).cast("int")
+        + (distinct_ratio >= 0.3).cast("int")
+    ) / F.lit(4.0)
+
+    # language ladder over staged lowercase tokens
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        hits = F.size(F.filter(F.col("toks_l"), lambda x: x.isin(*words)))  # noqa: B023
+        scores[lang] = F.when(
+            F.size("toks_l") > 0, hits / F.size("toks_l")
+        ).otherwise(F.lit(0.0))
+    best, best_score = None, None
+    for lang in sorted(scores):
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    lang_guess = F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+    hashed_sh = F.array_sort(F.transform(F.col("sh_l"), F.md5))
+    return staged.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        bpe_ish_token_count("_text").alias("n_subwords"),
+        "n_chars_actual",
+        quality.alias("quality"),
+        lang_guess.alias("lang_guess"),
+        F.md5(F.array_join(F.col("toks_l"), " ")).alias("content_hash"),
+        F.array_join(F.slice(hashed_sh, 1, 4), "").alias("fingerprint"),
     )
