@@ -47,6 +47,64 @@ def with_provenance(df: DataFrame) -> DataFrame:
     return df.withColumn("_source_file", F.input_file_name())
 
 
+#: case-1 template registry: template tag -> (source cols, renamed cols,
+#: int-cast cols). Mirrors the hardcoded lists at case_1/NormalETL.py:16-21.
+CASE1_TEMPLATES: dict[str, dict[str, list[str]]] = {
+    "OPERATIONS": {
+        "source": ["order_id", "scrap_qty", "yield_qty", "total_qty"],
+        "target": [
+            "productionOrder",
+            "confirmedActivityScrapQuantity",
+            "confirmedYield",
+            "totalOrderQuantity",
+        ],
+        "int_cols": [
+            "confirmedActivityScrapQuantity",
+            "confirmedYield",
+            "totalOrderQuantity",
+        ],
+    },
+    "CONFIRMATION": {
+        "source": ["order_id", "op_qty", "yield_qty", "scrap_qty", "counter"],
+        "target": [
+            "productionOrder",
+            "operationQuantity",
+            "confirmYield",
+            "confirmScrap",
+            "confirmCounter",
+        ],
+        "int_cols": [
+            "operationQuantity",
+            "confirmYield",
+            "confirmScrap",
+            "confirmCounter",
+        ],
+    },
+}
+
+
+def case1_pipeline(
+    staged: DataFrame,
+    template: str,
+    templates: dict[str, dict[str, list[str]]] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """EP1/EP2 transform as one lazy plan (case_1/NormalETL.py:12-32).
+
+    Input: all-string staged rows (read_csv_staged / read_excel_dir)
+    already routed (route_templates + filter). Steps: project the
+    template's source columns (P1), positional rename to warehouse
+    names (P2), int-cast the measures (F3). The per-file loop, thread
+    pool, and semaphores of the reference are Spark's scheduler now.
+    """
+    from concurrent_etl_spark.functions.casts import staged_cast
+
+    spec = (templates or CASE1_TEMPLATES)[template]
+    projected = staged.select(*spec["source"]).toDF(*spec["target"])
+    casts = {c: staged_cast(c, "int", strict=strict) for c in spec["int_cols"]}
+    return projected.withColumns(casts)
+
+
 def flagship_confirmation(tables: dict[str, DataFrame]) -> DataFrame:
     """EP3 transform re-shaped onto testdata (the flagship query).
 

@@ -1,0 +1,114 @@
+"""JDBC warehouse adapter (S3, S4, S7, S9).
+
+The reference talks to SQL Server through SQLAlchemy/pyodbc: full
+table reads (case_2/Normal.py:58), pushdown queries built by string
+splicing (:253-257), chunked batched inserts (:74,277), and a
+server-side MERGE fired via a trigger-table UPDATE (:285-286).
+
+Spark mapping, behind one adapter interface so pipelines are
+testable file-native (the correctness gate never needs a database):
+
+  * read_table  -> spark.read.format('jdbc').option('dbtable', ...)
+  * read_query  -> .option('query', ...) — real pushdown, no string
+    splicing caller-side; prefer a semi-join when the key set is a
+    DataFrame (operators.relational.semi_join) — the collect+IN-list
+    round trip the reference did is an anti-pattern at scale
+  * write_append -> .option('batchsize', n) — replaces chunksize
+    loops; partition-parallel inserts
+  * merge -> no JDBC MERGE exists in Spark; stage + target-side MERGE
+    statement (the reference's stored-proc delegation, made explicit)
+
+No live database exists in this environment; the adapter builds real
+reader/writer configurations and is unit-tested to the option level,
+with connection-touching calls left to deployment.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+
+@dataclass
+class JdbcAdapter:
+    """Connection profile + reader/writer builders."""
+
+    url: str  #: e.g. jdbc:sqlserver://host;databaseName=db
+    user: str = ""
+    password: str = ""
+    driver: str = ""
+    batch_size: int = 1000  #: MAX_INSERT_ROW analog (case_2/Normal.py:19)
+    fetch_size: int = 10_000
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+    def _common(self, reader: DataFrameReader) -> DataFrameReader:
+        reader = (
+            reader.format("jdbc")
+            .option("url", self.url)
+            .option("user", self.user)
+            .option("password", self.password)
+            .option("fetchsize", str(self.fetch_size))
+        )
+        if self.driver:
+            reader = reader.option("driver", self.driver)
+        for k, v in self.extra_options.items():
+            reader = reader.option(k, v)
+        return reader
+
+    def table_reader(self, spark: SparkSession, table: str) -> DataFrameReader:
+        """Full-table read config (S3)."""
+        return self._common(spark.read).option("dbtable", table)
+
+    def query_reader(self, spark: SparkSession, query: str) -> DataFrameReader:
+        """Pushdown-query read config (S4); the query executes remotely."""
+        return self._common(spark.read).option("query", query)
+
+    def read_table(self, spark: SparkSession, table: str) -> DataFrame:
+        return self.table_reader(spark, table).load()
+
+    def read_query(self, spark: SparkSession, query: str) -> DataFrame:
+        return self.query_reader(spark, query).load()
+
+    def write_append(self, df: DataFrame, table: str) -> None:
+        """Batched append (S7): batchsize replaces chunk loops +
+        fast_executemany (case_2/Normal.py:42-43,74)."""
+        (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("user", self.user)
+            .option("password", self.password)
+            .option("dbtable", table)
+            .option("batchsize", str(self.batch_size))
+            .mode("append")
+            .save()
+        )
+
+    def write_overwrite_truncate(self, df: DataFrame, table: str) -> None:
+        """Staging reset + load (S8): truncate-overwrite in one step."""
+        (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("user", self.user)
+            .option("password", self.password)
+            .option("dbtable", table)
+            .option("truncate", "true")
+            .option("batchsize", str(self.batch_size))
+            .mode("overwrite")
+            .save()
+        )
+
+    def merge_statement(
+        self, staging: str, target: str, keys: list[str], columns: list[str]
+    ) -> str:
+        """Target-side MERGE DDL (S9) — the stored procedure the
+        reference triggered blindly, generated explicitly."""
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in keys)
+        cols = ", ".join(columns)
+        vals = ", ".join(f"s.{c}" for c in columns)
+        return (
+            f"MERGE INTO {target} AS t USING {staging} AS s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals});"
+        )
