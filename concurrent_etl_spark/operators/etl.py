@@ -105,6 +105,48 @@ def case1_pipeline(
     return projected.withColumns(casts)
 
 
+def confirmation_etl(
+    staged: DataFrame,
+    dims: dict[str, DataFrame],
+    dim_keys: dict[str, str],
+    int_cols: list[str] | None = None,
+    float_cols: list[str] | None = None,
+    date_cols: list[str] | None = None,
+    time_cols: list[str] | None = None,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """EP3's per-chunk transform as one batch-level operator
+    (case_2/Normal.py:163-273, case_2/MultithreadETL.py:280-405).
+
+    Steps: typed casts over the all-string staging (F3-F10), then per
+    dimension: upsert new members (§2.6, ONCE per batch — not per
+    chunk, fixing the reference's read-check-insert race), then
+    broadcast left-join each dim's surrogate id onto the facts (J1).
+
+    Returns (facts_with_surrogate_ids, updated_dims). Chunking
+    (MAX_INSERT_ROW=1000) does not exist: partitions are the chunks.
+    """
+    from concurrent_etl_spark.functions.casts import to_typed
+    from concurrent_etl_spark.operators.dims import upsert_dimension
+    from concurrent_etl_spark.operators.relational import broadcast_left_join
+
+    typed = to_typed(
+        staged,
+        int_cols=int_cols,
+        float_cols=float_cols,
+        date_cols=date_cols,
+        time_cols=time_cols,
+    )
+    updated: dict[str, DataFrame] = {}
+    out = typed
+    for dim_name, key in dim_keys.items():
+        dim = upsert_dimension(
+            dims[dim_name], typed.select(key), key, id_col=f"{dim_name}ID"
+        )
+        updated[dim_name] = dim
+        out = broadcast_left_join(out, dim, key)
+    return out, updated
+
+
 def flagship_confirmation(tables: dict[str, DataFrame]) -> DataFrame:
     """EP3 transform re-shaped onto testdata (the flagship query).
 

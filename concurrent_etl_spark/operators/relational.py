@@ -59,13 +59,15 @@ def new_keys(batch: DataFrame, dim: DataFrame, key: str) -> DataFrame:
     Reference: ``~df[k].isin(master[k]) & ~df[k].isnull()`` then
     ``drop_duplicates`` (case_2/Normal.py:63-70). Aggregating to
     distinct BEFORE the anti join keeps the join input minimal —
-    map-side partial aggregation shrinks the shuffle.
+    map-side partial aggregation shrinks the shuffle — and the dim
+    side is broadcast (dims are small by contract; without the hint
+    Spark picks a sort-merge anti join when stats are missing).
     """
     return (
         batch.select(key)
         .where(F.col(key).isNotNull())
         .dropDuplicates([key])
-        .join(dim.select(key), key, "left_anti")
+        .join(F.broadcast(dim.select(key)), key, "left_anti")
     )
 
 
