@@ -18,7 +18,9 @@ from concurrent_etl_spark import catalog
 from concurrent_etl_spark import queries_catalog  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_llm  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_relational2  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_relational3  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_streaming  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_temporal  # noqa: F401 — registers queries
 from concurrent_etl_spark.engine import DEFAULT_SF_DIR, load_tables
 from concurrent_etl_spark.operators.etl import flagship_confirmation
 

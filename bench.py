@@ -30,6 +30,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_stats",
     "ann_topk_cosine",
+    "asof_join_prior_click",
+    "range_join_events",
 ]
 
 

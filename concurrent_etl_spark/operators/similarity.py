@@ -149,6 +149,79 @@ def lsh_neardup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantize the corpus, probe only the
+    ``nprobe`` closest inverted lists per query.
+
+    The scale path for similarity search at 100 TB: assignment is one
+    broadcast-join pass over the corpus (the centroid table is tiny),
+    the inverted lists are just a cluster_id column to hash-join on,
+    and each query scans |corpus| * nprobe / n_centroids vectors
+    instead of all of them. Recall < 1 by design — ``brute_force_topk``
+    is the exact baseline.
+
+    Centroids here are the first ``n_centroids`` corpus vectors
+    (deterministic stand-in for a trained k-means codebook — training
+    is an offline job; the serving plumbing is identical). Ties broken
+    by centroid id, then neighbour id: bit-stable across engines
+    because all vector math is element-ordered built-ins.
+    """
+    e = corpus.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    )
+    cent = e.where(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def nearest(df: DataFrame, in_id: str, in_vec: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cent)).select(
+            "*", cosine(F.col(in_vec), F.col("cv")).alias("_cos_c")
+        )
+        w = Window.partitionBy(in_id).orderBy(
+            F.col("_cos_c").desc(), F.col("cid")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= keep)
+            .drop("cv", "_cos_c", "_rn")
+        )
+
+    assigned = nearest(e, "vid", "v", keep=1)  # corpus -> 1 inverted list
+    probes = nearest(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        ),
+        "query_id",
+        "qv",
+        keep=nprobe,
+    )
+    scored = (
+        probes.join(assigned, "cid")
+        .where(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def oracle_hyperplane_sql_array(plane: list[float]) -> str:
     """Render one hyperplane as a DuckDB DOUBLE[] literal."""
     return "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"

@@ -303,6 +303,48 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_neardup_pairs(corpus, threshold=0.99)
 
 
+_IVF_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_oracle_cos('e.v', 'c.cv')} DESC,
+                                           c.cid) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_oracle_cos('q.qv', 'c.cv')} DESC,
+                                           c.cid) AS rn
+        FROM q CROSS JOIN cent c) WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_oracle_cos('p.qv', 'a.v')} AS cos_sim
+      FROM probes p JOIN assigned a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@query("ivf_ann_topk", oracle=_IVF_ORACLE)
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (scale path): coarse-quantize corpus into 8 inverted
+    lists, probe the 2 best lists per query, exact-rerank only those.
+    Complements ann_topk_cosine (the exact brute-force baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 3), n_centroids=8, nprobe=2, k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,289 @@
+"""Third relational tranche: SQL-surface idioms a warehouse user of
+the reference reaches for that SURVEY §2.4 doesn't enumerate —
+grouping sets, correlated EXISTS, CTE pipelines, exact percentiles,
+distribution ranks, unpivot, deterministic hash sampling, and an
+explicit salted-join formulation of the skew mitigation AQE does
+automatically.
+
+Determinism conventions as elsewhere: decimal-exact sums, explicit
+tiebreaks on every ranking, md5 (never engine hash) for sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.catalog import dsum, query
+from concurrent_etl_spark.engine import load_table
+
+
+@query(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form of rollup/cube (both already
+    covered); exercises Spark's Expand operator via the SQL path."""
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """,
+        o=o,
+    )
+
+
+@query(
+    "exists_correlated",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'P')
+    """,
+)
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — Catalyst rewrites these to the
+    semi/anti joins the reference hand-built with isin masks
+    (``case_2/Normal.py:63-67``)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, c.c_name AS name
+        FROM {c} c
+        WHERE EXISTS (SELECT 1 FROM {o} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM {o} o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'P')
+        """,
+        c=c,
+        o=o,
+    )
+
+
+@query(
+    "cte_revenue_topn",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+    SELECT n.n_name AS nation_name, r.revenue, r.n_orders
+    FROM rev r JOIN nation n ON n.n_nationkey = r.nationkey
+    ORDER BY r.revenue DESC, nation_name LIMIT 5
+    """,
+)
+def q_cte_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE pipeline: fact->dim agg, second dim join, global
+    top-N. The orders->customer join shuffles on custkey; the
+    25-row nation join broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(dsum("o_totalprice", "revenue"), F.count("*").alias("n_orders"))
+    )
+    return (
+        rev.join(F.broadcast(n), n["n_nationkey"] == rev["nationkey"])
+        .select(F.col("n_name").alias("nation_name"), "revenue", "n_orders")
+        .orderBy(F.col("revenue").desc(), "nation_name")
+        .limit(5)
+    )
+
+
+@query(
+    "percentiles_acctbal",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n,
+           quantile_cont(c_acctbal, 0.25) AS p25,
+           quantile_cont(c_acctbal, 0.5) AS p50,
+           quantile_cont(c_acctbal, 0.75) AS p75,
+           quantile_cont(c_acctbal, 0.9) AS p90,
+           MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+    FROM customer GROUP BY 1
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (verified bit-identical
+    to DuckDB quantile_cont). At scale swap in approx_percentile —
+    single-pass sketch — when exactness isn't contractual."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("percentile(c_acctbal, array(0.25D, 0.5D, 0.75D, 0.9D))").alias(
+                "_p"
+            ),
+            F.min("c_acctbal").alias("lo"),
+            F.max("c_acctbal").alias("hi"),
+        )
+        .select(
+            "segment",
+            "n",
+            F.col("_p")[0].alias("p25"),
+            F.col("_p")[1].alias("p50"),
+            F.col("_p")[2].alias("p75"),
+            F.col("_p")[3].alias("p90"),
+            "lo",
+            "hi",
+        )
+    )
+
+
+@query(
+    "ntile_ranks",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS segment,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_ntile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks: ntile/percent_rank/cume_dist (exact integer
+    ratios => cross-engine identical doubles)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           measure, value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem)
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt) — the inverse of the pivot query;
+    narrow scan of exactly 5 columns feeds a 3x row expansion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    ).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        "measure",
+        "value",
+    )
+
+
+@query(
+    "hash_sample",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           o_totalprice AS totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+          % 10 = 0
+    """,
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by key hash. Unlike TABLESAMPLE this
+    is reproducible across engines/runs/partitionings and stable under
+    re-execution — the property a 100 TB pipeline needs for sampled
+    QA and holdout splits; md5, never engine-native hash."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return o.where(h % 10 == 0).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join: fact side gets a hash salt, dim side
+    explodes over all 8 salts, join keys on (orderkey, salt). The
+    manual form of AQE skew-split for when one key holds a double-digit
+    percentage of rows; results provably equal the unsalted join (the
+    oracle is the plain join). Salt uses Spark's hash — it only routes
+    rows, never reaches the result."""
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.pmod(F.hash("l_partkey", "l_suppkey", "l_linenumber"), F.lit(n_salt)).alias(
+            "salt"
+        ),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("salt"),
+    )
+    return (
+        li.join(
+            o,
+            (li["l_orderkey"] == o["o_orderkey"]) & (li["salt"] == o["salt"]),
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice", "total_price"),
+        )
+    )

@@ -1,0 +1,137 @@
+"""Edge-semantics tests for the temporal join operators.
+
+The oracle gate checks these on real data; the cases here pin the
+boundary semantics the oracle can't isolate: same-instant as-of ties,
+null right-payload carry, bucket-boundary range matches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.operators.temporal import asof_join, range_join_pairs
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, value double"
+    )
+
+
+def test_asof_same_instant_and_tiebreak(spark):
+    left = _mk(spark, [(1, _ts("2024-01-01T10:00:00"), 100, 5.0)])
+    right = _mk(
+        spark,
+        [
+            # two clicks at the same instant as the purchase: both are
+            # "at-or-before"; the greater event_id must win
+            (1, _ts("2024-01-01T10:00:00"), 7, 1.0),
+            (1, _ts("2024-01-01T10:00:00"), 9, 2.0),
+            (1, _ts("2024-01-01T09:00:00"), 8, 3.0),
+        ],
+    )
+    row = asof_join(
+        left, right, on="user_id", ts_col="ts", right_id="event_id",
+        right_vals=["value"],
+    ).collect()[0]
+    assert row.prior_event_id == 9
+    assert row.prior_value == 2.0
+
+
+def test_asof_no_prior_and_null_payload(spark):
+    left = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01T08:00:00"), 100, 5.0),  # before any right
+            (1, _ts("2024-01-01T12:00:00"), 101, 6.0),  # after null-value click
+        ],
+    )
+    right = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01T09:00:00"), 7, 1.0),
+            # latest click has a NULL value: must be carried as the
+            # match (not skipped back to event 7)
+            (1, _ts("2024-01-01T11:00:00"), 8, None),
+        ],
+    )
+    rows = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts", right_id="event_id",
+            right_vals=["value"],
+        ).collect()
+    }
+    assert rows[100].prior_event_id is None
+    assert rows[100].prior_value is None
+    assert rows[101].prior_event_id == 8
+    assert rows[101].prior_value is None
+
+
+def test_asof_is_per_key(spark):
+    left = _mk(spark, [(1, _ts("2024-01-01T10:00:00"), 100, 5.0)])
+    right = _mk(spark, [(2, _ts("2024-01-01T09:00:00"), 7, 1.0)])
+    row = asof_join(
+        left, right, on="user_id", ts_col="ts", right_id="event_id",
+        right_vals=["value"],
+    ).collect()[0]
+    assert row.prior_event_id is None  # other user's click never leaks
+
+
+def test_range_join_bucket_boundary(spark):
+    # events straddle a 3600s bucket boundary (10:59:59 -> 11:00:01):
+    # the cross-bucket probe must still find the pair
+    ev = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:59:59"), 1, 0.0),
+            (1, _ts("2024-01-01T11:00:01"), 2, 0.0),
+            (1, _ts("2024-01-01T13:00:00"), 3, 0.0),  # out of range of both
+            (2, _ts("2024-01-01T11:00:00"), 4, 0.0),  # other user
+        ],
+    )
+    pairs = {
+        (r.event_a, r.event_b): r.lag_ms
+        for r in range_join_pairs(ev, window_s=3600).collect()
+    }
+    assert pairs == {(1, 2): 2000}
+
+
+def test_range_join_window_is_half_open(spark):
+    ev = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01T10:00:00"), 1, 0.0),
+            (1, _ts("2024-01-01T11:00:00"), 2, 0.0),  # exactly +window: excluded
+            (1, _ts("2024-01-01T10:59:59.999"), 3, 0.0),  # inside
+        ],
+    )
+    pairs = sorted(
+        (r.event_a, r.event_b)
+        for r in range_join_pairs(ev, window_s=3600).collect()
+    )
+    assert pairs == [(1, 3), (3, 2)]
+
+
+def test_ivf_probes_only_nearest_lists(spark):
+    """IVF result for a query must equal brute force restricted to the
+    probed clusters — and with enough probes equals exact brute force."""
+    from concurrent_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 2)
+    full = ivf_topk(emb, queries, n_centroids=4, nprobe=4, k=5)
+    exact = brute_force_topk(emb, queries, k=5)
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id) for r in full.collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id) for r in exact.collect()
+    )
+    assert got == want  # probing every list == exact search
