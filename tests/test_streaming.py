@@ -124,3 +124,71 @@ class TestForeachBatchPipeline:
         q.awaitTermination(60)
         rows = {r["id"]: r["qty"] for r in spark.read.parquet(target).collect()}
         assert rows == {1: 10, 2: 20}  # in-batch dup collapsed by merge keys
+
+
+class TestStatefulRunningTotals:
+    def test_state_survives_across_batches_and_restart(self, spark, tmp_path):
+        """applyInPandasWithState: totals accumulate across micro-batches
+        via the checkpointed state store, including after query restart."""
+        from pyspark.sql.types import TimestampType
+
+        from concurrent_etl_spark.streaming.stateful import user_running_totals
+
+        schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("ts", TimestampType()),
+                StructField("value", DoubleType()),
+            ]
+        )
+        src = tmp_path / "events"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "totals")
+
+        def run_once():
+            # memory sink can't recover from a checkpoint; foreachBatch ->
+            # parquet append is the restartable update-mode sink
+            q = (
+                user_running_totals(
+                    spark.readStream.format("csv")
+                    .schema(schema)
+                    .option("header", "true")
+                    .load(str(src))
+                )
+                .writeStream.foreachBatch(
+                    lambda batch, _id: batch.write.mode("append").parquet(sink)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+            latest = spark.sql(
+                "SELECT * FROM (SELECT *, row_number() OVER "
+                "(PARTITION BY user_id ORDER BY n_events DESC) AS rn "
+                f"FROM parquet.`{sink}`) WHERE rn = 1"
+            )
+            return {
+                r.user_id: (r.n_events, r.total_value) for r in latest.collect()
+            }
+
+        _write_csv(
+            src / "b1.csv",
+            ["1,2024-01-01T10:00:00,1.5", "1,2024-01-01T11:00:00,2.0",
+             "2,2024-01-01T10:30:00,4.0"],
+            header="user_id,ts,value",
+        )
+        first = run_once()
+        assert first == {1: (2, 3.5), 2: (1, 4.0)}
+
+        # new file after a 'restart': state must carry, not recount
+        _write_csv(
+            src / "b2.csv",
+            ["1,2024-01-02T09:00:00,10.0", "3,2024-01-02T09:30:00,7.0"],
+            header="user_id,ts,value",
+        )
+        second = run_once()
+        assert second[1] == (3, 13.5)  # 2 prior events + 1 new
+        assert second[3] == (1, 7.0)
