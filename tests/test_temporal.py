@@ -135,3 +135,46 @@ def test_ivf_probes_only_nearest_lists(spark):
         (r.query_id, r.rank, r.neighbor_id) for r in exact.collect()
     )
     assert got == want  # probing every list == exact search
+
+
+class TestTemporalPlanShape:
+    """The scale claims are plan properties — assert them."""
+
+    def test_range_join_never_nested_loop(self, spark, tables):
+        from concurrent_etl_spark.plans.explain import plan_string
+
+        plan = plan_string(
+            range_join_pairs(tables["events"], window_s=3600), mode="simple"
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_asof_join_single_key_shuffle(self, spark, tables):
+        from concurrent_etl_spark.plans.explain import plan_string
+
+        ev = tables["events"]
+        df = asof_join(
+            ev.where(F.col("event_type") == "purchase").select(
+                "user_id", "ts", "event_id", "value"
+            ),
+            ev.where(F.col("event_type") == "click").select(
+                "user_id", "ts", "event_id", "value"
+            ),
+            on="user_id", ts_col="ts", right_id="event_id",
+            right_vals=["ts", "value"],
+        )
+        plan = plan_string(df, mode="simple")
+        # one hash shuffle for the window, no join operator at all
+        assert "Join" not in plan, plan
+        assert plan.count("hashpartitioning(user_id") == 1, plan
+
+    def test_ivf_broadcasts_centroids(self, spark, tables):
+        from concurrent_etl_spark.operators.similarity import ivf_topk
+        from concurrent_etl_spark.plans.explain import plan_string
+
+        emb = tables["embeddings"]
+        plan = plan_string(
+            ivf_topk(emb, emb.where(F.col("vec_id") < 2)), mode="simple"
+        )
+        # centroid cross joins must be broadcast, never a shuffled cartesian
+        assert "CartesianProduct" not in plan, plan
