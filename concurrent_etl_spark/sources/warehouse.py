@@ -1,0 +1,65 @@
+"""Physical table layout: bucketing and partitioning for shuffle-free
+joins and partition pruning.
+
+The reference re-reads and re-joins its master tables per 1000-row
+chunk over JDBC (``case_2/Normal.py:58,232-236``) — layout is the
+database's problem. In a 100 TB lake the layout IS the optimization:
+
+  * bucketing (hash-cluster by join key at write time) makes every
+    later join/aggregation on that key shuffle-free — the cost is paid
+    once at ingest instead of on every query;
+  * partitioning (directory per key value) turns selective filters
+    into directory pruning — the scan never opens non-matching files.
+
+Both compose with AQE; neither needs Hive (the session catalog tracks
+bucket metadata for the lifetime of the SparkSession, a metastore
+makes it durable on a real deployment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    keys: list[str],
+    n_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write df as a bucketed (optionally sorted) external parquet table.
+
+    Matching bucket counts on both sides of a join remove both
+    Exchanges; matching sortBy additionally removes the Sorts under a
+    sort-merge join. Choose n_buckets so one bucket of the largest
+    table fits an executor core's working set (128-512 MB parquet).
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *keys)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Write df partitioned by directory (hive-style key=value layout).
+
+    Filters on partition_cols become partition pruning: the file index
+    drops directories before any parquet footer is read. Keep
+    cardinality modest (dates, regions — not high-cardinality ids,
+    which belong in bucketing)."""
+    df.write.format("parquet").mode("overwrite").partitionBy(
+        *partition_cols
+    ).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,89 @@
+"""Layout-optimization tests: bucketed co-located joins (no shuffle)
+and partition pruning (no non-matching files scanned)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.plans.explain import plan_string
+from concurrent_etl_spark.sources.warehouse import (
+    write_bucketed,
+    write_partitioned,
+)
+
+
+class TestBucketedJoin:
+    def test_colocated_join_has_no_exchange(self, spark, tables, tmp_path):
+        """Both sides bucketed+sorted on the join key => sort-merge join
+        with zero Exchange operators (the 100 TB co-location story)."""
+        write_bucketed(
+            tables["lineitem"].select("l_orderkey", "l_extendedprice"),
+            "li_bkt",
+            str(tmp_path / "li"),
+            keys=["l_orderkey"],
+            n_buckets=4,
+            sort_cols=["l_orderkey"],
+        )
+        write_bucketed(
+            tables["orders"].select("o_orderkey", "o_orderpriority"),
+            "ord_bkt",
+            str(tmp_path / "ord"),
+            keys=["o_orderkey"],
+            n_buckets=4,
+            sort_cols=["o_orderkey"],
+        )
+        li = spark.table("li_bkt")
+        o = spark.table("ord_bkt")
+        # force the non-broadcast path so the assertion is about buckets
+        joined = li.hint("merge").join(
+            o, li["l_orderkey"] == o["o_orderkey"]
+        )
+        plan = plan_string(joined, mode="simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # neither side shuffles
+
+        # and the result matches the plain (shuffled) join
+        expected = (
+            tables["lineitem"]
+            .join(
+                tables["orders"],
+                tables["lineitem"]["l_orderkey"] == tables["orders"]["o_orderkey"],
+            )
+            .count()
+        )
+        assert joined.count() == expected
+
+    def test_bucketed_groupby_has_no_exchange(self, spark, tables, tmp_path):
+        """Aggregation on the bucket key reuses the clustering too."""
+        write_bucketed(
+            tables["lineitem"].select("l_orderkey", "l_quantity"),
+            "li_bkt2",
+            str(tmp_path / "li2"),
+            keys=["l_orderkey"],
+            n_buckets=4,
+        )
+        agg = (
+            spark.table("li_bkt2")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = plan_string(agg, mode="simple")
+        assert "Exchange" not in plan, plan
+
+
+class TestPartitionPruning:
+    def test_filter_prunes_partitions(self, spark, tables, tmp_path):
+        path = str(tmp_path / "orders_by_status")
+        write_partitioned(
+            tables["orders"], path, partition_cols=["o_orderstatus"]
+        )
+        df = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+        plan = plan_string(df, mode="formatted")
+        # the partition filter reaches the file index, not a post-scan Filter
+        assert "PartitionFilters" in plan
+        assert "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+        # correctness: same rows as filtering the unpartitioned table
+        expected = (
+            tables["orders"].where(F.col("o_orderstatus") == "F").count()
+        )
+        assert df.count() == expected
