@@ -404,6 +404,66 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.text_stats(_docs(spark, sf_dir))
 
 
+def _pii_oracle() -> str:
+    email, ip, phone = (p[1] for p in T.PII_PATTERNS)
+    return f"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 10.0.'
+                       || CAST(doc_id % 200 AS VARCHAR)
+                       || '.7 or +1 555-123-4567.'
+                  ELSE text END AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{email}', '[EMAIL]', 'g'),
+             '{ip}', '[IP]', 'g'),
+             '{phone}', '[PHONE]', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{email}')) AS INTEGER)
+             AS n_email,
+           CAST(len(regexp_extract_all(text, '{ip}')) AS INTEGER) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{phone}')) AS INTEGER)
+             AS n_phone
+    FROM injected
+    """
+
+
+@query("pii_redaction", oracle=_pii_oracle())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / phones -> typed placeholders) with
+    per-class match counts — a standard pre-training scrub pass. The
+    corpus has no natural PII, so deterministic contact strings are
+    injected into every 7th doc; the oracle reproduces the injection.
+    One linear JVM-side regex pass per class, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 10.0."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".7 or +1 555-123-4567."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counts = T.pii_counts("text")
+    return injected.select(
+        "doc_id",
+        T.redact_pii("text").alias("clean_text"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -112,3 +112,30 @@ class TestFlagshipPlan:
         df = flagship_confirmation(tables)
         assert_broadcast_joins(df, 4)
         assert df.count() > 0
+
+
+class TestAuditObserve:
+    def test_metrics_collected_on_write_pass(self, spark, tables, tmp_path):
+        from concurrent_etl_spark.operators.audit import audited, expect_rows
+
+        df, obs = audited(
+            tables["orders"], count_col="o_custkey", sum_col="o_totalprice"
+        )
+        df.write.format("noop").mode("overwrite").save()
+        m = obs.get
+        n = tables["orders"].count()
+        assert m["rows"] == n
+        assert m["nonnull_o_custkey"] == n
+        assert m["sum_o_totalprice"] > 0
+        expect_rows(obs, at_least=1)  # must not raise
+
+    def test_expect_rows_raises_on_empty(self, spark, tables):
+        import pytest as _pytest
+
+        from concurrent_etl_spark.operators.audit import audited, expect_rows
+
+        from pyspark.sql import functions as F
+        df, obs = audited(tables["orders"].where(F.lit(False)))
+        df.write.format("noop").mode("overwrite").save()
+        with _pytest.raises(AssertionError, match="audit"):
+            expect_rows(obs, at_least=1)
