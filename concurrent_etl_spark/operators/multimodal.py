@@ -104,3 +104,87 @@ def _feature_batches(
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over (doc_id, payload, modality)."""
     return media.mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+#: output schema of the frame sampler (one row per sampled frame)
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_frame_units", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+FRAME_UNITS = 256  #: stand-in fixed frame stride (decoded units)
+
+
+def frame_sample(
+    media: DataFrame, every_k: int = 4, frame_units: int = FRAME_UNITS
+) -> DataFrame:
+    """Sample every k-th fixed-stride 'frame' from video payloads.
+
+    The row-expanding multimodal shape (1 video -> N frames) as a
+    mapInPandas stage: each Arrow batch of payloads is DECODED (the
+    stub codec is utf-8), sliced into fixed-length unit strides, and
+    every k-th stride becomes a row. A real codec would seek
+    keyframes; the stride/sampling/hash plumbing is identical and the
+    DuckDB oracle verifies it exactly (frames on decoded units, not
+    raw bytes, because the oracle must reproduce the slicing on any
+    corpus, unicode included).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_frame_units": [],
+                "frame_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = bytes(payload).decode("utf-8")  # the stub 'decode'
+                for f in range(0, (len(s) + frame_units - 1) // frame_units, every_k):
+                    fr = s[f * frame_units : (f + 1) * frame_units]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["n_frame_units"].append(len(fr))
+                    out["frame_md5"].append(
+                        hashlib.md5(fr.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.where(F.col("modality") == "video").mapInPandas(gen, FRAME_SCHEMA)
+
+
+def resize_payload(
+    media: DataFrame, target_bytes: int = 256
+) -> DataFrame:
+    """'Resize' image payloads to a fixed byte budget (truncate stub).
+
+    Keeps the resize stage's plumbing honest — binary in, binary out,
+    metadata updated — while a real implementation would decode,
+    rescale, re-encode behind the same signature (see decode_image).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            clipped = pdf["payload"].map(
+                lambda b: bytes(b)[:target_bytes]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": clipped,
+                    "n_bytes": clipped.map(len).astype("int64"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+    return media.where(F.col("modality") == "image").mapInPandas(gen, schema)

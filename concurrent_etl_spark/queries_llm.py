@@ -469,6 +469,33 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+    idx AS (SELECT unnest(range(0, 4096)) AS f),
+    frames AS (
+      SELECT m.doc_id, i.f AS frame_idx,
+             substring(m.text, i.f * 256 + 1, 256) AS fr
+      FROM media m JOIN idx i
+        ON i.f * 256 < length(m.text) AND i.f % 4 = 0)
+    SELECT doc_id, frame_idx,
+           CAST(length(fr) AS BIGINT) AS n_frame_units,
+           md5(fr) AS frame_md5
+    FROM frames
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 4th 256-byte stride of each video
+    payload becomes a row (the 1->N multimodal expansion), hashed
+    per-frame. Exercises row-expanding mapInPandas over binary with a
+    byte-exact oracle."""
+    return M.frame_sample(
+        M.synthesize_payloads(_docs(spark, sf_dir)), every_k=4
+    )
+
+
+@query(
     "multimodal_features",
     oracle="""
     SELECT doc_id,

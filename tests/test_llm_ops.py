@@ -144,3 +144,61 @@ class TestMultimodal:
             M.decode_image(b"\x89PNG")
         with pytest.raises(NotImplementedError):
             M.decode_audio(b"RIFF")
+
+
+class TestMultimodalFrames:
+    def test_frame_sample_short_and_stride(self, spark):
+        """Docs shorter than one frame yield exactly one frame; longer
+        docs sample frames 0, k, 2k, ... with the tail truncated."""
+        import pandas as pd
+
+        from concurrent_etl_spark.operators.multimodal import (
+            frame_sample,
+            synthesize_payloads,
+        )
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    # doc_id % 3 == 2 => modality 'video'
+                    "doc_id": [2, 5],
+                    "text": ["short", "x" * 1300],
+                }
+            )
+        )
+        rows = frame_sample(
+            synthesize_payloads(docs), every_k=4, frame_units=256
+        ).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert [(r.frame_idx, r.n_frame_units) for r in by_doc[2]] == [(0, 5)]
+        # 1300 chars -> frames 0..5 (6 strides), sampled {0, 4}
+        assert sorted((r.frame_idx, r.n_frame_units) for r in by_doc[5]) == [
+            (0, 256),
+            (4, 256),
+        ]
+
+    def test_resize_truncates_images_only(self, spark):
+        import pandas as pd
+
+        from concurrent_etl_spark.operators.multimodal import (
+            resize_payload,
+            synthesize_payloads,
+        )
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 3, 2],  # 0,3 -> image; 2 -> video
+                    "text": ["a" * 500, "b" * 100, "c" * 500],
+                }
+            )
+        )
+        rows = {
+            r.doc_id: r.n_bytes
+            for r in resize_payload(
+                synthesize_payloads(docs), target_bytes=256
+            ).collect()
+        }
+        assert rows == {0: 256, 3: 100}  # video excluded, long clipped
