@@ -157,34 +157,48 @@ def frame_sample(
     return media.where(F.col("modality") == "video").mapInPandas(gen, FRAME_SCHEMA)
 
 
-def resize_payload(
-    media: DataFrame, target_bytes: int = 256
-) -> DataFrame:
-    """'Resize' image payloads to a fixed byte budget (truncate stub).
+#: output schema of the resize stage (binary out + audit metadata)
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_units", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_md5", StringType()),
+    ]
+)
 
-    Keeps the resize stage's plumbing honest — binary in, binary out,
-    metadata updated — while a real implementation would decode,
-    rescale, re-encode behind the same signature (see decode_image).
+
+def resize_payload(media: DataFrame, target_units: int = 256) -> DataFrame:
+    """'Resize' image payloads to a fixed decoded-unit budget.
+
+    Decode -> clip -> re-encode, as a real resize would (decode,
+    rescale, re-encode behind the same signature — see decode_image).
+    The stub codec is utf-8 and a 'unit' is a decoded character, so
+    the DuckDB oracle can reproduce the clip exactly on any corpus
+    (byte-level clipping would split multibyte sequences, which no
+    real re-encoder emits and no SQL oracle can hash).
+
+    Binary in, binary out, metadata updated — downstream stages keep
+    consuming (doc_id, payload) unchanged.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             clipped = pdf["payload"].map(
-                lambda b: bytes(b)[:target_bytes]
+                lambda b: bytes(b).decode("utf-8")[:target_units]
             )
+            out = clipped.map(lambda s: s.encode("utf-8"))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": clipped,
-                    "n_bytes": clipped.map(len).astype("int64"),
+                    "payload": out,
+                    "n_units": clipped.map(len).astype("int64"),
+                    "n_bytes": out.map(len).astype("int64"),
+                    "payload_md5": out.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
                 }
             )
 
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("payload", BinaryType()),
-            StructField("n_bytes", LongType()),
-        ]
-    )
-    return media.where(F.col("modality") == "image").mapInPandas(gen, schema)
+    return media.where(F.col("modality") == "image").mapInPandas(gen, RESIZE_SCHEMA)

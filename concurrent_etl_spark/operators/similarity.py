@@ -222,6 +222,52 @@ def ivf_topk(
     )
 
 
+FIXED_POINT_SCALE = 1 << 20  #: 2^20 — power of two => x*SCALE is exact
+
+
+def bucket_centroids(
+    embeddings: DataFrame,
+    n_buckets: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-bucket dimension-wise mean vector (the k-means/IVF update step).
+
+    Returns one row per (bucket, dim): (bucket, dim, n_vectors,
+    centroid_val). Long format — at 100 TB the re-assembled
+    array<double> row is a driver-side nicety; the aggregation itself
+    is the scale-bearing part (shuffle keys on (bucket, dim), fully
+    map-side combinable).
+
+    Determinism across engines AND partitionings: doubles are
+    quantized to 2^-20 fixed point BEFORE summing — x * 2^20 is an
+    exact IEEE operation (power-of-two scale), floor is exact, and
+    bigint addition is associative/commutative, so any shuffle order
+    and any SQL engine produce the identical centroid. (Naive double
+    summation would differ run-to-run under AQE partition coalescing.)
+
+    Bucket here is id % n_buckets (a deterministic stand-in for the
+    previous iteration's nearest-centroid assignment, which is an
+    ivf_topk-style broadcast join — the aggregation below is identical
+    either way).
+    """
+    e = embeddings.select(
+        (F.col(id_col) % n_buckets).alias("bucket"),
+        F.posexplode(_as_double(vec_col)).alias("dim", "x"),
+    ).select(
+        "bucket",
+        "dim",
+        F.floor(F.col("x") * FIXED_POINT_SCALE).cast("bigint").alias("q"),
+    )
+    return e.groupBy("bucket", "dim").agg(
+        F.count("*").alias("n_vectors"),
+        (
+            F.sum("q").cast("double")
+            / (F.count("*") * F.lit(float(FIXED_POINT_SCALE)))
+        ).alias("centroid_val"),
+    )
+
+
 def oracle_hyperplane_sql_array(plane: list[float]) -> str:
     """Render one hyperplane as a DuckDB DOUBLE[] literal."""
     return "[" + ", ".join(repr(v) for v in plane) + "]::DOUBLE[]"

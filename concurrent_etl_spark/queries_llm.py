@@ -303,6 +303,27 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_neardup_pairs(corpus, threshold=0.99)
 
 
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id % 8 AS bucket,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(unnest(embedding::DOUBLE[]) * 1048576.0) AS BIGINT) AS q
+      FROM embeddings)
+    SELECT bucket, dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(q) AS BIGINT) / (COUNT(*) * 1048576.0) AS centroid_val
+    FROM e GROUP BY bucket, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket dimension-wise mean embedding (k-means update step),
+    partition-order-independent via 2^-20 fixed-point accumulation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.bucket_centroids(emb, n_buckets=8)
+
+
 _IVF_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -342,6 +363,32 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         emb, emb.where(F.col("vec_id") < 3), n_centroids=8, nprobe=2, k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# cardinality sketches
+# ---------------------------------------------------------------------------
+
+from concurrent_etl_spark.operators import sketch as K  # noqa: E402
+
+
+@query(
+    "kmv_distinct_sketch",
+    oracle=K.kmv_oracle_sql(
+        "orders", "o_custkey", group_expr="o_orderpriority"
+    ),
+)
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch: estimated distinct customers per
+    order priority from the k=256 smallest md5 hashes. Deterministic
+    across engines (unlike HLL), so the sketch VALUE is oracle-checked,
+    not just its error bound; WindowGroupLimit keeps state at k rows
+    per group map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        K.kmv_distinct(orders, "o_custkey", group_cols=["o_orderpriority"])
+        .withColumnRenamed("o_orderpriority", "grp")
     )
 
 
@@ -493,6 +540,27 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample(
         M.synthesize_payloads(_docs(spark, sf_dir)), every_k=4
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(substring(text, 1, 256)) AS BIGINT) AS n_units,
+           CAST(octet_length(encode(substring(text, 1, 256))) AS BIGINT)
+             AS n_bytes,
+           md5(substring(text, 1, 256)) AS payload_md5
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image 'resize' stage: decode -> clip to 256 units -> re-encode
+    inside mapInPandas; the oracle reproduces the decoded-unit clip.
+    Payload binary is dropped from the checked projection (the md5
+    column pins its exact bytes)."""
+    return M.resize_payload(
+        M.synthesize_payloads(_docs(spark, sf_dir)), target_units=256
+    ).select("doc_id", "n_units", "n_bytes", "payload_md5")
 
 
 @query(

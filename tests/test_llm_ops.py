@@ -191,14 +191,17 @@ class TestMultimodalFrames:
             pd.DataFrame(
                 {
                     "doc_id": [0, 3, 2],  # 0,3 -> image; 2 -> video
-                    "text": ["a" * 500, "b" * 100, "c" * 500],
+                    # doc 3: é is 1 unit but 2 utf-8 bytes
+                    "text": ["a" * 500, "é" * 100, "c" * 500],
                 }
             )
         )
         rows = {
-            r.doc_id: r.n_bytes
+            r.doc_id: (r.n_units, r.n_bytes)
             for r in resize_payload(
-                synthesize_payloads(docs), target_bytes=256
+                synthesize_payloads(docs), target_units=256
             ).collect()
         }
-        assert rows == {0: 256, 3: 100}  # video excluded, long clipped
+        # video excluded; long doc clipped to 256 units; multibyte doc
+        # keeps all 100 units = 200 bytes (units are decoded chars)
+        assert rows == {0: (256, 256), 3: (100, 200)}
