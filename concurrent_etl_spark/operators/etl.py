@@ -12,9 +12,13 @@ canonical testdata star schema:
     (case_2/Normal.py:163-273): staging casts, then the 4-dim
     left-join chain attaching surrogate keys, then the final load
     projection. Re-shaped: lineitem is the fact feed; orders ->
-    customer -> nation -> region is the dimension chain (all
-    broadcast — at 100 TB the lineitem scan never shuffles for
-    these joins).
+    customer -> nation -> region is the dimension chain. Only the
+    bounded dims (nation, region) carry broadcast hints; orders and
+    customer GROW with the fact, so their joins are declared
+    hint-free — AQE converts them to broadcast at small SF and keeps
+    them as shuffle joins (bucketable, see sources/warehouse.py) at
+    100 TB, where broadcasting a fact-scaled table would OOM every
+    executor.
 """
 
 from __future__ import annotations
@@ -155,8 +159,13 @@ def flagship_confirmation(tables: dict[str, DataFrame]) -> DataFrame:
     load list. Mirrors the 4x dim join of case_2/Normal.py:232-236
     and the final projection :266-273.
 
-    Plan shape to verify via .explain(): 4 BroadcastHashJoins over a
-    single lineitem scan, no Exchange on the fact side.
+    Join-strategy contract (asserted in TestFlagshipPlan):
+      * nation/region: broadcast hints — O(100) rows at any SF.
+      * orders/customer: NO hint. They scale with the fact (1/4 and
+        1/40 of lineitem rows), so the declared plan is a shuffle
+        join; AQE's runtime size check converts both to broadcast at
+        test SFs, while a 100 TB run keeps the shuffle (or avoids it
+        entirely with bucketed layouts, sources/warehouse.py).
     """
     li = tables["lineitem"]
     orders = tables["orders"]
@@ -176,8 +185,8 @@ def flagship_confirmation(tables: dict[str, DataFrame]) -> DataFrame:
 
     # explicit key equalities (no shared column names across dims)
     joined = (
-        fact.join(F.broadcast(orders), fact["l_orderkey"] == orders["o_orderkey"], "left")
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "left")
+        fact.join(orders, fact["l_orderkey"] == orders["o_orderkey"], "left")
+        .join(customer, orders["o_custkey"] == customer["c_custkey"], "left")
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "left")
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "left")
     )
