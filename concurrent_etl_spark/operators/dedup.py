@@ -251,6 +251,101 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster formation (connected components)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph.
+
+    Returns (node, component) where ``component`` is the minimum node
+    id reachable from ``node`` — the deterministic cluster label a
+    dedup pipeline keeps as the survivor. Candidate pairs from LSH are
+    only *pairwise* relations; forming the actual duplicate groups
+    (A~B, B~C => {A,B,C}) requires transitive closure, which the
+    reference never needed (its dedup was single-key
+    ``drop_duplicates``, case_2/Normal.py:70).
+
+    Algorithm: iterative hash-min label propagation — every node
+    starts labeled with itself; each round takes the min of its own
+    and its neighbors' labels; stop at fixpoint (bounded by
+    ``max_iter``). Rounds needed = graph diameter, which for dup
+    clusters is tiny (near-clique components). For adversarial
+    chain-shaped graphs at 100 TB the same loop body upgrades to
+    large-star/small-star (O(log n) rounds); the per-round plan —
+    one shuffle join edges x labels + one keyed min-agg, both
+    map-side combinable — is unchanged.
+
+    Scale notes: ``localCheckpoint`` truncates the lineage each round
+    (iterative plans otherwise grow unboundedly and re-execute from
+    the source); the convergence probe is ``limit(1).count()`` on the
+    changed-set, not a full count.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["node"] == nb_min["s"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nb_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every doc in a near-dup
+    cluster, where cluster_id = min doc_id of the component and edges
+    are the MinHash-LSH candidate pairs.
+
+    This is the stage after candidate generation in a real training-
+    data dedup pipeline: pairs -> components -> keep min-id per
+    cluster, drop the rest.
+    """
+    pairs = minhash_lsh_pairs(docs, text_col).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -205,3 +205,33 @@ class TestMultimodalFrames:
         # video excluded; long doc clipped to 256 units; multibyte doc
         # keeps all 100 units = 200 bytes (units are decoded chars)
         assert rows == {0: (256, 256), 3: (100, 200)}
+
+
+class TestConnectedComponents:
+    def test_chain_and_disjoint_pair(self, spark):
+        """A 4-node chain (diameter 3 => multiple propagation rounds)
+        plus a disjoint pair resolve to two min-labeled components."""
+        from concurrent_etl_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+        )
+        out = {
+            r.node: r.component for r in connected_components(edges).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_cluster_sizes(self, spark):
+        from concurrent_etl_spark.operators.dedup import dup_clusters
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog again"),
+                (2, "the quick brown fox jumps over the lazy dog again"),
+                (3, "completely different text about spark and parquet files"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r.doc_id: (r.cluster_id, r.cluster_size) for r in dup_clusters(docs).collect()}
+        # identical docs cluster under the min id; the unrelated doc is absent
+        assert rows == {1: (1, 2), 2: (1, 2)}
