@@ -169,6 +169,38 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_NEAR},
+    {_LSH_PAIRS},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs),
+    reach (n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m),
+    comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM comp c
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY cluster_id) s USING (cluster_id)
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: LSH pairs -> connected components.
+
+    Spark side is iterative hash-min label propagation
+    (operators/dedup.connected_components); the oracle computes the
+    same components via a recursive-CTE transitive closure — feasible
+    for DuckDB at oracle scale, not at 100 TB, which is exactly why
+    the engine ships the iterative distributed form.
+    """
+    return D.dup_clusters(D.with_injected_near_dups(_docs(spark, sf_dir)))
+
+
+@query(
     "dedup_simhash",
     oracle=f"""
     WITH {_CORPUS_NEAR},
@@ -586,3 +618,35 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/multimodal.py).
     """
     return M.extract_features(M.synthesize_payloads(_docs(spark, sf_dir)))
+
+
+@query(
+    "heavy_hitters_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_tok('lower(text)')}) AS token FROM documents)
+    SELECT token, COUNT(*) AS n
+    FROM tok GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 most frequent tokens (heavy hitters).
+
+    The vocabulary/stopword profiling pass of a training-data
+    pipeline. Plan shape: explode -> hash-agg with map-side partial
+    aggregation (token counts combine before the shuffle), then
+    TakeOrderedAndProject — each partition keeps only its local
+    top-20, so the driver merges k*partitions rows, never the
+    vocabulary. Tiebreak on token ascending makes top-k deterministic
+    across engines and partitionings.
+    """
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )

@@ -287,3 +287,71 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "total_price"),
         )
     )
+
+
+@query(
+    "regional_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join + aggregation — the multi-join shape
+    the reference's star pipeline grows into at warehouse scale.
+
+    Scale/plan contract (see tests/test_operators.py):
+      * No broadcast hints on lineitem/orders/customer — all three
+        scale with data volume; Catalyst orders the joins and AQE
+        picks broadcast only where runtime sizes allow.
+      * The region filter reaches the region scan (pushdown) and
+        prunes nations before they touch the fact; the date filter is
+        pushed into the orders scan (PushedFilters in the plan).
+      * supplier joins on BOTH l_suppkey and the customer nation —
+        Catalyst resolves the conjunctive equi-join without a theta
+        fallback.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.withColumn(
+            "revenue_item",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            dsum("revenue_item", "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
