@@ -9,6 +9,7 @@ the same operators through an actual readStream with checkpoints.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.engine import load_table
@@ -78,3 +79,39 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (10 min gap) per user; oracle = gaps-and-islands."""
     return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_attribution_join",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+    SELECT v.user_id, v.view_ts, c.click_ts, v.view_id, c.click_id
+    FROM v JOIN c ON v.user_id = c.user_id
+               AND c.click_ts > v.view_ts
+               AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (click to the views it follows within 1h) — the
+    batch form of the watermarked stream-stream attribution join; the
+    streaming path with bounded two-sided state is e2e-tested in
+    tests/test_streaming.py."""
+    from concurrent_etl_spark.streaming.windows import (
+        stream_stream_attribution_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return stream_stream_attribution_join(views, clicks)

@@ -64,6 +64,66 @@ def sliding_window_agg(
     )
 
 
+def stream_stream_attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    key: str = "user_id",
+    view_ts: str = "view_ts",
+    click_ts: str = "click_ts",
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: click -> preceding view.
+
+    The attribution shape (impression joined to the click that follows
+    it within the window). Both sides are watermarked so each side's
+    buffered state is bounded: a view can be dropped once the click
+    watermark passes view_ts + attribution_window, and symmetric for
+    clicks — without both watermarks + the time bound, stream-stream
+    join state grows without limit. Works identically on batch frames
+    (no watermark applied) for oracle checking.
+
+    State at 100 TB-scale streaming: partitioned by join key, size
+    ~ events inside (watermark + attribution window) per key — a
+    function of rates, not of stream length.
+    """
+    v = views.withWatermark(view_ts, watermark) if views.isStreaming else views
+    c = clicks.withWatermark(click_ts, watermark) if clicks.isStreaming else clicks
+    cond = (
+        (v[key] == c[key])
+        & (c[click_ts] > v[view_ts])
+        & (c[click_ts] <= F.expr(f"{view_ts} + INTERVAL {attribution_window}"))
+    )
+    return v.join(c, cond, "inner").select(
+        v[key].alias("user_id"),
+        v[view_ts].alias("view_ts"),
+        c[click_ts].alias("click_ts"),
+        v["view_id"].alias("view_id"),
+        c["click_id"].alias("click_id"),
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """At-least-once -> effectively-once: drop key-duplicates whose
+    event times fall within the watermark of the first occurrence.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes (bounded), unlike streaming
+    ``dropDuplicates`` whose key set grows forever — the difference
+    between a restartable 100 TB ingest and an OOM. On batch frames
+    falls back to plain dropDuplicates for oracle comparison.
+    """
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def session_window_agg(
     events: DataFrame,
     gap: str = "10 minutes",

@@ -192,3 +192,89 @@ class TestStatefulRunningTotals:
         second = run_once()
         assert second[1] == (3, 13.5)  # 2 prior events + 1 new
         assert second[3] == (1, 7.0)
+
+
+class TestStreamStreamJoin:
+    def test_attribution_join_matches_batch(self, spark, tmp_path):
+        """Watermarked stream-stream interval join == its batch analog."""
+        import datetime as dt
+
+        from concurrent_etl_spark.streaming.windows import (
+            stream_stream_attribution_join,
+        )
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+        def ts(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        views = [(1, 100, ts(0)), (1, 101, ts(90)), (2, 102, ts(0))]
+        # u1 clicks at +30 (matches view 100 only: 90 < 30 is false for
+        # view 101), u2 clicks at +70 (outside 1h window of view 102)
+        clicks = [(1, 900, ts(30)), (2, 901, ts(70))]
+        vdf = spark.createDataFrame(views, ["user_id", "view_id", "view_ts"])
+        cdf = spark.createDataFrame(clicks, ["user_id", "click_id", "click_ts"])
+        vpath, cpath = str(tmp_path / "views"), str(tmp_path / "clicks")
+        vdf.write.parquet(vpath)
+        cdf.write.parquet(cpath)
+
+        sv = spark.readStream.schema(vdf.schema).parquet(vpath)
+        sc = spark.readStream.schema(cdf.schema).parquet(cpath)
+        out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            stream_stream_attribution_join(sv, sc)
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r.user_id, r.view_id, r.click_id)
+            for r in spark.read.parquet(out_path).collect()
+        }
+        batch = {
+            (r.user_id, r.view_id, r.click_id)
+            for r in stream_stream_attribution_join(vdf, cdf).collect()
+        }
+        assert got == batch == {(1, 100, 900)}
+
+
+class TestDedupWithinWatermark:
+    def test_cross_file_duplicates_dropped(self, spark, tmp_path):
+        import datetime as dt
+
+        from concurrent_etl_spark.streaming.windows import dedup_within_watermark
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        schema = "event_id long, ts timestamp"
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, t0), (2, t0 + dt.timedelta(minutes=1))], schema
+        ).write.parquet(str(src / "a"))
+        # duplicate event_id=1 arrives in a different file, 5 min later
+        spark.createDataFrame(
+            [(1, t0 + dt.timedelta(minutes=5)), (3, t0 + dt.timedelta(minutes=6))],
+            schema,
+        ).write.parquet(str(src / "b"))
+
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            dedup_within_watermark(stream, ["event_id"], "ts", "2 hours")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ids = sorted(
+            r.event_id for r in spark.read.parquet(out_path).collect()
+        )
+        assert ids == [1, 2, 3]
