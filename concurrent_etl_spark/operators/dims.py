@@ -63,3 +63,46 @@ def upsert_dimension(
         *[F.col(c) for c in extra_cols],
     )
     return dim.select(id_col, key, *extra_cols).unionByName(new_rows)
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change feed.
+
+    Collapses consecutive rows with an unchanged attribute and emits
+    one version row per change: (key, attr, valid_from, valid_to,
+    is_current), half-open intervals, ``valid_to`` null on the current
+    version. The reference's dimensions are type-1 (overwrite-only,
+    case_2/Normal.py:54-80); type-2 is what a warehouse needs for
+    point-in-time joins.
+
+    Plan shape: ONE shuffle on ``key``; both window passes (lag for
+    change detection, lead for interval close) share the same
+    partitioning+ordering so Spark reuses a single sort. Determinism
+    under ts ties comes from the explicit ``tiebreak`` column in the
+    window order.
+
+    Scale: state per key = its version chain, bounded by change rate;
+    partitioning by key spreads chains uniformly. Incremental refresh
+    at 100 TB = run this over (current-version rows UNION new feed)
+    per partition-pruned date slice.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    changes = (
+        df.withColumn("_prev", F.lag(attr).over(w))
+        .where(F.col("_prev").isNull() | (F.col(attr) != F.col("_prev")))
+        .select(key, attr, F.col(ts_col).alias("valid_from"), tiebreak)
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from", tiebreak)
+    return changes.select(
+        key,
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -714,3 +714,39 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
         "event_type",
     )
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered WHERE prev_type IS NULL OR event_type <> prev_type)
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+           (LEAD(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event_type state (§2.6
+    extension): consecutive unchanged states collapse, each change
+    opens a version row with half-open validity. One shuffle on
+    user_id; lag + lead share a single sort."""
+    from concurrent_etl_spark.operators.dims import scd2_history
+
+    return scd2_history(
+        load_table(spark, sf_dir, "events"),
+        key="user_id",
+        ts_col="ts",
+        attr="event_type",
+        tiebreak="event_id",
+    )

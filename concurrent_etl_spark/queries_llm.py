@@ -650,3 +650,59 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_tok('lower(text)')}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, d.doc_freq,
+             round(t.tf * ln(n.n_docs / d.doc_freq), 9) AS score
+      FROM tf t JOIN dfq d USING (token) CROSS JOIN n)
+    SELECT doc_id, token, tf, doc_freq, score FROM (
+      SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rk
+      FROM scored) WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword-extraction pass.
+
+    Two keyed aggregations (term counts, then document frequency —
+    both map-side combinable) + a broadcast of the one-row corpus
+    count + a per-doc window top-k. The doc-frequency side is
+    vocabulary-sized, far smaller than the (doc, term) side, and joins
+    back on the uniform token key. Scores are rounded to 9 decimals
+    BEFORE ranking so the ordering never depends on sub-ulp float
+    differences between engines.
+    """
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 9),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "doc_freq", "score")
+    )

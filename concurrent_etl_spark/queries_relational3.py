@@ -355,3 +355,37 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+           CAST(floor(l_extendedprice / 5000.0) AS BIGINT) * 5000.0
+             AS bucket_lo,
+           COUNT(*) AS n,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of extended price — the distribution-
+    profiling pass run before choosing partition/bucket boundaries.
+    One map-side-combinable aggregation: the shuffle carries one row
+    per (partition x bucket), never the fact rows. Fixed bucket edges
+    (not data-dependent quantiles) keep it single-pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / F.lit(5000.0)).cast("bigint")
+    return (
+        li.groupBy(
+            bucket.alias("bucket"),
+            (bucket * F.lit(5000.0)).alias("bucket_lo"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").cast("double").alias("min_price"),
+            F.max("l_extendedprice").cast("double").alias("max_price"),
+        )
+    )

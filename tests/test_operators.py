@@ -151,3 +151,40 @@ class TestAuditObserve:
         df.write.format("noop").mode("overwrite").save()
         with _pytest.raises(AssertionError, match="audit"):
             expect_rows(obs, at_least=1)
+
+
+class TestScd2History:
+    def test_collapse_and_intervals(self, spark):
+        import datetime as dt
+
+        from concurrent_etl_spark.operators.dims import scd2_history
+
+        t0 = dt.datetime(2026, 1, 1)
+
+        def ts(h):
+            return t0 + dt.timedelta(hours=h)
+
+        rows = [
+            # user 1: a, a (collapse), b, a  -> 3 versions
+            (1, "a", ts(0), 10),
+            (1, "a", ts(1), 11),
+            (1, "b", ts(2), 12),
+            (1, "a", ts(3), 13),
+            # user 2: single state -> 1 current version
+            (2, "x", ts(0), 20),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts timestamp, event_id long"
+        )
+        got = sorted(
+            (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_history(
+                df, key="user_id", ts_col="ts", attr="event_type", tiebreak="event_id"
+            ).collect()
+        )
+        assert got == [
+            (1, "a", ts(0), ts(2), False),
+            (1, "a", ts(3), None, True),
+            (1, "b", ts(2), ts(3), False),
+            (2, "x", ts(0), None, True),
+        ]
