@@ -441,18 +441,10 @@ def _oracle_lang_sql() -> str:
     return ",\n           ".join(scores)
 
 
-@query(
-    "text_stats",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, text,
-           {_oracle_lang_sql()},
-           len({_tok('text')}) AS n_tok,
-           length(text) AS n_chars,
-           length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
-           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
-           len(list_distinct({_tok('text')})) AS n_distinct
-      FROM documents)
+def _text_stats_sql(src: str = "documents") -> str:
+    """The text_stats projection as oracle SQL over table/CTE ``src``
+    (shared by text_stats and the curation pipeline)."""
+    return f"""
     SELECT doc_id,
            CAST(n_tok AS INTEGER) AS n_tokens,
            CAST(len(regexp_extract_all(text,
@@ -474,9 +466,19 @@ def _oracle_lang_sql() -> str:
            array_to_string(list_slice(list_sort(
              list_transform({_shingles('lower(text)')}, x -> md5(x))), 1, 4), '')
              AS fingerprint
-    FROM base
-    """,
-)
+    FROM (
+      SELECT doc_id, text,
+           {_oracle_lang_sql()},
+           len({_tok('text')}) AS n_tok,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+           len(list_distinct({_tok('text')})) AS n_distinct
+      FROM {src})
+    """
+
+
+@query("text_stats", oracle=_text_stats_sql("documents"))
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis: token counts, quality, lang-ID,
     content hash, bottom-k fingerprint — one linear scan."""
@@ -705,4 +707,95 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("doc_id", "token", "tf", "doc_freq", "score")
+    )
+
+
+@query(
+    "curation_pipeline",
+    oracle=f"""
+    WITH {_CORPUS_EXACT},
+    stats AS ({_text_stats_sql('corpus')})
+    SELECT doc_id, lang_guess, quality, n_tokens, content_hash FROM (
+      SELECT doc_id, lang_guess, quality, n_tokens, content_hash,
+             ROW_NUMBER() OVER
+               (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM stats
+      WHERE quality >= 1.0 AND lang_guess <> 'und')
+    WHERE rn = 1
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation: score -> filter -> dedup.
+
+    The composed form of the LLM-pipeline operators: per-doc stats
+    (one linear scan), quality + language gates (row filters, pushed
+    before any shuffle), then exact dedup keeping the min doc_id per
+    content hash (the single shuffle, on the uniform md5 key).
+    Filter-before-shuffle is the scale-critical ordering: at 100 TB
+    the gates cut the corpus before the dedup exchange ever moves it.
+    Exact dups are injected (reproduced by the oracle) since the
+    corpus has none naturally.
+    """
+    from pyspark.sql import Window
+
+    stats = T.text_stats(D.with_injected_exact_dups(_docs(spark, sf_dir)))
+    kept = stats.where(
+        (F.col("quality") >= 1.0) & (F.col("lang_guess") != "und")
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang_guess", "quality", "n_tokens", "content_hash")
+    )
+
+
+@query(
+    "chunk_documents_udtf",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_tok('text')} AS toks FROM documents),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 50.0) AS BIGINT)))
+               AS chunk_idx
+      FROM t)
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           array_to_string(
+             list_slice(toks, chunk_idx * 50 + 1, chunk_idx * 50 + 50), ' ')
+             AS chunk_text,
+           CAST(least(50, len(toks) - chunk_idx * 50) AS INTEGER) AS n_tokens
+    FROM idx
+    """,
+)
+def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via a Python UDTF (§2.9 surface).
+
+    Splits each document into 50-token chunks — the 1-row-to-N-rows
+    shape Spark 3.5+ models as a user-defined *table* function,
+    invoked through a correlated LATERAL join. This is the API-surface
+    demo of UDTFs; the same op is expressible with built-in
+    slice/sequence (zero Python) and big corpora should prefer that —
+    the UDTF path here shows where genuinely imperative row-expansion
+    logic would plug in. Chunk boundaries are pure token arithmetic,
+    so the DuckDB oracle reproduces them exactly.
+    """
+    import math
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF contract
+            toks = [t for t in re.split(r"\s+", (text or "").strip()) if t]
+            for i in range(math.ceil(len(toks) / 50)):
+                c = toks[i * 50 : (i + 1) * 50]
+                yield doc_id, i, " ".join(c), len(c)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    docs = _docs(spark, sf_dir)
+    return spark.sql(
+        "SELECT c.* FROM {d} d, LATERAL chunk_doc(d.doc_id, d.text) c",
+        d=docs,
     )

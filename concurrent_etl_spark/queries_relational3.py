@@ -389,3 +389,127 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_extendedprice").cast("double").alias("max_price"),
         )
     )
+
+
+@query(
+    "null_safe_join_agg",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                  ELSE o_orderpriority END AS prio
+      FROM orders),
+    r AS (
+      SELECT DISTINCT prio, coalesce(prio, 'UNKNOWN') AS label
+      FROM l)
+    SELECT r.label, COUNT(*) AS n
+    FROM l JOIN r ON l.prio IS NOT DISTINCT FROM r.prio
+    GROUP BY r.label
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the join the
+    reference would have needed had a dimension key been nullable
+    (its left joins drop nothing but attach nothing for NULLs either).
+    Still hash-joinable: <=> is an equi-predicate, not a theta join.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    right = left.select(
+        "prio", F.coalesce("prio", F.lit("UNKNOWN")).alias("label")
+    ).distinct()
+    return (
+        left.join(right, left["prio"].eqNullSafe(right["prio"]))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "gapfill_hourly_events",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    bounds AS (SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM b),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds)
+    SELECT s.hour_start, coalesce(b.n, 0) AS n
+    FROM spine s LEFT JOIN b USING (hour_start)
+    """,
+)
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: hourly purchase counts with empty
+    hours materialized as zero rows.
+
+    A dense spine is generated with sequence()+explode between the
+    observed bounds (a one-row broadcast, never a driver loop), then
+    left-joined to the sparse aggregate. Dashboards and window
+    functions both need the dense form — a rolling average over a
+    sparse series silently skips the empty buckets. Spine size =
+    time range / bucket, independent of event volume, so at 100 TB
+    the spine is still tiny; the only fact-sized work is the keyed
+    aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start")
+        ).agg(F.count("*").alias("n_obs"))
+    )
+    bounds = hourly.agg(
+        F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    return (
+        spine.join(hourly, "hour_start", "left")
+        .select("hour_start", F.coalesce("n_obs", F.lit(0)).alias("n"))
+    )
+
+
+@query(
+    "range_frame_running_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS value_1h
+    FROM events
+    """,
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: per-user sum of `value` over the
+    trailing hour of each event — frame bounds in TIME, not row
+    counts (a rows-frame is wrong when event spacing is uneven).
+    One shuffle on user_id, one sort; frame evaluation is a sliding
+    pointer over the sorted run, not a self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("value_1h"),
+    )

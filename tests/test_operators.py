@@ -188,3 +188,27 @@ class TestScd2History:
             (1, "b", ts(2), ts(3), False),
             (2, "x", ts(0), None, True),
         ]
+
+
+class TestRegionalVolumePlan:
+    def test_pushdowns_and_no_fact_broadcast(self, spark):
+        """Q5-shaped join: filters reach the scans; lineitem is never
+        a broadcast build side."""
+        from concurrent_etl_spark.queries_relational3 import (
+            q_regional_supplier_volume,
+        )
+        from concurrent_etl_spark.plans.explain import plan_string
+
+        df = q_regional_supplier_volume(spark, "/root/testdata/sf0.001")
+        plan = plan_string(df, "formatted")
+        pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+        assert any("o_orderdate" in l and "GreaterThanOrEqual" in l for l in pushed)
+        assert any("EqualTo(r_name,ASIA)" in l for l in pushed)
+        # the date filter also prunes lineitem reads indirectly via the
+        # join, but lineitem's own scan must project only needed columns
+        read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+        li_schema = [l for l in read_schemas if "l_orderkey" in l]
+        assert li_schema and "l_returnflag" not in li_schema[0]
+        # correctness of the join result is oracle-checked; here just
+        # confirm it executes and aggregates
+        assert df.count() >= 1
