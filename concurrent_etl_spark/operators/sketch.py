@@ -110,3 +110,88 @@ def kmv_oracle_sql(
                 ELSE {scale} / MAX(h) END AS est_distinct
     FROM r WHERE rn <= {k} {grp_by}
     """
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Set-overlap estimate between two value sets from merged KMV
+    sketches — the mergeability story that makes sketches the 100 TB
+    profiling tool: each side's k-minima are computed independently
+    (map-side bounded, see kmv_distinct), then merged with set ops on
+    2k rows, never touching the raw sets again.
+
+      est_union     = (k-1) * 2^60 / h_(k)   over the merged minima
+      est_intersect = (|union minima in BOTH sketches| / n_kept)
+                      * est_union            (Beyer et al. 2007)
+
+    When n_kept < k every hash survived, so both estimates collapse to
+    the exact counts. One row out: n_kept, kth_min_hash, est_union,
+    n_common, est_intersect — all deterministic (md5 hashing, integer
+    counts, one double division).
+    """
+    ha = df_a.select(hash60(value_col).alias("h")).dropDuplicates(["h"])
+    hb = df_b.select(hash60(value_col).alias("h")).dropDuplicates(["h"])
+    w = Window.orderBy("h")
+    union_kept = (
+        ha.unionByName(hb)
+        .dropDuplicates(["h"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("h")
+    )
+    tagged = (
+        union_kept.join(ha.withColumn("in_a", F.lit(1)), "h", "left")
+        .join(hb.withColumn("in_b", F.lit(1)), "h", "left")
+    )
+    n_kept = F.count("*")
+    kth = F.max("h")
+    est_union = F.when(n_kept < k, n_kept.cast("double")).otherwise(
+        F.lit(float((k - 1) * 2**HASH_BITS)) / kth
+    )
+    n_common = F.sum(
+        F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(0)
+    )
+    return tagged.agg(
+        n_kept.alias("n_kept"),
+        kth.alias("kth_min_hash"),
+        est_union.alias("est_union"),
+        n_common.cast("bigint").alias("n_common"),
+        (n_common / n_kept * est_union).alias("est_intersect"),
+    )
+
+
+def kmv_overlap_oracle_sql(
+    table: str,
+    value_expr: str,
+    pred_a: str,
+    pred_b: str,
+    k: int = KMV_K,
+) -> str:
+    """DuckDB SQL reproducing :func:`kmv_overlap` exactly."""
+    scale = repr(float((k - 1) * 2**HASH_BITS))
+    h = f"('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT"
+    return f"""
+    WITH a AS (SELECT DISTINCT {h} AS h FROM {table} WHERE {pred_a}),
+    b AS (SELECT DISTINCT {h} AS h FROM {table} WHERE {pred_b}),
+    u AS (SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn
+            FROM (SELECT h FROM a UNION SELECT h FROM b))
+          WHERE rn <= {k}),
+    t AS (SELECT u.h,
+                 CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                      THEN 1 ELSE 0 END AS common
+          FROM u LEFT JOIN a ON u.h = a.h LEFT JOIN b ON u.h = b.h)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MAX(h) AS kth_min_hash,
+           CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE {scale} / MAX(h) END AS est_union,
+           CAST(SUM(common) AS BIGINT) AS n_common,
+           SUM(common) / COUNT(*) *
+             (CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                   ELSE {scale} / MAX(h) END) AS est_intersect
+    FROM t
+    """

@@ -799,3 +799,69 @@ def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.* FROM {d} d, LATERAL chunk_doc(d.doc_id, d.text) c",
         d=docs,
     )
+
+
+@query(
+    "kmv_set_overlap",
+    oracle=K.kmv_overlap_oracle_sql(
+        "orders",
+        "o_custkey",
+        "o_orderpriority = '1-URGENT'",
+        "o_orderpriority = '5-LOW'",
+    ),
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-set overlap between urgent and low-priority orders,
+    estimated from merged KMV sketches (operators/sketch.kmv_overlap).
+    At 100 TB each side's k-minima come from its own bounded scan; the
+    merge touches 2k rows. Exact when the union fits in k."""
+    o = load_table(spark, sf_dir, "orders")
+    return K.kmv_overlap(
+        o.where(F.col("o_orderpriority") == "1-URGENT"),
+        o.where(F.col("o_orderpriority") == "5-LOW"),
+        "o_custkey",
+    )
+
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+    WITH {_CORPUS_NEAR},
+    {_LSH_PAIRS}
+    SELECT doc_a, doc_b, lev, sim FROM (
+      SELECT p.doc_a, p.doc_b,
+             CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS lev,
+             round(1.0 - levenshtein(ta.text, tb.text) /
+                   greatest(length(ta.text), length(tb.text)), 9) AS sim
+      FROM pairs p
+      JOIN corpus ta ON ta.doc_id = p.doc_a
+      JOIN corpus tb ON tb.doc_id = p.doc_b)
+    WHERE sim >= 0.8
+    """,
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify over the LSH candidates: normalized
+    Levenshtein similarity >= 0.8. The character-level complement to
+    token-level Jaccard (catches in-word edits Jaccard misses).
+    O(len^2) per pair, which is exactly why it runs on LSH candidates
+    only — never the cross product.
+    """
+    docs = D.with_injected_near_dups(_docs(spark, sf_dir))
+    cand = D.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    sim = F.round(
+        1.0 - lev / F.greatest(F.length("text_a"), F.length("text_b")), 9
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("int").alias("lev"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= 0.8)
+    )

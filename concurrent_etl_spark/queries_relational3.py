@@ -513,3 +513,68 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_1h"),
     )
+
+
+@query(
+    "iqr_outliers",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 97 = 0 THEN c_acctbal * 50.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer),
+    fences AS (
+      SELECT c_mktsegment AS segment,
+             quantile_cont(c_acctbal, 0.25) AS q1,
+             quantile_cont(c_acctbal, 0.75) AS q3
+      FROM cust GROUP BY 1)
+    SELECT c.c_custkey AS custkey, f.segment, c.c_acctbal AS acctbal,
+           round(f.q1 - 1.5 * (f.q3 - f.q1), 9) AS fence_lo,
+           round(f.q3 + 1.5 * (f.q3 - f.q1), 9) AS fence_hi
+    FROM cust c JOIN fences f ON c.c_mktsegment = f.segment
+    WHERE c.c_acctbal < round(f.q1 - 1.5 * (f.q3 - f.q1), 9)
+       OR c.c_acctbal > round(f.q3 + 1.5 * (f.q3 - f.q1), 9)
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per segment — the numeric data-
+    cleaning gate of a curation pipeline. The per-group fences are a
+    tiny aggregate broadcast back onto the scan; the fact rows are
+    filtered where they live, never shuffled. Fences rounded to 9
+    decimals before comparison so the boundary test can't flip on
+    sub-ulp quantile differences between engines. The uniform
+    synthetic balances produce no natural Tukey outliers, so every
+    97th customer's balance is scaled 50x (reproduced by the oracle)
+    to make the check non-trivial."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 97 == 0, F.col("c_acctbal") * 50.0
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    fences = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.expr("percentile(c_acctbal, 0.25D)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.75D)").alias("q3"),
+    )
+    lo = F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 9)
+    hi = F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 9)
+    return (
+        c.join(
+            F.broadcast(fences), c["c_mktsegment"] == fences["segment"]
+        )
+        .withColumns({"fence_lo": lo, "fence_hi": hi})
+        .where(
+            (F.col("c_acctbal") < F.col("fence_lo"))
+            | (F.col("c_acctbal") > F.col("fence_hi"))
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "segment",
+            F.col("c_acctbal").alias("acctbal"),
+            "fence_lo",
+            "fence_hi",
+        )
+    )
