@@ -865,3 +865,88 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("sim") >= 0.8)
     )
+
+
+@query(
+    "bigram_lm_counts",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_tok('lower(text)')} AS toks FROM documents),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+    c AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    tot AS (SELECT w1, SUM(n) AS n_w1 FROM c GROUP BY 1)
+    SELECT c.w1, c.w2, c.n, CAST(t.n_w1 AS BIGINT) AS n_w1,
+           round(c.n / t.n_w1, 9) AS p_cond
+    FROM c JOIN tot t USING (w1)
+    WHERE c.n >= 3
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts with conditional
+    probabilities P(w2|w1) — the n-gram statistics pass of a
+    training-data pipeline (both for quality heuristics and leakage/
+    contamination checks). Two map-side-combinable aggregations over
+    the exploded bigrams; the per-w1 totals join back on the uniform
+    token key. Probabilities are exact integer ratios rounded to 9
+    decimals, so cross-engine hashing is stable. Thresholded at
+    n >= 3 to keep the result the size of the frequent-bigram set.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(T.tokens(F.lower(F.col("text"))).alias("toks"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), (w, i) ->"
+                " struct(w AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    tot = c.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    return (
+        c.join(tot, "w1")
+        .where(F.col("n") >= 3)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.col("n_w1").cast("bigint").alias("n_w1"),
+            F.round(F.col("n") / F.col("n_w1"), 9).alias("p_cond"),
+        )
+    )
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_tok('lower(text)')}) AS token FROM documents)
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 1024
+                AS INTEGER) AS bucket,
+           COUNT(*) AS n
+    FROM tok
+    WHERE doc_id < 50
+    GROUP BY 1, 2
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: token -> md5 bucket (1024-dim),
+    long-form (doc_id, bucket, count) sparse vectors — the fixed-width
+    text features fed to downstream ML without a vocabulary build or
+    its driver-side dictionary. One exploded scan + one keyed agg;
+    bucket ids are md5-uniform so the agg never skews. Restricted to
+    doc_id < 50 to keep the oracle result compact.
+    """
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+        % 1024
+    ).cast("int")
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )

@@ -73,3 +73,18 @@ class TestCentroids:
             bucket_centroids(tables["embeddings"]), mode="simple"
         )
         assert plan.count("Exchange") == 1, plan
+
+
+class TestKmvOverlap:
+    def test_exact_when_union_fits_in_k(self, spark):
+        """|A|=10, |B|=10, |A∩B|=5: union of 15 < k=256 hashes means
+        every estimate collapses to the exact count."""
+        from concurrent_etl_spark.operators.sketch import kmv_overlap
+
+        a = spark.createDataFrame([(i,) for i in range(1, 11)], ["v"])
+        b = spark.createDataFrame([(i,) for i in range(6, 16)], ["v"])
+        r = kmv_overlap(a, b, "v").collect()[0]
+        assert r.n_kept == 15
+        assert r.est_union == 15.0
+        assert r.n_common == 5
+        assert abs(r.est_intersect - 5.0) < 1e-9
