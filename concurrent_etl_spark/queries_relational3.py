@@ -497,12 +497,18 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (a rows-frame is wrong when event spacing is uneven).
     One shuffle on user_id, one sort; frame evaluation is a sliding
     pointer over the sorted run, not a self-join.
+
+    Frame bounds are in MICROSECONDS (unix_micros), not seconds:
+    casting ts to long truncates sub-second precision, which silently
+    shifts the frame boundary for events with fractional seconds —
+    caught by the sf0.1 oracle run where denser data hits exact
+    1-hour-boundary pairs (sf0.01 never did).
     """
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id",
