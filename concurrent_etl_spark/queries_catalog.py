@@ -750,3 +750,34 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr="event_type",
         tiebreak="event_id",
     )
+
+
+@query(
+    "cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_type AS last_event_type, value AS last_value,
+           ts AS last_ts, n_events
+    FROM (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed compaction: collapse each key's event history to
+    its latest state (max_by on (ts, event_id) — the deterministic
+    CDC tiebreak). The compaction every snapshot-from-log rebuild
+    needs; one map-side-combinable aggregation, no window sort —
+    max_by partial states merge associatively, so at 100 TB this is
+    a single shuffle of one row per (partition x key)."""
+    ev = load_table(spark, sf_dir, "events")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", ord_key).alias("last_event_type"),
+        F.max_by("value", ord_key).alias("last_value"),
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("n_events"),
+    )
