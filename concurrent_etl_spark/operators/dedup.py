@@ -270,20 +270,22 @@ def connected_components(
     reference never needed (its dedup was single-key
     ``drop_duplicates``, case_2/Normal.py:70).
 
-    Algorithm: iterative hash-min label propagation — every node
-    starts labeled with itself; each round takes the min of its own
-    and its neighbors' labels; stop at fixpoint (bounded by
-    ``max_iter``). Rounds needed = graph diameter, which for dup
-    clusters is tiny (near-clique components). For adversarial
-    chain-shaped graphs at 100 TB the same loop body upgrades to
-    large-star/small-star (O(log n) rounds); the per-round plan —
-    one shuffle join edges x labels + one keyed min-agg, both
-    map-side combinable — is unchanged.
+    Algorithm: iterative hash-min label propagation with pointer
+    jumping — every node starts labeled with itself; each round takes
+    the min over (its own label, its neighbors' labels, its LABEL'S
+    label). The label-of-label hop is path doubling, so chain-shaped
+    components converge in O(log diameter) rounds, not O(diameter) —
+    dup clusters are near-cliques (1-2 rounds), but the bound must
+    hold for adversarial graphs too. Stops at fixpoint; RAISES if
+    ``max_iter`` rounds don't converge rather than silently returning
+    partial components (2^25 exceeds any physical graph's diameter).
 
-    Scale notes: ``localCheckpoint`` truncates the lineage each round
-    (iterative plans otherwise grow unboundedly and re-execute from
-    the source); the convergence probe is ``limit(1).count()`` on the
-    changed-set, not a full count.
+    Scale notes: per round, one shuffle join edges x labels + one
+    keyed min-agg (map-side combinable) + one self-join on the label;
+    ``localCheckpoint`` truncates the lineage each round (iterative
+    plans otherwise grow unboundedly and re-execute from the source);
+    the convergence probe is ``limit(1).count()`` on the changed-set,
+    not a full count.
     """
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -303,12 +305,20 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nb_label"))
         )
+        # pointer jumping: the label of my current label (always
+        # resolvable — every node is in `labels` and label <= node)
+        jump = labels.select(
+            F.col("node").alias("j_node"), F.col("label").alias("j_label")
+        )
         new_labels = (
             labels.join(nb_min, labels["node"] == nb_min["s"], "left")
+            .join(jump, labels["label"] == jump["j_node"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nb_label", "label")
+                    F.col("label"),
+                    F.coalesce("nb_label", "label"),
+                    F.coalesce("j_label", "label"),
                 ).alias("label"),
             )
             .localCheckpoint()
@@ -322,8 +332,10 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("component"))
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
 
 
 def dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:

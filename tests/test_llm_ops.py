@@ -235,3 +235,15 @@ class TestConnectedComponents:
         rows = {r.doc_id: (r.cluster_id, r.cluster_size) for r in dup_clusters(docs).collect()}
         # identical docs cluster under the min id; the unrelated doc is absent
         assert rows == {1: (1, 2), 2: (1, 2)}
+
+    def test_long_chain_converges(self, spark):
+        """A 80-node chain (diameter 79) must converge well inside
+        max_iter=25 via pointer jumping — plain neighbor-min would
+        need 79 rounds and silently truncate."""
+        from concurrent_etl_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(80)], ["doc_a", "doc_b"]
+        )
+        out = {r.node: r.component for r in connected_components(edges).collect()}
+        assert out == {i: 0 for i in range(81)}

@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): distributed ops must agree with
+single-node reference implementations and be partition-invariant.
+
+Spark sessions are expensive, so strategies are kept small and
+examples few — the point is structural coverage (random graph shapes,
+random event interleavings), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference single-node components: min reachable node label."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+class TestConnectedComponentsProperty:
+    @settings(**SETTINGS)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_matches_union_find(self, spark, edges):
+        from concurrent_etl_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {
+            r.node: r.component for r in connected_components(df).collect()
+        }
+        assert got == _union_find(edges)
+
+
+class TestScd2PartitionInvariance:
+    @settings(**SETTINGS)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),  # key
+                st.sampled_from(["a", "b", "c"]),  # attr
+                st.integers(min_value=0, max_value=20),  # hour offset
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        n_parts=st.sampled_from([1, 3, 7]),
+    )
+    def test_history_independent_of_partitioning(self, spark, rows, n_parts):
+        """scd2_history must produce identical version rows no matter
+        how the input is partitioned (event_id tiebreak covers ts
+        collisions the random generator produces freely)."""
+        import datetime as dt
+
+        from concurrent_etl_spark.operators.dims import scd2_history
+
+        t0 = dt.datetime(2026, 1, 1)
+        data = [
+            (k, a, t0 + dt.timedelta(hours=h), i)
+            for i, (k, a, h) in enumerate(rows)
+        ]
+        schema = "user_id long, event_type string, ts timestamp, event_id long"
+        base = spark.createDataFrame(data, schema)
+
+        def run(df):
+            return sorted(
+                (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+                for r in scd2_history(
+                    df, key="user_id", ts_col="ts", attr="event_type",
+                    tiebreak="event_id",
+                ).collect()
+            )
+
+        assert run(base) == run(base.repartition(n_parts))
