@@ -93,8 +93,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` arrives as TIMESTAMP(NANOS); Spark reads it as
     long-nanos (legacy.parquet.nanosAsLong) and we truncate to
-    microseconds — the same truncation DuckDB applies.
+    microseconds — the same truncation DuckDB applies. The conf is
+    (re)set at runtime so the tables load correctly even on a caller-
+    provided SparkSession built without :func:`get_spark`.
     """
+    # all query semantics (window bucketing, date arithmetic, oracle
+    # comparison) are defined in UTC — pin it even on caller sessions
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
