@@ -85,3 +85,39 @@ def dedup_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
         return df.distinct()
     aggs = [F.min(c).alias(c) for c in others]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def zscore_per_group(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group z-score normalization via batch ``applyInPandas``
+    (§2.9: the grouped-map UDF shape — whole group in, whole group
+    out, as one Arrow-backed pandas frame per group).
+
+    This op is deliberately also expressible with a window avg/stddev
+    (zero Python); it exists as the grouped-map template for logic
+    that genuinely needs the whole group materialized (per-group model
+    fits, iterative per-entity solvers). Scale contract: one shuffle
+    on the group key, and the LARGEST SINGLE GROUP must fit in one
+    executor's memory — the documented applyInPandas constraint; skew
+    in group sizes matters here more than anywhere else.
+    """
+    import pandas as pd
+
+    out_schema = f"{group_col} long, {value_col} double, zscore double"
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf[value_col].mean()
+        sd = pdf[value_col].std(ddof=0)
+        z = (pdf[value_col] - mu) / sd if sd > 0 else pdf[value_col] * 0.0
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                value_col: pdf[value_col],
+                "zscore": z,
+            }
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
+        _norm, schema=out_schema
+    )

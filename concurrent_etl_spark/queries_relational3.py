@@ -584,3 +584,37 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fence_hi",
         )
     )
+
+
+@query(
+    "regression_per_user",
+    oracle="""
+    SELECT user_id,
+           round(regr_slope(value, (epoch_us(ts) - 1704067200000000)
+                                   / 3600000000.0), 6) AS slope,
+           round(regr_intercept(value, (epoch_us(ts) - 1704067200000000)
+                                       / 3600000000.0), 6) AS intercept,
+           CAST(regr_count(value, epoch_us(ts)) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_regression_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend (regr_slope/intercept) of event
+    value over time — drift detection per entity, as a single
+    map-side-combinable aggregation (the regression moments merge
+    associatively; no window, no collect). x is hours since a FIXED
+    epoch (2024-01-01), keeping magnitudes small so the closed-form
+    cancellations stay far above double noise; outputs rounded to 6
+    decimals for cross-engine stability."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(3.6e9)
+    return (
+        ev.select("user_id", F.col("value").alias("y"), x.alias("x"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+            F.expr("regr_count(y, x)").cast("bigint").alias("n"),
+        )
+    )

@@ -212,3 +212,30 @@ class TestRegionalVolumePlan:
         # correctness of the join result is oracle-checked; here just
         # confirm it executes and aggregates
         assert df.count() >= 1
+
+
+class TestZscoreApplyInPandas:
+    def test_matches_window_formulation(self, spark, tables):
+        """Grouped-map applyInPandas z-scores equal the pure-SQL window
+        formulation (tolerance: summation-order float noise only)."""
+        from concurrent_etl_spark.operators.relational import zscore_per_group
+
+        ev = tables["events"].select("user_id", "value")
+        got = {
+            (r.user_id, round(r.value, 6)): r.zscore
+            for r in zscore_per_group(ev, "user_id", "value").collect()
+        }
+        w = Window.partitionBy("user_id")
+        exp = {
+            (r.user_id, round(r.value, 6)): r.z
+            for r in ev.select(
+                "user_id",
+                "value",
+                (
+                    (F.col("value") - F.avg("value").over(w))
+                    / F.stddev_pop("value").over(w)
+                ).alias("z"),
+            ).collect()
+        }
+        assert set(got) == set(exp)
+        assert all(abs(got[k] - exp[k]) < 1e-9 for k in got)
