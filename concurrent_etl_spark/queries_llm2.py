@@ -1,0 +1,291 @@
+"""LLM training-data pipeline queries, tranche 2: corpus statistics,
+data mixing, LM-based quality scoring, train/eval contamination.
+
+Beyond-the-reference surface (north star; the reference at
+`/root/reference` has no text operators at all — its transform layer
+is column casts, case_2/Normal.py:177-198). Each query pairs a Spark
+implementation with a DuckDB oracle reproducing the identical
+pipeline; determinism rules are the same as queries_llm.py (md5
+hashing, integer/decimal-exact accumulation, explicit ROWS frames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.operators import text as T
+from concurrent_etl_spark.queries_llm import (
+    _docs,
+    _shingles,
+    _text_stats_sql,
+    _tok,
+)
+
+
+@query(
+    "token_length_histogram",
+    oracle=f"""
+    WITH t AS (SELECT len({_tok('text')}) AS n_tok FROM documents)
+    SELECT CAST(length(bin(n_tok)) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens_total
+    FROM t GROUP BY 1
+    """,
+)
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram — the sequence-length
+    planning pass of a training pipeline (how many docs fit a 2^k
+    context window). Bucket = bit-length of the token count (pure
+    integer arithmetic: length of the binary string, identical in
+    both engines — no float log2 edge cases). One linear scan + one
+    tiny agg; map-side combinable, no skew (≤ ~40 buckets).
+    """
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(T.tokens(F.col("text")))
+    return (
+        docs.select(n_tok.alias("n_tok"))
+        .groupBy(F.length(F.bin(F.col("n_tok"))).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens_total"),
+        )
+    )
+
+
+@query(
+    "vocab_coverage_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_tok('lower(text)')}) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    r AS (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM c)
+    SELECT CAST(rnk AS INTEGER) AS rnk, token, n,
+           CAST(cum AS BIGINT) AS cum_tokens,
+           round(CAST(cum AS DOUBLE) / t.total, 9) AS cum_share
+    FROM r, tot t
+    WHERE rnk <= 100
+    """,
+)
+def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: cumulative share of all token
+    occurrences covered by the top-100 terms — the vocabulary-sizing /
+    tokenizer-design statistic. Scale path: the global ordering is
+    materialized ONLY for the top-100 candidate set (TakeOrderedAndProject
+    via orderBy+limit — no single-partition sort of the full vocab);
+    the cumulative window then runs over those 100 rows. Cumulative
+    sums are integer-exact; the share divides once at the end.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+    c = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = c.agg(F.sum("n").cast("bigint").alias("total"))
+    top = c.orderBy(F.desc("n"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .withColumn("cum", F.sum("n").over(cum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rnk").cast("int").alias("rnk"),
+            "token",
+            "n",
+            F.col("cum").cast("bigint").alias("cum_tokens"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 9).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+@query(
+    "data_mixture_sampling",
+    oracle=f"""
+    WITH stats AS ({_text_stats_sql('documents')}),
+    s AS (
+      SELECT doc_id, lang_guess,
+             CASE WHEN quality >= 0.75 THEN 'high' ELSE 'low' END AS q_bucket
+      FROM stats)
+    SELECT doc_id, lang_guess, q_bucket, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY lang_guess, q_bucket
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM s)
+    WHERE rk <= 20
+    """,
+)
+def q_data_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified data-mixture sampling: a fixed quota of 20 docs per
+    (language, quality-bucket) stratum, picked by md5(doc_id) — a
+    deterministic uniform draw that needs no RNG state and reshuffles
+    identically on re-run (reproducible training mixtures). The
+    per-stratum rank is a window over the stratum key; stratum
+    cardinality is tiny (languages x 2) so the partitions are
+    balanced by the hash-ordering, not by data skew.
+    """
+    stats = T.text_stats(_docs(spark, sf_dir))
+    s = stats.select(
+        "doc_id",
+        "lang_guess",
+        F.when(F.col("quality") >= 0.75, "high").otherwise("low").alias("q_bucket"),
+    )
+    w = Window.partitionBy("lang_guess", "q_bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("doc_id", "lang_guess", "q_bucket", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+@query(
+    "bigram_doc_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_tok('lower(text)')} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+    c AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    tot AS (SELECT w1, SUM(n) AS n_w1 FROM c GROUP BY 1),
+    j AS (
+      SELECT bg.doc_id,
+             CAST(round(ln(c.n / tot.n_w1), 12) AS DECIMAL(24,12)) AS lp
+      FROM bg JOIN c USING (w1, w2) JOIN tot USING (w1))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+    FROM j GROUP BY 1
+    """,
+)
+def q_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy document scoring: mean bigram log-probability
+    under the corpus's own bigram LM — the classic LM-based quality
+    filter (low avg log-prob = unusual/garbled text). Two passes over
+    the exploded bigrams: (1) corpus counts n(w1,w2) and n(w1) —
+    map-side-combinable aggs; (2) join the per-doc bigrams back to
+    the counts and reduce per doc. Per-bigram log-probs are rounded
+    then accumulated as DECIMAL so the partitioned Spark sum and the
+    oracle's sequential sum are bit-identical regardless of order.
+    At 100 TB the count tables are corpus-vocabulary-sized (<< data)
+    and the join keys are uniform token hashes — no skew salt needed.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1), (w, i) ->"
+                    " struct(w AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    c = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    tot = c.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    lp = F.round(F.log(F.col("n") / F.col("n_w1")), 12).cast("decimal(24,12)")
+    return (
+        bg.join(c, ["w1", "w2"])
+        .join(tot, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(lp).alias("_slp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("_slp").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_logp"),
+        )
+    )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, 'train' AS split, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, 'eval' AS split,
+             array_to_string(list_slice({_tok('text')}, 3, 100000000), ' ')
+               AS text
+      FROM documents WHERE doc_id < 40),
+    sh AS (
+      SELECT doc_id, split, unnest({_shingles('lower(text)')}) AS s
+      FROM corpus),
+    pairs AS (
+      SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+             COUNT(*) AS n_common
+      FROM sh e JOIN sh t ON e.s = t.s
+      WHERE e.split = 'eval' AND t.split = 'train'
+      GROUP BY 1, 2),
+    esz AS (
+      SELECT doc_id AS eval_id, COUNT(*) AS n_eval
+      FROM sh WHERE split = 'eval' GROUP BY 1)
+    SELECT eval_id, train_id, CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / e.n_eval, 9) AS overlap_frac
+    FROM pairs JOIN esz e USING (eval_id)
+    WHERE CAST(n_common AS DOUBLE) / e.n_eval >= 0.5
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection: fraction of an eval doc's
+    distinct bigram shingles that appear verbatim in a train doc —
+    the n-gram-overlap leakage check run before every training run.
+    The synthetic corpus has no natural near-dups, so the eval side
+    is injected inside the query (first-two-words-dropped mutants of
+    doc_id < 40, mirroring the dedup queries); a pair survives only
+    at >= 50% overlap, which exactly selects the 40 mutant->source
+    pairs. Shape: shingle-equality equi-join (shuffle on the shingle
+    hash — uniform, no skew) then a pair-keyed agg; never all-pairs.
+    """
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", F.lit("train").alias("split"), "text")
+    mutants = docs.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.lit("eval").alias("split"),
+        F.array_join(F.slice(T.tokens(F.col("text")), 3, 1_000_000), " ").alias(
+            "text"
+        ),
+    )
+    corpus = base.unionByName(mutants)
+    sh = corpus.select(
+        "doc_id",
+        "split",
+        F.explode(T.shingles(F.lower(F.col("text")), 2)).alias("s"),
+    )
+    ev = sh.where(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_id"), "s"
+    )
+    tr = sh.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_id"), "s"
+    )
+    pairs = ev.join(tr, "s").groupBy("eval_id", "train_id").agg(
+        F.count("*").alias("n_common")
+    )
+    esz = ev.groupBy("eval_id").agg(F.count("*").alias("n_eval"))
+    frac = F.col("n_common").cast("double") / F.col("n_eval")
+    return (
+        pairs.join(esz, "eval_id")
+        .where(frac >= 0.5)
+        .select(
+            "eval_id",
+            "train_id",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(frac, 9).alias("overlap_frac"),
+        )
+    )

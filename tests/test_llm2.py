@@ -1,0 +1,86 @@
+"""Tests for the tranche-2 LLM-pipeline queries (corpus statistics,
+data mixing, LM scoring, contamination)."""
+
+from __future__ import annotations
+
+import pytest
+
+from concurrent_etl_spark import queries_llm2 as Q2
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def histogram(spark):
+    return Q2.q_token_length_histogram(spark, SF_DIR).collect()
+
+
+class TestTokenLengthHistogram:
+    def test_buckets_are_bit_lengths(self, histogram):
+        # bucket b holds token counts in [2^(b-1), 2^b)
+        for r in histogram:
+            assert r["bucket"] >= 1
+            assert r["n_docs"] >= 1
+
+    def test_totals_cover_corpus(self, spark, histogram):
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert sum(r["n_docs"] for r in histogram) == n_docs
+
+
+class TestVocabCoverage:
+    def test_monotone_and_bounded(self, spark):
+        rows = Q2.q_vocab_coverage_topk(spark, SF_DIR).orderBy("rnk").collect()
+        assert rows, "empty coverage curve"
+        shares = [r["cum_share"] for r in rows]
+        assert all(b >= a for a, b in zip(shares, shares[1:]))
+        assert shares[-1] <= 1.0 + 1e-9
+        # counts are rank-ordered descending
+        ns = [r["n"] for r in rows]
+        assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+class TestDataMixture:
+    def test_quota_per_stratum(self, spark):
+        rows = Q2.q_data_mixture_sampling(spark, SF_DIR).collect()
+        per = {}
+        for r in rows:
+            per.setdefault((r["lang_guess"], r["q_bucket"]), []).append(r["rk"])
+        for (lang, q), rks in per.items():
+            assert len(rks) <= 20, (lang, q)
+            assert sorted(rks) == list(range(1, len(rks) + 1))
+
+    def test_deterministic(self, spark):
+        a = sorted(
+            (r["doc_id"], r["rk"])
+            for r in Q2.q_data_mixture_sampling(spark, SF_DIR).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["rk"])
+            for r in Q2.q_data_mixture_sampling(spark, SF_DIR).collect()
+        )
+        assert a == b
+
+
+class TestBigramDocScore:
+    def test_scores_negative_and_finite(self, spark):
+        rows = Q2.q_bigram_doc_score(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            # log-probs are <= 0; a doc of pure singleton bigrams under
+            # a rich LM scores far below 0 but never -inf (its own
+            # bigrams are always in the corpus counts by construction)
+            assert r["avg_logp"] <= 0.0
+            assert r["avg_logp"] > -50.0
+            assert r["n_bigrams"] >= 1
+
+
+class TestContamination:
+    def test_mutants_flag_their_source(self, spark):
+        rows = Q2.q_contamination_check(spark, SF_DIR).collect()
+        pairs = {(r["eval_id"], r["train_id"]) for r in rows}
+        # every injected mutant (doc_id+100000) must hit its own source
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        expected = {(i + 100_000, i) for i in range(min(40, n_docs))}
+        assert expected <= pairs
+        for r in rows:
+            assert 0.5 <= r["overlap_frac"] <= 1.0
