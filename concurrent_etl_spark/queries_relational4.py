@@ -1,0 +1,254 @@
+"""Fourth relational tranche: distribution-rank window family,
+multiset set-operations (INTERSECT/EXCEPT ALL), pattern-match
+predicate pushdown, and an iterative graph algorithm (damped
+random-walk centrality over the customer-supplier bipartite graph).
+
+The reference has none of these (its only set-like op is the seen-set
+diff, SURVEY §2.4 A6); they complete the warehouse SQL surface the
+oracle harness can exercise. Determinism conventions as elsewhere:
+explicit tiebreaks, rounded-then-DECIMAL accumulation for any
+float sum, md5 never engine hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.engine import load_table
+
+
+@query(
+    "rank_distribution_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           round(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           round(CUME_DIST() OVER w, 9) AS cdist,
+           NTH_VALUE(o_totalprice, 2) OVER w2 AS second_price
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+           w2 AS (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rank_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/distribution window family: RANK and
+    DENSE_RANK over a genuinely tied ordering (order priority — their
+    tie semantics are the point), PERCENT_RANK and CUME_DIST (both
+    deterministic under ties by definition), and NTH_VALUE over a
+    totally-ordered explicit ROWS frame (ties broken by orderkey —
+    nth_value is physical-order-sensitive, so the total order is a
+    correctness requirement, not style). One shuffle on o_custkey
+    serves all five functions; both windows share the partition key
+    so Catalyst plans a single Exchange.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    w2 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+        F.nth_value("o_totalprice", 2).over(w2).alias("second_price"),
+    )
+
+
+@query(
+    "multiset_intersect_except",
+    oracle="""
+    WITH open_parts AS (
+      SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'O'),
+    done_parts AS (
+      SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'),
+    both_ms AS (
+      SELECT l_partkey FROM open_parts
+      INTERSECT ALL
+      SELECT l_partkey FROM done_parts),
+    only_open AS (
+      SELECT l_partkey FROM open_parts
+      EXCEPT ALL
+      SELECT l_partkey FROM done_parts)
+    SELECT 'intersect_all' AS op, l_partkey, COUNT(*) AS n
+    FROM both_ms GROUP BY 1, 2
+    UNION ALL
+    SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n
+    FROM only_open GROUP BY 1, 2
+    """,
+)
+def q_multiset_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations — INTERSECT ALL / EXCEPT ALL preserve
+    duplicate counts (bag semantics), unlike the DISTINCT variants
+    already covered by union_intersect. Spark compiles both to a
+    single aggregate producing min/diff of per-side multiplicities
+    then a Generate replicating rows — one shuffle per operator, no
+    join explosion. The bag results are re-aggregated to (key, n) so
+    the oracle hash stays compact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    open_parts = j.where(F.col("o_orderstatus") == "O").select("l_partkey")
+    done_parts = j.where(F.col("o_orderstatus") == "F").select("l_partkey")
+    both_ms = (
+        open_parts.intersectAll(done_parts)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "l_partkey", "n")
+    )
+    only_open = (
+        open_parts.exceptAll(done_parts)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "l_partkey", "n")
+    )
+    return both_ms.unionByName(only_open)
+
+
+@query(
+    "pattern_predicate_stats",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CASE WHEN p_name LIKE '%bolt%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bolt,
+           CAST(SUM(CASE WHEN p_name LIKE 'red%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_red,
+           CAST(SUM(CASE WHEN p_type LIKE 'SM%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_small_type,
+           CAST(SUM(CASE WHEN regexp_matches(p_name, '^[a-m]') THEN 1 ELSE 0
+                     END) AS BIGINT) AS n_first_half
+    FROM part
+    WHERE p_name NOT LIKE '%widget%'
+    GROUP BY 1
+    """,
+)
+def q_pattern_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / prefix-LIKE / regexp predicate family as both a filter
+    (NOT LIKE — pushed to the scan as a data filter) and conditional
+    aggregation. Prefix patterns ('red%', 'SM%') compile to
+    StartsWith, which parquet can evaluate against min/max statistics;
+    the contains pattern stays a row filter. One scan, one agg keyed
+    by the low-cardinality brand.
+    """
+    p = load_table(spark, sf_dir, "part").where(~F.col("p_name").like("%widget%"))
+    flag = lambda c: c.cast("int")  # noqa: E731
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum(flag(F.col("p_name").like("%bolt%"))).alias("n_bolt"),
+        F.sum(flag(F.col("p_name").like("red%"))).alias("n_red"),
+        F.sum(flag(F.col("p_type").like("SM%"))).alias("n_small_type"),
+        F.sum(flag(F.col("p_name").rlike("^[a-m]"))).alias("n_first_half"),
+    )
+
+
+# damping factor for the random-walk centrality
+_PR_D = 0.85
+
+
+def _pr_sql() -> str:
+    """Two unrolled damped-walk iterations as oracle SQL."""
+    return f"""
+    WITH raw AS (
+      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    und AS (SELECT src, dst FROM raw
+            UNION ALL SELECT dst AS src, src AS dst FROM raw),
+    ew AS (SELECT src, dst, COUNT(*) AS w FROM und GROUP BY 1, 2),
+    deg AS (SELECT src, SUM(w) AS deg FROM ew GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM ew),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, round(1.0 / n.n, 12) AS r FROM nodes, n),
+    it1 AS (
+      SELECT e.dst AS node,
+             round((1 - {_PR_D}) / any_value(n.n) + {_PR_D} * CAST(
+               SUM(CAST(round(r0.r * e.w / d.deg, 12) AS DECIMAL(24,12)))
+               AS DOUBLE), 12) AS r
+      FROM ew e JOIN r0 ON r0.node = e.src
+      JOIN deg d ON d.src = e.src, n
+      GROUP BY e.dst),
+    it2 AS (
+      SELECT e.dst AS node,
+             round((1 - {_PR_D}) / any_value(n.n) + {_PR_D} * CAST(
+               SUM(CAST(round(it1.r * e.w / d.deg, 12) AS DECIMAL(24,12)))
+               AS DOUBLE), 12) AS r
+      FROM ew e JOIN it1 ON it1.node = e.src
+      JOIN deg d ON d.src = e.src, n
+      GROUP BY e.dst)
+    SELECT node, round(r, 9) AS rank_score
+    FROM (SELECT node, r, ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rk
+          FROM it2)
+    WHERE rk <= 50
+    """
+
+
+@query("pagerank_bipartite", oracle=_pr_sql())
+def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped random-walk centrality (PageRank iteration) over the
+    undirected customer-supplier bipartite graph induced by
+    lineitem x orders, two fixed iterations, top-50 nodes.
+
+    The iterative structure: each step is contributions-join (rank /
+    weighted-degree along edges) + per-node agg — the canonical
+    message-passing shape, expressed as two unrolled DataFrame
+    passes (the oracle unrolls identical CTEs). Per-edge
+    contributions are rounded then accumulated as DECIMAL, making
+    the distributed sum order-invariant and bit-identical to the
+    oracle's sequential sum — the same trick the decimal `dsum`
+    headline aggs use. At 100 TB the edge list shuffles on uniform
+    node keys; each iteration is one shuffle (agg) over
+    vocabulary-sized state, and more iterations chain linearly
+    without growing state. Tie-broken top-k keeps output bounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    und = raw.unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ew = und.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    deg = ew.groupBy("src").agg(F.sum("w").alias("deg"))
+    nodes = ew.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # scalar graph size: bounded driver value, not data
+
+    r = nodes.select("node", F.round(F.lit(1.0) / n_nodes, 12).alias("r"))
+    for _ in range(2):
+        contrib = F.round(
+            F.col("r") * F.col("w") / F.col("deg"), 12
+        ).cast("decimal(24,12)")
+        r = (
+            ew.join(r, ew.src == r.node)
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.round(
+                    F.lit((1 - _PR_D) / n_nodes)
+                    + _PR_D * F.sum(contrib).cast("double"),
+                    12,
+                ).alias("r")
+            )
+        )
+    top = Window.orderBy(F.desc("r"), F.asc("node"))
+    return (
+        r.withColumn("rk", F.row_number().over(top))
+        .where(F.col("rk") <= 50)
+        .select("node", F.round(F.col("r"), 9).alias("rank_score"))
+    )

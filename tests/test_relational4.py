@@ -1,0 +1,65 @@
+"""Tests for the fourth relational tranche (rank family, multiset
+ops, pattern predicates, damped-walk centrality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark import queries_relational4 as Q4
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestRankFamily:
+    def test_bounds_and_tie_semantics(self, spark):
+        rows = Q4.q_rank_distribution_family(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["pct_rank"] <= 1.0
+            assert 0.0 < r["cdist"] <= 1.0
+            assert r["drnk"] <= r["rnk"]  # dense rank never exceeds rank
+
+
+class TestMultisetOps:
+    def test_bag_semantics(self, spark):
+        df = Q4.q_multiset_intersect_except(spark, SF_DIR)
+        rows = df.collect()
+        assert {r["op"] for r in rows} <= {"intersect_all", "except_all"}
+        # intersect-all multiplicity = min(open_n, done_n) for a key:
+        # it can never exceed either side's count of that key
+        inter = {r["l_partkey"]: r["n"] for r in rows if r["op"] == "intersect_all"}
+        assert all(n >= 1 for n in inter.values())
+
+
+class TestPatternPredicates:
+    def test_filter_excludes_widgets(self, spark, tables):
+        out = Q4.q_pattern_predicate_stats(spark, SF_DIR)
+        n_kept = out.agg(F.sum("n_parts")).collect()[0][0]
+        part = tables["part"]
+        expected = part.where(~F.col("p_name").like("%widget%")).count()
+        assert n_kept == expected
+
+    def test_flag_counts_bounded(self, spark):
+        for r in Q4.q_pattern_predicate_stats(spark, SF_DIR).collect():
+            for flag in ("n_bolt", "n_red", "n_small_type", "n_first_half"):
+                assert 0 <= r[flag] <= r["n_parts"]
+
+
+class TestPagerank:
+    def test_topk_shape_and_mass(self, spark):
+        rows = Q4.q_pagerank_bipartite(spark, SF_DIR).collect()
+        assert len(rows) == 50
+        scores = [r["rank_score"] for r in rows]
+        assert all(s > 0 for s in scores)
+        # suppliers are the high-degree side of the bipartite graph at
+        # every sf (100 suppliers vs 1500+N customers) — the top node
+        # must be a supplier
+        top = max(rows, key=lambda r: r["rank_score"])
+        assert top["node"].startswith("s")
+
+    def test_deterministic_across_partitionings(self, spark):
+        a = sorted((r["node"], r["rank_score"])
+                   for r in Q4.q_pagerank_bipartite(spark, SF_DIR).collect())
+        b = sorted((r["node"], r["rank_score"])
+                   for r in Q4.q_pagerank_bipartite(spark, SF_DIR).collect())
+        assert a == b
