@@ -116,3 +116,23 @@ def foreach_batch_upsert(
         merge_into_parquet(spark, target_dir, out, keys)
 
     return handle
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension join — the streaming form of the
+    flagship enrich (J1, case_2/Normal.py:232-236 re-expressed).
+
+    The static side is re-planned per micro-batch (so a dim refresh
+    between batches is picked up) and broadcast: stream-static joins
+    never shuffle the stream and keep no join state, unlike
+    stream-stream joins — at 100 TB of stream this is the difference
+    between per-batch O(batch) and unbounded state. ``how`` is
+    stream-side outer at most ('left'): full/right outer against a
+    static side is not defined for streams.
+    """
+    return stream.join(F.broadcast(dim), keys, how)

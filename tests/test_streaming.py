@@ -278,3 +278,95 @@ class TestDedupWithinWatermark:
             r.event_id for r in spark.read.parquet(out_path).collect()
         )
         assert ids == [1, 2, 3]
+
+
+class TestStreamStaticJoin:
+    def test_enrich_matches_batch(self, spark, tmp_path):
+        import datetime as dt
+
+        from concurrent_etl_spark.streaming.file_stream import stream_static_enrich
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+        fact_schema = "id long, dim_key long, ts timestamp"
+        src = tmp_path / "facts"
+        src.mkdir()
+        spark.createDataFrame(
+            [(1, 10, t0), (2, 20, t0), (3, 99, t0)], fact_schema
+        ).write.parquet(str(src / "a"))
+        dim = spark.createDataFrame(
+            [(10, "x"), (20, "y")], "dim_key long, name string"
+        )
+
+        stream = spark.readStream.schema(fact_schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (
+            stream_static_enrich(stream, dim, ["dim_key"])
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["id"], r["name"])
+            for r in spark.read.parquet(out_path).collect()
+        }
+        # left join: unmatched key 99 survives with NULL name
+        assert got == {(1, "x"), (2, "y"), (3, None)}
+
+
+class TestLateDataDrop:
+    def test_event_older_than_watermark_is_dropped(self, spark, tmp_path):
+        import datetime as dt
+
+        from concurrent_etl_spark.streaming.windows import tumbling_window_agg
+
+        t = lambda m: dt.datetime(2026, 1, 1, 12, 0, 0) + dt.timedelta(minutes=m)  # noqa: E731
+        schema = "event_id long, ts timestamp, value double, event_type string"
+        src = tmp_path / "src"
+        src.mkdir()
+        out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run_once():
+            stream = spark.readStream.schema(schema).option(
+                "recursiveFileLookup", "true"
+            ).parquet(str(src))
+            agg = tumbling_window_agg(
+                stream, window_size="10 minutes", watermark="10 minutes",
+                ts_col="ts",
+            )
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out_path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # batch 1: two events in [12:00,12:10) + one at 13:00 that
+        # advances the watermark to 12:50, finalizing the first window
+        spark.createDataFrame(
+            [(1, t(0), 1.0, "view"), (2, t(5), 1.0, "view"),
+             (3, t(60), 1.0, "view")], schema
+        ).write.parquet(str(src / "a"))
+        run_once()
+
+        # batch 2 (restart from checkpoint, watermark persisted):
+        # event_id=4 is at 12:01 — 49 min older than the watermark —
+        # and must be DROPPED; event at 14:00 closes the 13:00 window
+        spark.createDataFrame(
+            [(4, t(1), 100.0, "view"), (5, t(120), 1.0, "view")], schema
+        ).write.parquet(str(src / "b"))
+        run_once()
+
+        rows = spark.read.parquet(out_path).collect()
+        by_start = {r["window_start"]: r for r in rows}
+        w1 = by_start[t(0)]
+        assert w1["n_events"] == 2  # late event 4 NOT counted
+        assert t(60) in by_start and by_start[t(60)]["n_events"] == 1
