@@ -252,3 +252,115 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 50)
         .select("node", F.round(F.col("r"), 9).alias("rank_score"))
     )
+
+
+@query(
+    "fact_fact_selfjoin",
+    oracle="""
+    SELECT a.l_orderkey AS orderkey, COUNT(*) AS n_supplier_pairs
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey
+     AND a.l_linenumber < b.l_linenumber
+     AND a.l_suppkey <> b.l_suppkey
+    GROUP BY 1
+    """,
+)
+def q_fact_fact_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact self-join: per order, count lineitem pairs from
+    different suppliers (multi-supplier order detection). Both sides
+    are data-scaled, so this is the one join family that CANNOT
+    broadcast at 100 TB — it shuffles both sides on l_orderkey and
+    sort-merge joins (at test sf, AQE legitimately downgrades to
+    broadcast; the strategy choice is stats-driven, which is the
+    point). The linenumber inequality halves the pair space and the
+    per-key group is order-sized (<= ~7 rows), so no skew.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_suppkey").alias("sk_a"),
+    )
+    b = li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_suppkey").alias("sk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.l_orderkey == b.l_orderkey)
+            & (F.col("ln_a") < F.col("ln_b"))
+            & (F.col("sk_a") != F.col("sk_b")),
+        )
+        .groupBy(a.l_orderkey.alias("orderkey"))
+        .agg(F.count("*").alias("n_supplier_pairs"))
+    )
+
+
+def _profile_sql() -> str:
+    specs = [
+        ("o_orderkey", "CAST(%s AS VARCHAR)"),
+        ("o_custkey", "CAST(%s AS VARCHAR)"),
+        ("o_totalprice", "CAST(CAST(round(%s, 4) AS DECIMAL(18,4)) AS VARCHAR)"),
+        ("o_orderstatus", "CAST(%s AS VARCHAR)"),
+        ("o_orderdate", "CAST(%s AS VARCHAR)"),
+    ]
+    parts = []
+    for col, fmt in specs:
+        mn, mx = fmt % f"MIN({col})", fmt % f"MAX({col})"
+        parts.append(
+            f"SELECT '{col}' AS col, COUNT(*) AS n_rows,"
+            f" COUNT({col}) AS n_nonnull,"
+            f" CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_str, {mx} AS max_str FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("profile_table", oracle=_profile_sql())
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling audit: per-column row/non-null/distinct
+    counts plus min/max — the data-quality pass an ETL pipeline runs
+    before loading (the engine-owned version of the reference's
+    count-audit, case_2/Normal.py:280-282, S10). One pass per column
+    over a columnar scan that reads ONLY that column (Parquet column
+    pruning makes each branch cheap); doubles are canonicalized
+    through DECIMAL before stringifying so both engines print
+    identically. At scale, replace exact DISTINCT with HLL if the
+    audit budget demands — kept exact here for the oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    fmt_plain = lambda c: F.col(c).cast("string")  # noqa: E731
+    fmt_money = (
+        lambda c: F.round(F.col(c), 4).cast("decimal(18,4)").cast("string")
+    )  # noqa: E731
+    specs = [
+        ("o_orderkey", fmt_plain),
+        ("o_custkey", fmt_plain),
+        ("o_totalprice", fmt_money),
+        ("o_orderstatus", fmt_plain),
+        ("o_orderdate", fmt_plain),
+    ]
+    out = None
+    for col, fmt in specs:
+        branch = (
+            o.select(F.col(col))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(col).alias("n_nonnull"),
+                F.count_distinct(F.col(col)).cast("bigint").alias("n_distinct"),
+                F.min(col).alias("_mn"),
+                F.max(col).alias("_mx"),
+            )
+            .select(
+                F.lit(col).alias("col"),
+                "n_rows",
+                "n_nonnull",
+                "n_distinct",
+                fmt("_mn").alias("min_str"),
+                fmt("_mx").alias("max_str"),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

@@ -63,3 +63,46 @@ class TestPagerank:
         b = sorted((r["node"], r["rank_score"])
                    for r in Q4.q_pagerank_bipartite(spark, SF_DIR).collect())
         assert a == b
+
+
+class TestFactFactSelfJoin:
+    def test_pair_counts_vs_manual(self, spark, tables):
+        from itertools import combinations
+
+        out = {
+            r["orderkey"]: r["n_supplier_pairs"]
+            for r in Q4.q_fact_fact_selfjoin(spark, SF_DIR).collect()
+        }
+        li = tables["lineitem"].select(
+            "l_orderkey", "l_linenumber", "l_suppkey"
+        ).collect()
+        per_order: dict[int, list] = {}
+        for r in li:
+            per_order.setdefault(r["l_orderkey"], []).append(r)
+        for ok, rows in list(per_order.items())[:200]:
+            # mirror the query's pair definition exactly: strictly
+            # increasing linenumber (synthetic data repeats linenumbers
+            # within an order, so equal-ln pairs are excluded)
+            expected = sum(
+                1
+                for a, b in combinations(rows, 2)
+                if a["l_linenumber"] != b["l_linenumber"]
+                and a["l_suppkey"] != b["l_suppkey"]
+            )
+            assert out.get(ok, 0) == expected
+
+
+class TestProfileTable:
+    def test_counts_and_coverage(self, spark, tables):
+        rows = {r["col"]: r for r in Q4.q_profile_table(spark, SF_DIR).collect()}
+        n = tables["orders"].count()
+        assert set(rows) == {
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderstatus", "o_orderdate",
+        }
+        for r in rows.values():
+            assert r["n_rows"] == n
+            assert r["n_nonnull"] <= r["n_rows"]
+            assert r["n_distinct"] <= r["n_nonnull"]
+            assert r["min_str"] <= r["max_str"]
+        assert rows["o_orderkey"]["n_distinct"] == n  # primary key
