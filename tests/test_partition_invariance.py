@@ -1,0 +1,55 @@
+"""Partition-count invariance: the catalog's determinism contract.
+
+Every oracle-checked query must produce bit-identical values no
+matter how the data is partitioned — that is what makes the DuckDB
+comparison meaningful and what makes results stable between a 4-core
+laptop and a 1000-executor cluster. The decimal-accumulation and
+rounded-message-passing conventions exist exactly for this; these
+tests re-execute representative float-accumulating queries under a
+deliberately tiny shuffle-partition count and compare full result
+sets against the default-partitioning run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries whose results pass through float aggregation, iterative
+#: message passing, or global ordering — the partition-sensitive risks
+SPOT_CHECK = [
+    "groupby_agg_pricing",
+    "stats_moments",
+    "tfidf_top_terms",
+    "bigram_doc_score",
+    "pagerank_bipartite",
+    "vocab_coverage_topk",
+    "regression_per_user",
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(row[c]) for c in cols) for row in df.collect()
+    )
+
+
+@pytest.mark.parametrize("name", SPOT_CHECK)
+def test_result_invariant_under_partitioning(spark, name):
+    queries = entrymod.queries()
+    fn = queries[name]
+
+    baseline = _canon(fn(spark, SF_DIR))
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        reshuffled = _canon(fn(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+    assert baseline == reshuffled
