@@ -32,6 +32,9 @@ HEADLINE = [
     "ann_topk_cosine",
     "asof_join_prior_click",
     "range_join_events",
+    "bigram_doc_score",
+    "pagerank_bipartite",
+    "funnel_conversion",
 ]
 
 

