@@ -71,3 +71,73 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_pairs(
         load_table(spark, sf_dir, "events"), window_s=3600
     )
+
+
+@query(
+    "ewma_user_value",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               AS vals
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, ts, event_id, value,
+           round(
+             list_aggregate(list_transform(vals,
+               (v, i) -> v * pow(0.5, len(vals) - i)), 'sum')
+             /
+             list_aggregate(list_transform(vals,
+               (v, i) -> pow(0.5, len(vals) - i)), 'sum'),
+             9) AS ewma
+    FROM ordered
+    """,
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over each user's last 10
+    purchase values — the standard smoothing/trend statistic for
+    time-series feature engineering. The frame's values are staged as
+    an ordered array (collect_list over an explicit ROWS frame with a
+    total ordering) and folded with alpha = 0.5: every weight is an
+    exact power of two, so each multiply is EXACT in IEEE arithmetic
+    and the <= 10-term left-to-right fold rounds identically in both
+    engines — no DECIMAL staging needed. One shuffle on user_id; the
+    frame bounds state at 10 values regardless of history length
+    (the batch analog of a bounded streaming state store).
+    """
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    n = F.size("vals")
+    weighted = F.aggregate(
+        F.transform(
+            F.col("vals"), lambda v, i: v * F.pow(F.lit(0.5), n - 1 - i)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.aggregate(
+        F.transform(
+            F.col("vals"), lambda v, i: F.pow(F.lit(0.5), n - 1 - i)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("user_id", "ts", "event_id", "value", vals.alias("vals"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.round(weighted / norm, 9).alias("ewma"),
+        )
+    )

@@ -178,3 +178,29 @@ class TestTemporalPlanShape:
         )
         # centroid cross joins must be broadcast, never a shuffled cartesian
         assert "CartesianProduct" not in plan, plan
+
+
+class TestEwma:
+    def test_single_event_user_equals_value(self, spark):
+        from concurrent_etl_spark.queries_temporal import q_ewma_user_value
+
+        rows = q_ewma_user_value(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        # first purchase of every user: EWMA == value exactly
+        first_seen = {}
+        for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+            if r["user_id"] not in first_seen:
+                first_seen[r["user_id"]] = r
+        for r in first_seen.values():
+            assert abs(r["ewma"] - round(r["value"], 9)) < 1e-9
+
+    def test_ewma_between_min_and_max_of_window(self, spark):
+        from concurrent_etl_spark.queries_temporal import q_ewma_user_value
+
+        rows = q_ewma_user_value(spark, "/root/testdata/sf0.001").collect()
+        by_user = {}
+        for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+            hist = by_user.setdefault(r["user_id"], [])
+            hist.append(r["value"])
+            window = hist[-10:]
+            assert min(window) - 1e-9 <= r["ewma"] <= max(window) + 1e-9
