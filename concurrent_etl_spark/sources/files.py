@@ -69,3 +69,32 @@ def staging_overwrite(df: DataFrame, path: str) -> None:
     window.
     """
     df.write.mode("overwrite").parquet(path)
+
+
+def read_jsonl_staged(
+    spark: SparkSession,
+    path_or_glob: str,
+    columns: list[str],
+    with_provenance: bool = True,
+) -> DataFrame:
+    """JSON-lines read with all-string staging + dead-letter capture.
+
+    Same staging model as CSV (every declared column StringType,
+    typing is an explicit later step), plus PERMISSIVE-mode corrupt
+    record capture: a malformed line lands whole in ``_corrupt``
+    with NULLs elsewhere instead of failing the job — the file-level
+    analog of the reference's swallow-and-continue daemon loop
+    (case_2/Normal.py:334-336), but per-row and auditable. At scale
+    the dead-letter rows are filtered to a quarantine sink, never
+    re-parsed in the hot path.
+    """
+    schema = all_string_schema(columns).add("_corrupt", StringType())
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path_or_glob)
+    )
+    if with_provenance:
+        df = df.withColumn("_source_file", F.input_file_name())
+    return df

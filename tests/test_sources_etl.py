@@ -125,3 +125,33 @@ class TestExcelAdapter:
         ]
         with pytest.raises(Exception):  # codec missing or invalid payload
             df.collect()
+
+
+class TestJsonlStaged:
+    def test_staging_types_and_dead_letter(self, spark, tmp_path):
+        from concurrent_etl_spark.sources.files import read_jsonl_staged
+
+        p = tmp_path / "data.jsonl"
+        p.write_text(
+            '{"id": "1", "qty": "10"}\n'
+            "this is not json\n"
+            '{"id": "2", "qty": "20"}\n'
+        )
+        df = read_jsonl_staged(spark, str(p), ["id", "qty"]).cache()
+        assert dict(df.dtypes)["id"] == "string"
+        assert dict(df.dtypes)["qty"] == "string"
+
+        good = df.where(F.col("_corrupt").isNull())
+        bad = df.where(F.col("_corrupt").isNotNull())
+        assert {r["id"] for r in good.collect()} == {"1", "2"}
+        assert bad.count() == 1
+        assert "not json" in bad.collect()[0]["_corrupt"]
+        df.unpersist()
+
+    def test_numeric_json_values_stage_as_strings(self, spark, tmp_path):
+        from concurrent_etl_spark.sources.files import read_jsonl_staged
+
+        p = tmp_path / "nums.jsonl"
+        p.write_text('{"id": 7, "qty": 3.5}\n')
+        row = read_jsonl_staged(spark, str(p), ["id", "qty"]).collect()[0]
+        assert row["id"] == "7" and row["qty"] == "3.5"
