@@ -481,3 +481,76 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("status", "n", "p05", "p95", "winsorized_sum")
     )
+
+
+@query(
+    "explode_outer_tokens",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> t LIKE 'w%') AS tz
+      FROM documents)
+    SELECT d.doc_id, u.tok
+    FROM d LEFT JOIN LATERAL (SELECT unnest(d.tz) AS tok) AS u ON true
+    """,
+)
+def q_explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer vs explode: documents with NO matching token
+    (the 'w'-prefix filter leaves ~20% of docs with empty arrays)
+    must survive as
+    a (doc_id, NULL) row — the left-lateral null-preserving unnest
+    that plain explode silently drops. The distinction matters in
+    ETL joins where losing parent rows corrupts counts; the oracle
+    expresses the same semantics as LEFT JOIN LATERAL unnest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tz = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda t: t.startswith("w"),
+    )
+    return docs.select("doc_id", tz.alias("tz")).select(
+        "doc_id", F.explode_outer("tz").alias("tok")
+    )
+
+
+@query(
+    "locf_forward_fill",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events)
+    SELECT user_id, ts, event_id, v,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM e
+    """,
+)
+def q_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: error events null out their
+    reading and inherit the user's most recent non-null value —
+    the sensor/telemetry forward-fill (IGNORE NULLS window
+    semantics, which gapfill_hourly_events' dense spine does not
+    cover). Total ordering (ts, event_id) makes the fill
+    deterministic; one shuffle on user_id, running frame state is a
+    single value. Values pass through without arithmetic, so no
+    DECIMAL staging is needed.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select("user_id", "ts", "event_id", v.alias("v")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
