@@ -63,3 +63,39 @@ def write_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files.
+
+    Streaming micro-batches (one file per trigger per partition) and
+    fine-grained merges accumulate small files; at 100 TB the scan
+    cost becomes dominated by per-file open/footer overhead rather
+    than bytes. Sizing by measured on-disk bytes (not row counts)
+    keeps the result stable across schema width. Uses an atomic
+    staging-directory swap so readers never observe a half-compacted
+    table. Returns the new file count.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    files = _glob.glob(_os.path.join(path, "*.parquet"))
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil-div
+    staged = path.rstrip("/") + "._compact_tmp"
+    (
+        spark.read.parquet(path)
+        .repartition(int(n_out))
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    backup = path.rstrip("/") + "._compact_old"
+    _os.rename(path, backup)
+    _os.rename(staged, path)
+    _shutil.rmtree(backup)
+    return len(_glob.glob(_os.path.join(path, "*.parquet")))

@@ -87,3 +87,26 @@ class TestPartitionPruning:
             tables["orders"].where(F.col("o_orderstatus") == "F").count()
         )
         assert df.count() == expected
+
+
+class TestCompaction:
+    def test_compacts_many_small_files_preserving_rows(self, spark, tmp_path):
+        from concurrent_etl_spark.sources.warehouse import compact_small_files
+
+        path = str(tmp_path / "t")
+        df = spark.range(10000).withColumnRenamed("id", "k")
+        # 40 tiny files
+        df.repartition(40).write.parquet(path)
+        import glob
+
+        assert len(glob.glob(path + "/*.parquet")) == 40
+        before = {r["k"] for r in spark.read.parquet(path).collect()}
+
+        n = compact_small_files(spark, path, target_file_bytes=10**9)
+        assert n == 1
+        after_files = glob.glob(path + "/*.parquet")
+        assert len(after_files) == 1
+        after = {r["k"] for r in spark.read.parquet(path).collect()}
+        assert after == before
+        # no staging/backup dirs left behind
+        assert not glob.glob(str(tmp_path / "t._compact*"))
