@@ -289,3 +289,72 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(frac, 9).alias("overlap_frac"),
         )
     )
+
+
+#: Rabin-Karp polynomial base/modulus (shared with the oracle SQL)
+_RK_B = 31
+_RK_P = 1_000_000_007
+_RK_K = 8  # window length in characters
+
+
+@query(
+    "rolling_hash_fingerprint",
+    oracle=f"""
+    WITH chars AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(lower(text), '.'),
+                            c -> ord(c)) AS cs
+      FROM documents),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(range(1, len(cs) - {_RK_K} + 2), i ->
+               list_aggregate(
+                 list_transform(range(0, {_RK_K}), j ->
+                   cs[i + j] * CAST(pow({_RK_B}, {_RK_K} - 1 - j) AS BIGINT)),
+                 'sum') % {_RK_P}) AS hs
+      FROM chars
+      WHERE len(cs) >= {_RK_K})
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_windows,
+           CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct,
+           array_to_string(list_slice(list_sort(list_distinct(hs)), 1, 4),
+                           '-') AS fingerprint
+    FROM hashes
+    """,
+)
+def q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting with a true rolling-hash family:
+    Rabin-Karp polynomial hashes (base 31 mod 1e9+7) of every 8-char
+    window, bottom-4 kept as the fingerprint — the character-level
+    complement to the word-shingle/md5 fingerprint in text_stats
+    (robust to whitespace/tokenization changes the way winnowing
+    fingerprints are). All arithmetic is exact 64-bit integer
+    (max window sum ~3e13 << 2^63, the modulus applied once per
+    window), so both engines agree bit-for-bit. One linear scan, no
+    shuffle; per-doc work is O(chars x 8) inside JVM higher-order
+    functions.
+    """
+    docs = _docs(spark, sf_dir)
+    cs = F.transform(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("."), 0), F.ascii
+    )
+    staged = docs.select("doc_id", cs.alias("cs")).where(
+        F.size("cs") >= _RK_K
+    )
+    weights = [int(_RK_B ** (_RK_K - 1 - j)) for j in range(_RK_K)]
+    window_hash = (
+        "aggregate(transform(sequence(0, {k} - 1), "
+        "j -> cs[i + j - 1] * element_at(array({w}), j + 1)), "
+        "0L, (acc, x) -> acc + x) % {p}"
+    ).format(k=_RK_K, w=", ".join(f"{w}L" for w in weights), p=_RK_P)
+    hs = F.expr(
+        f"transform(sequence(1, size(cs) - {_RK_K} + 1), i -> {window_hash})"
+    )
+    return staged.select("doc_id", hs.alias("hs")).select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_windows"),
+        F.size(F.array_distinct("hs")).cast("bigint").alias("n_distinct"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("hs")), 1, 4), "-"
+        ).alias("fingerprint"),
+    )
