@@ -358,3 +358,92 @@ def q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.array_sort(F.array_distinct("hs")), 1, 4), "-"
         ).alias("fingerprint"),
     )
+
+
+def _ann_recall_sql() -> str:
+    from concurrent_etl_spark.queries_llm import _oracle_cos
+
+    cos_ev = _oracle_cos("q.qv", "e.v")
+    cos_ec = _oracle_cos("e.v", "c.cv")
+    cos_qc = _oracle_cos("q.qv", "c.cv")
+    cos_pa = _oracle_cos("p.qv", "a.v")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_ev} DESC, e.vec_id) AS rn
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      WHERE rn <= 5),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_qc} DESC, c.cid) AS rn
+        FROM q CROSS JOIN cent c) WHERE rn <= 2),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {cos_pa} DESC, a.vec_id) AS rn
+        FROM probes p JOIN assigned a ON a.cid = p.cid
+        WHERE a.vec_id <> p.query_id)
+      WHERE rn <= 5)
+    SELECT x.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_matched,
+           round(COUNT(i.neighbor_id) / 5.0, 9) AS recall_at_5
+    FROM exact x LEFT JOIN ivf i
+      ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("ann_recall_eval", oracle=_ann_recall_sql())
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN quality: recall@5 of the IVF scale path
+    against the exact brute-force baseline for the same queries —
+    the metric that decides nprobe/centroid settings before trading
+    exactness for speed at 100 TB. Both pipelines run as one plan
+    (the exact side is query-count-bounded work, the IVF side scans
+    only the probed inverted lists); recall joins the two top-k sets
+    on (query, neighbor) and counts matches — exact 5ths, stable
+    cross-engine.
+    """
+    from concurrent_etl_spark.engine import load_table
+    from concurrent_etl_spark.operators import similarity as S2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = S2.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = S2.ivf_topk(emb, queries, n_centroids=8, nprobe=2, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = ivf.select(
+        F.col("query_id").alias("_qid"),
+        F.col("neighbor_id").alias("_nid"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        exact.join(
+            hits,
+            (F.col("query_id") == F.col("_qid"))
+            & (F.col("neighbor_id") == F.col("_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("_hit").cast("bigint").alias("n_matched"),
+            F.round(F.count("_hit") / F.lit(5.0), 9).alias("recall_at_5"),
+        )
+    )
