@@ -370,3 +370,25 @@ class TestLateDataDrop:
         w1 = by_start[t(0)]
         assert w1["n_events"] == 2  # late event 4 NOT counted
         assert t(60) in by_start and by_start[t(60)]["n_events"] == 1
+
+
+class TestMergeAdditive:
+    def test_partials_accumulate_across_batches(self, spark, tmp_path):
+        from concurrent_etl_spark.streaming.file_stream import merge_additive
+
+        target = str(tmp_path / "rollup")
+        b1 = spark.createDataFrame(
+            [("a", 1, 10.0), ("a", 2, 5.0), ("b", 1, 1.0)],
+            ["k", "n", "v"],
+        )
+        merge_additive(spark, target, b1, ["k"], ["n", "v"])
+        b2 = spark.createDataFrame(
+            [("a", 4, 2.5), ("c", 7, 7.0)], ["k", "n", "v"]
+        )
+        merge_additive(spark, target, b2, ["k"], ["n", "v"])
+
+        got = {
+            r["k"]: (r["n"], r["v"])
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got == {"a": (7, 17.5), "b": (1, 1.0), "c": (7, 7.0)}
