@@ -447,3 +447,68 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("_hit") / F.lit(5.0), 9).alias("recall_at_5"),
         )
     )
+
+
+def _knn_vote_sql() -> str:
+    from concurrent_etl_spark.queries_llm import _oracle_cos
+
+    cos_ev = _oracle_cos("q.qv", "e.v")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+    topk AS (
+      SELECT query_id, neighbor_id, nlabel FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS nlabel,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {cos_ev} DESC, e.vec_id) AS rn
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      WHERE rn <= 10),
+    votes AS (
+      SELECT query_id, nlabel, COUNT(*) AS n_votes
+      FROM topk GROUP BY 1, 2)
+    SELECT query_id, CAST(nlabel AS INTEGER) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY n_votes DESC, nlabel) AS vr
+          FROM votes)
+    WHERE vr = 1
+    """
+
+
+@query("knn_label_vote", oracle=_knn_vote_sql())
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by majority vote: each query vector takes
+    the modal label of its 10 exact nearest neighbors (deterministic
+    tiebreaks: neighbor id inside the top-k, smallest label among
+    tied votes) — the label-propagation / weak-annotation primitive
+    built directly on the ANN surface. Same scale shape as
+    ann_topk_cosine (queries broadcast, corpus streams, window
+    top-k); the vote is a tiny keyed agg over k x queries rows.
+    """
+    from concurrent_etl_spark.engine import load_table
+    from concurrent_etl_spark.operators import similarity as S2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    topk = S2.brute_force_topk(emb, queries, k=10)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("label").alias("nlabel")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "nlabel").agg(
+        F.count("*").alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("nlabel")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("nlabel").cast("int").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )
