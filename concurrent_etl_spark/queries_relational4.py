@@ -554,3 +554,78 @@ def q_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@query(
+    "decimal_money_arithmetic",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+      FROM orders)
+    SELECT o_orderstatus AS status,
+           CAST(SUM(price) AS VARCHAR) AS gross,
+           CAST(SUM(CAST(price * CAST('0.07' AS DECIMAL(4,2))
+                         AS DECIMAL(18,4))) AS VARCHAR) AS tax,
+           CAST(MAX(price) AS VARCHAR) AS max_price
+    FROM m GROUP BY 1
+    """,
+)
+def q_decimal_money_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic done in DECIMAL end-to-end (SURVEY §1 flags
+    money-as-float as a reference smell): prices quantized to
+    DECIMAL(18,2), a 7% tax computed at DECIMAL(18,4), sums exact by
+    type — no float drift at any row count, no rounding conventions
+    needed. Results are stringified from DECIMAL so both engines
+    print the full fixed scale identically ('123.4500'), proving the
+    scale survives aggregation. One map-side-combinable agg.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    price = F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+    tax = (price * F.lit("0.07").cast("decimal(4,2)")).cast("decimal(18,4)")
+    return (
+        o.select(F.col("o_orderstatus").alias("status"),
+                 price.alias("price"), tax.alias("tax"))
+        .groupBy("status")
+        .agg(
+            F.sum("price").cast("string").alias("gross"),
+            F.sum("tax").cast("string").alias("tax"),
+            F.max("price").cast("string").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "skew_diagnostics",
+    oracle="""
+    WITH g AS (SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+    SELECT COUNT(*) AS n_keys,
+           CAST(MIN(n) AS BIGINT) AS min_n,
+           CAST(MAX(n) AS BIGINT) AS max_n,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 9) AS mean_n,
+           round(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 9)
+             AS skew_factor
+    FROM g
+    """,
+)
+def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostics: group-size distribution of the
+    shuffle key (min/max/mean group size and skew factor =
+    max/mean) — the health check run BEFORE choosing salting or AQE
+    skew-join thresholds on a new key at scale. Two cheap aggs; the
+    second reduces key-cardinality rows to one diagnostic row.
+    skew_factor ~1 means uniform; >>1 flags a hot key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    return g.agg(
+        F.count("*").alias("n_keys"),
+        F.min("n").cast("bigint").alias("min_n"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.round(F.sum("n").cast("double") / F.count("*"), 9).alias("mean_n"),
+        F.round(
+            F.max("n").cast("double") * F.count("*") / F.sum("n"), 9
+        ).alias("skew_factor"),
+    )
