@@ -512,3 +512,111 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_votes").cast("bigint").alias("n_votes"),
         )
     )
+
+
+def _curation_rank_sql() -> str:
+    return f"""
+    WITH stats AS ({_text_stats_sql('documents')}),
+    sh AS (
+      SELECT doc_id, unnest({_shingles('lower(text)')}) AS s FROM documents),
+    dfreq AS (SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY 1),
+    nov AS (
+      SELECT sh.doc_id,
+             round(CAST(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / COUNT(*), 9) AS novelty
+      FROM sh JOIN dfreq d ON sh.s = d.s GROUP BY 1),
+    t AS (SELECT doc_id, {_tok('lower(text)')} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+    c AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    tot AS (SELECT w1, SUM(n) AS n_w1 FROM c GROUP BY 1),
+    lm AS (
+      SELECT bg.doc_id,
+             round(CAST(SUM(CAST(round(ln(c.n / tot.n_w1), 12)
+                   AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+      FROM bg JOIN c USING (w1, w2) JOIN tot USING (w1) GROUP BY 1),
+    scored AS (
+      SELECT s.doc_id,
+             round(s.quality + n.novelty + l.avg_logp / 10.0, 9) AS score,
+             s.quality, n.novelty, l.avg_logp
+      FROM stats s JOIN nov n ON s.doc_id = n.doc_id
+      JOIN lm l ON s.doc_id = l.doc_id)
+    SELECT doc_id, score, quality, novelty, avg_logp
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= 20
+    """
+
+
+@query("curation_rank_topk", oracle=_curation_rank_sql())
+def q_curation_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation ranking: one plan chains three independent
+    per-document signals — heuristic quality (text_stats), corpus
+    novelty (document-frequency of shingles), and LM plausibility
+    (mean bigram log-prob) — joins them on doc_id and takes the
+    top-20 by the blended score. This is the shape of a real data-
+    curation pass: N signal pipelines fan out over the same corpus
+    scan, reduce to doc-keyed scores (each shuffle bounded by doc
+    count, not token count), and a cheap key-join + TakeOrdered
+    finishes. Signal weights are illustrative; the engineering point
+    is the composition staying one lazy Catalyst plan end-to-end.
+    """
+    from concurrent_etl_spark.engine import load_table as _lt
+
+    docs = _docs(spark, sf_dir)
+    stats = T.text_stats(docs).select("doc_id", "quality")
+
+    sh = docs.select(
+        "doc_id", F.explode(T.shingles(F.lower(F.col("text")), 2)).alias("s")
+    )
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("n_docs"))
+    novel = F.when(F.col("n_docs") == 1, 1).otherwise(0)
+    nov = (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(novel).cast("double") / F.count("*"), 9).alias("novelty"))
+    )
+
+    toks = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), (w, i) ->"
+                " struct(w AS w1, toks[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    lp = F.round(F.log(F.col("n") / F.col("n_w1")), 12).cast("decimal(24,12)")
+    lm = (
+        bg.join(cnt, ["w1", "w2"])
+        .join(tot, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(lp).cast("double") / F.count("*"), 6
+            ).alias("avg_logp")
+        )
+    )
+
+    scored = (
+        stats.join(nov, "doc_id")
+        .join(lm, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("quality") + F.col("novelty") + F.col("avg_logp") / 10.0, 9
+            ).alias("score"),
+            "quality",
+            "novelty",
+            "avg_logp",
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "score", "quality", "novelty", "avg_logp")
+    )
