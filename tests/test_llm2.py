@@ -84,3 +84,36 @@ class TestContamination:
         assert expected <= pairs
         for r in rows:
             assert 0.5 <= r["overlap_frac"] <= 1.0
+
+
+class TestKnnVote:
+    def test_votes_bounded_and_labels_valid(self, spark):
+        from concurrent_etl_spark.queries_llm2 import q_knn_label_vote
+
+        rows = q_knn_label_vote(spark, SF_DIR).collect()
+        assert len(rows) == 20  # one prediction per query vector
+        emb_labels = {
+            r["label"]
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("label")
+            .distinct()
+            .collect()
+        }
+        for r in rows:
+            assert 1 <= r["n_votes"] <= 10
+            assert r["predicted_label"] in emb_labels
+
+
+class TestCurationRank:
+    def test_topk_sorted_and_composite(self, spark):
+        from concurrent_etl_spark.queries_llm2 import q_curation_rank_topk
+
+        rows = q_curation_rank_topk(spark, SF_DIR).collect()
+        assert len(rows) == 20
+        scores = [r["score"] for r in rows]
+        assert sorted(scores, reverse=True) == scores or len(set(scores)) < 20
+        for r in rows:
+            assert abs(
+                r["score"]
+                - round(r["quality"] + r["novelty"] + r["avg_logp"] / 10.0, 9)
+            ) < 1e-9
