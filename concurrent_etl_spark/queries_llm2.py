@@ -620,3 +620,39 @@ def q_curation_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "score", "quality", "novelty", "avg_logp")
     )
+
+
+@query(
+    "corpus_composition",
+    oracle=f"""
+    WITH stats AS ({_text_stats_sql('documents')}),
+    j AS (SELECT s.doc_id, s.lang_guess, s.quality, s.n_tokens, d.source
+          FROM stats s JOIN documents d ON s.doc_id = d.doc_id)
+    SELECT lang_guess, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(round(quality, 6) AS DECIMAL(10,6))) AS DOUBLE)
+             AS quality_sum
+    FROM j
+    GROUP BY 1, 2
+    """,
+)
+def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: doc counts, token totals, and
+    summed quality per (language x source) cell — the mixture
+    dashboard a training run is provisioned from (token budgets are
+    allocated against exactly this table). Reuses the text_stats
+    projection and reduces it by the two low-cardinality dimensions;
+    quality sums go through DECIMAL for partition invariance, and
+    downstream consumers derive means as quality_sum / n_docs.
+    """
+    docs = _docs(spark, sf_dir)
+    stats = T.text_stats(docs).select("doc_id", "lang_guess", "quality", "n_tokens")
+    j = stats.join(docs.select("doc_id", "source"), "doc_id")
+    return j.groupBy("lang_guess", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.round(F.col("quality"), 6).cast("decimal(10,6)"))
+        .cast("double")
+        .alias("quality_sum"),
+    )

@@ -629,3 +629,36 @@ def q_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("double") * F.count("*") / F.sum("n"), 9
         ).alias("skew_factor"),
     )
+
+
+@query(
+    "boolean_agg_family",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           bool_or(o_totalprice > 400000) AS any_jumbo,
+           bool_and(o_totalprice > 100) AS all_above_floor,
+           CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT)
+             AS n_urgent,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_large
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_boolean_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family: bool_or / bool_and (ANY
+    / EVERY) existence tests and count_if conditional counting — the
+    idioms that replace correlated EXISTS subqueries with one
+    map-side-combinable agg when only a flag is needed. One scan,
+    one tiny keyed agg.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.bool_and(F.col("o_totalprice") > 100).alias("all_above_floor"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT")
+        .cast("bigint")
+        .alias("n_urgent"),
+        F.count_if(F.col("o_totalprice") > 200000)
+        .cast("bigint")
+        .alias("n_large"),
+    )
