@@ -13,7 +13,7 @@ rationals rounded once at the end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
@@ -227,4 +227,68 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(novel).cast("double") / F.count("*"), 9
             ).alias("novelty"),
         )
+    )
+
+
+@query(
+    "sessionize_gap_cumsum",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_idx
+      FROM flagged)
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT)
+             AS duration_s
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def q_sessionize_gap_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual sessionization: a session boundary is a >30-minute gap;
+    session ids are the running count of boundaries (lag + cumulative
+    sum over a total-ordered window) — the batch formulation that
+    makes session identity explicit and joinable, complementing the
+    session_window aggregate (which keeps ids internal). One shuffle
+    on user_id shared by the lag, the cumsum, and the final per-
+    session reduce; integer flags and timestamp diffs only, so no
+    float staging.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = e.select(
+        "user_id", "ts", "event_id", "value", new_session.alias("ns")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.sum("ns").over(cum).alias("session_idx"),
+    )
+    return sessions.groupBy(
+        "user_id", F.col("session_idx").cast("bigint").alias("session_idx")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("bigint")
+        .alias("duration_s"),
     )

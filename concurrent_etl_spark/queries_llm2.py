@@ -656,3 +656,43 @@ def q_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("quality_sum"),
     )
+
+
+@query(
+    "train_eval_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 100 < 90
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned GROUP BY 1
+    """,
+)
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/eval split: md5(doc_id) mod 100 —
+    no RNG state, stable across reruns and cluster sizes, and any
+    derived doc (augmentation, chunking) can recompute its parent's
+    split membership locally, which a random split cannot offer.
+    The check reduces to per-split counts + id ranges; the split
+    expression itself is the operator (one linear scan).
+    """
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = F.when(bucket < 90, "train").otherwise("eval")
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+    )
