@@ -662,3 +662,50 @@ def q_boolean_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_large"),
     )
+
+
+@query(
+    "schema_evolution_union",
+    oracle="""
+    WITH old_batch AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0),
+    new_batch AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 2 = 1),
+    unioned AS (
+      SELECT * FROM old_batch
+      UNION ALL BY NAME
+      SELECT * FROM new_batch)
+    SELECT coalesce(priority, '<pre-migration>') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS VARCHAR) AS total
+    FROM unioned GROUP BY 1
+    """,
+)
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old batch lacking a column unions
+    with a new batch that has it — name-based alignment null-fills
+    the missing column (unionByName(allowMissingColumns) / UNION ALL
+    BY NAME) instead of the silent positional mismatch the
+    reference's positional rename (case_2/Normal.py:174) would
+    produce. The null-filled rows stay distinguishable downstream
+    (coalesced to a sentinel here); money sums ride DECIMAL.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    old_batch = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_batch = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", F.col("o_orderpriority").alias("priority")
+    )
+    unioned = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce(F.col("priority"), F.lit("<pre-migration>")).alias("priority")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .cast("string")
+        .alias("total"),
+    )
