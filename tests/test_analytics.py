@@ -88,3 +88,27 @@ class TestNovelty:
         for r in rows:
             assert 0.0 <= r["novelty"] <= 1.0
             assert r["n_novel"] <= r["n_shingles"]
+
+
+class TestSessionize:
+    def test_sessions_partition_user_events(self, spark):
+        from concurrent_etl_spark.queries_analytics import q_sessionize_gap_cumsum
+        from concurrent_etl_spark.engine import load_table
+
+        rows = q_sessionize_gap_cumsum(spark, SF_DIR).collect()
+        total_events = sum(r["n_events"] for r in rows)
+        assert total_events == load_table(spark, SF_DIR, "events").count()
+        for r in rows:
+            assert r["session_idx"] >= 1
+            assert r["duration_s"] >= 0
+            assert r["session_start"] <= r["session_end"]
+
+    def test_session_indices_contiguous_per_user(self, spark):
+        from concurrent_etl_spark.queries_analytics import q_sessionize_gap_cumsum
+
+        rows = q_sessionize_gap_cumsum(spark, SF_DIR).collect()
+        per_user: dict[int, list[int]] = {}
+        for r in rows:
+            per_user.setdefault(r["user_id"], []).append(r["session_idx"])
+        for uid, idxs in per_user.items():
+            assert sorted(idxs) == list(range(1, len(idxs) + 1)), uid

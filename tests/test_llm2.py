@@ -117,3 +117,15 @@ class TestCurationRank:
                 r["score"]
                 - round(r["quality"] + r["novelty"] + r["avg_logp"] / 10.0, 9)
             ) < 1e-9
+
+
+class TestTrainEvalSplit:
+    def test_split_partitions_and_roughly_90_10(self, spark):
+        from concurrent_etl_spark.queries_llm2 import q_train_eval_split
+
+        rows = {r["split"]: r["n_docs"] for r in
+                q_train_eval_split(spark, SF_DIR).collect()}
+        n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert rows.get("train", 0) + rows.get("eval", 0) == n
+        # md5 is uniform: the 90% bucket should hold 80-98% at any sf
+        assert 0.80 <= rows["train"] / n <= 0.98
