@@ -709,3 +709,35 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("total"),
     )
+
+
+@query(
+    "approx_distinct_bounded",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY 1
+    """,
+)
+def q_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality with a verified error bound: Spark computes
+    both exact COUNT(DISTINCT) and approx_count_distinct (rsd=0.02)
+    per group and asserts |approx-exact|/exact <= 5% IN the result;
+    the oracle pins the exact count and expects the flag TRUE — if
+    the sketch ever drifts past the bound, the value hash fails.
+    This is how approximate operators stay honest in the catalog:
+    the approximation is used, the bound is the contract. At 100 TB
+    the approx path needs one map-side-mergeable sketch per group
+    instead of a distinct shuffle of every key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_n_approx"),
+    )
+    within = (
+        F.abs(F.col("_n_approx") - F.col("n_exact"))
+        / F.col("n_exact") <= 0.05
+    )
+    return agg.select("status", "n_exact", within.alias("approx_within_5pct"))
