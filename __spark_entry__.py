@@ -22,6 +22,7 @@ from concurrent_etl_spark import queries_llm2  # noqa: F401 — registers querie
 from concurrent_etl_spark import queries_relational2  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_relational3  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_relational4  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_stats  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_streaming  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_temporal  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_tpch  # noqa: F401 — registers queries

@@ -1,0 +1,159 @@
+"""Statistical aggregate surface: bounded-error approx percentile and
+exact-moment bivariate statistics.
+
+Extends the univariate moments of ``stats_moments`` (mean/variance)
+with (a) the sketch-vs-exact percentile contract — the same
+self-verifying pattern as ``approx_distinct_bounded`` (HLL) and
+``ann_recall_eval`` (IVF): Spark runs BOTH the exact and the
+approximate path and asserts the error bound inside the result, so the
+oracle hash fails if the sketch ever drifts — and (b) correlation /
+covariance / regression slope derived from exact DECIMAL cross-moments
+so the doubles are bit-identical cross-engine (built-in ``corr`` /
+``covar_samp`` accumulate floats in partition order and would not be).
+
+The reference has no statistics at all (SURVEY §2.4 — its only
+aggregate is COUNT); this is engine surface the training-data
+pipeline needs for corpus profiling and drift checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.engine import load_table
+
+
+@query(
+    "approx_median_bounded",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS returnflag, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem)
+    SELECT returnflag, CAST(n AS BIGINT) AS n,
+           l_extendedprice AS exact_median,
+           TRUE AS approx_ok
+    FROM ranked
+    WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+    """,
+)
+def q_approx_median_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median with a verified rank-error bound.
+
+    Spark computes the exact lower median (value at rank
+    floor((n+1)/2) — value-at-rank is well-defined even with
+    duplicate prices) AND ``approx_percentile(…, 0.5, accuracy=100)``
+    per group, then counts how many rows sit at or below the approx
+    value: the flag asserts |rank(approx) − n/2| ≤ 6 % · n (the
+    sketch guarantees 1 % = n/accuracy; the margin covers the ≤ vs <
+    rank convention). The oracle pins group, n, exact median, and
+    expects the flag TRUE.
+
+    Scale note: the exact path needs a per-group total order — at
+    100 TB you would run ONLY the approx path (one pass, mergeable
+    sketches); this query exists to certify that path at test scale,
+    exactly like ann_recall_eval does for IVF.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"), "l_extendedprice"
+    )
+    w = Window.partitionBy("returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("returnflag")
+    exact = (
+        li.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2).cast("long"))
+        .select("returnflag", "n", F.col("l_extendedprice").alias("exact_median"))
+    )
+    approx = li.groupBy("returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 100)").alias("_approx")
+    )
+    below = (
+        li.join(F.broadcast(approx), "returnflag")
+        .groupBy("returnflag")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("_approx"), 1).otherwise(0)
+            ).alias("_cnt_le")
+        )
+    )
+    return (
+        exact.join(F.broadcast(below), "returnflag")
+        .select(
+            "returnflag",
+            "n",
+            "exact_median",
+            (
+                F.abs(F.col("_cnt_le") - F.col("n") / 2.0)
+                <= 0.06 * F.col("n")
+            ).alias("approx_ok"),
+        )
+    )
+
+
+@query(
+    "corr_family_exact",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             -- DECIMAL(19,4) operands force DuckDB onto int128
+             -- storage (int64 DECIMAL(18) overflows on the squares);
+             -- the values are exact either way and match Spark's
+             -- DECIMAL(37,8) products bit-for-bit after the cast
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT returnflag, n,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qp,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qp,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_price_per_qty
+    FROM m
+    """,
+)
+def q_corr_family_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (covariance, Pearson correlation, OLS
+    slope) of quantity vs extended price per return flag, computed
+    from five exact DECIMAL cross-moments in ONE aggregation pass.
+
+    Deterministic by construction: decimal sums are partition-
+    invariant; the closed-form expressions then apply identical IEEE
+    double arithmetic on both engines. One shuffle on the 3-value
+    group key; map-side partials do almost all the work — the shape
+    that holds at 100 TB (built-in corr/covar_samp would be the same
+    plan but accumulate floats in partition order, breaking the
+    cross-engine hash).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    m = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "returnflag",
+        "n",
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qp"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qp"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope_price_per_qty"),
+    )

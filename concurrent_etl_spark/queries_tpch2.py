@@ -442,6 +442,141 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q8 — market share: per-group conditional-aggregation ratio, 7-way join
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CASE WHEN sr.r_name = 'EUROPE' THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM({_REV}) AS DOUBLE) AS europe_share,
+           CAST(SUM({_REV}) AS DOUBLE) AS total_volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    WHERE cr.r_name = 'ASIA' AND p_type = 'STANDARD'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 analog — EUROPE suppliers' share of STANDARD-part revenue
+    sold to ASIA customers, per order year. Nation and region each
+    join TWICE under customer/supplier aliases (all four broadcast);
+    the share is a per-group conditional-aggregation ratio (vs Q14's
+    global ratio) — numerator and denominator come out of the same
+    decimal-exact aggregate pass, so the quotient hashes identically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    cr = r.where(F.col("r_name") == "ASIA").select(
+        F.col("r_regionkey").alias("cr_key")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("sn_rkey")
+    )
+    sr = r.select(
+        F.col("r_regionkey").alias("sr_key"), F.col("r_name").alias("supp_region")
+    )
+    agg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_rkey") == F.col("cr_key"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(sr), F.col("sn_rkey") == F.col("sr_key"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_region") == "EUROPE", _rev_col()).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            )
+            .cast("double")
+            .alias("_eur"),
+            F.sum(_rev_col()).cast("double").alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "order_year",
+        (F.col("_eur") / F.col("total_volume")).alias("europe_share"),
+        "total_volume",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit: computed measure over a 5-way join
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                               - 0.5 * p_retailprice * l_quantity, 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS profit,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%rod%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 analog — profit (revenue minus a retail-price cost proxy;
+    the fixture has no partsupp.ps_supplycost) by supplier nation and
+    order year, for parts whose name contains 'rod'. The LIKE filter
+    prunes part before the fact join; the profit term is rounded ONCE
+    as a whole then decimal-accumulated, the same discipline as the
+    revenue term — rounding sub-terms separately would diverge.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%rod%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity"),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                   F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(profit).cast("double").alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q22 — dormant high-balance customers: anti-join + scalar average gate
 # ---------------------------------------------------------------------------
 
