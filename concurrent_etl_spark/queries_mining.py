@@ -1,0 +1,123 @@
+"""Pattern-mining shapes: co-occurrence (market-basket) and triangle
+counting — the two canonical self-join mining plans.
+
+The reference never self-joins its fact (SURVEY §2.3 — its joins are
+fact-to-dimension only); these add the plan family where the SAME
+large table appears on both sides of an equi-join, which changes the
+scale calculus: the join key (order / node) bounds the quadratic
+blow-up, so the 100 TB guard is a per-key cardinality cap applied
+BEFORE pairing, not after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.engine import load_table
+
+
+@query(
+    "cooccurrence_topk",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs
+    GROUP BY 1, 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs most often
+    bought in the same order. Dedup to distinct (order, part) first —
+    otherwise multi-line items inflate support quadratically — then a
+    keyed self-join emits each unordered pair once (a < b), and the
+    pair-count agg reduces before the deterministic top-k.
+
+    Scale: pairs-per-order grows as k² in basket size, so at 100 TB
+    the guard is a per-order item cap (baskets here are ~4 items; a
+    real pipeline would filter or sample mega-baskets first) and a
+    frequent-item prefilter — the join itself co-partitions on
+    l_orderkey, one shuffle each side.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@query(
+    "triangle_count",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the supplier co-occurrence graph (suppliers
+    linked when they serve the same order). Edges are canonicalized
+    u < v so each triangle is counted exactly once by the two-hop
+    wedge join (e1.v=e2.u) closed by e3 — the standard distributed
+    triangle algorithm; with ordered edges no post-hoc /3 or /6
+    dedup factor is needed.
+
+    The edge list is referenced three times, so it is persisted —
+    Spark would otherwise recompute the distinct-pair build per
+    branch. Scale: wedge count is sum(deg²); the production guard is
+    degree-based edge orientation (high-degree vertices get fewer
+    out-edges), which the u<v canonicalization approximates here.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .persist()
+    )
+    e2 = edges.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    e3 = edges.select(F.col("u").alias("c_u"), F.col("v").alias("c_v"))
+    tri = (
+        edges.join(e2, edges.v == e2.w_u)
+        .join(e3, (edges.u == e3.c_u) & (e2.w_v == e3.c_v))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return tri.crossJoin(F.broadcast(n_edges))
