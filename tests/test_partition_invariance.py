@@ -28,6 +28,10 @@ SPOT_CHECK = [
     "pagerank_bipartite",
     "vocab_coverage_topk",
     "regression_per_user",
+    "corr_family_exact",
+    "approx_median_bounded",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
 ]
 
 
