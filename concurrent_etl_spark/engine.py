@@ -103,10 +103,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Spark <= 4.0 with nanosAsLong: long nanos -> micros
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Spark 4.1+ reads TIMESTAMP(NANOS) natively as NTZ (the
+            # legacy conf is ignored). Session tz is pinned UTC, so
+            # NTZ -> LTZ is value-preserving; downstream epoch casts
+            # (cast ts as long) are only legal on LTZ.
+            df = df.withColumn("ts", df["ts"].cast("timestamp"))
     return df
 
 
