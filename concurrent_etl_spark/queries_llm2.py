@@ -696,3 +696,61 @@ def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("max_doc_id"),
         )
     )
+
+
+# GPT-2-style pre-tokenizer: contraction suffixes, space-prefixed
+# letter/digit runs, space-prefixed punctuation runs, whitespace runs.
+# Deliberately lookahead-free: DuckDB's RE2 has no lookahead, and both
+# engines use leftmost-first alternation, so the same pattern splits
+# identically JVM-side and oracle-side.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@query(
+    "token_count_bpe_regex",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+             list_filter(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}'),
+                         tok -> NOT regexp_matches(tok, '^\\s+$')) AS toks
+      FROM documents)
+    SELECT doc_id, n_ws_tokens,
+           CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
+           CAST(len(list_filter(toks, tok -> tok LIKE ' %')) AS INTEGER)
+             AS n_space_prefixed,
+           CAST(len(toks) AS DOUBLE) / n_ws_tokens AS bpe_per_word
+    FROM t
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north star: token budgeting): naive
+    whitespace count vs a BPE-ish GPT-2 pre-tokenizer regex — the
+    fertility ratio (bpe_per_word) is the standard proxy for how many
+    model tokens a document will cost before running a real BPE merge
+    table. Pure per-row regexp work: one linear scan, trivially
+    data-parallel at 100 TB (no shuffle at all), and the regex stays
+    JVM-side (regexp_extract_all in codegen, no Python).
+
+    The reference has no tokenizer surface (its only string ops are
+    substring slices, case_2/Normal.py:191-201); pattern chosen
+    lookahead-free so Spark (Java regex) and DuckDB (RE2) agree.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)),
+        lambda t: ~t.rlike(r"^\s+$"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(
+            F.filter(toks, lambda t: t.startswith(" "))
+        ).alias("n_space_prefixed"),
+        (
+            F.size(toks).cast("double")
+            / F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ).alias("bpe_per_word"),
+    ).withColumn("n_bpe_tokens", F.col("n_bpe_tokens").cast("int")) \
+     .withColumn("n_space_prefixed", F.col("n_space_prefixed").cast("int"))

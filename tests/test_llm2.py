@@ -129,3 +129,28 @@ class TestTrainEvalSplit:
         assert rows.get("train", 0) + rows.get("eval", 0) == n
         # md5 is uniform: the 90% bucket should hold 80-98% at any sf
         assert 0.80 <= rows["train"] / n <= 0.98
+
+
+class TestBpeTokenCount:
+    def test_hand_computed_example(self, spark, tmp_path):
+        """"it's 42 red-widgets" -> ws=3; bpe: [it]["'s"][ 42][ red][-][widgets] = 6."""
+        import pandas as pd
+
+        p = str(tmp_path / "documents.parquet")
+        pd.DataFrame(
+            {"doc_id": [1], "text": ["it's 42 red-widgets"],
+             "lang": ["en"], "source": ["t"], "n_chars": [19]}
+        ).to_parquet(p)
+        from concurrent_etl_spark.queries_llm2 import q_token_count_bpe
+
+        row = q_token_count_bpe(spark, str(tmp_path)).collect()[0]
+        assert row["n_ws_tokens"] == 3
+        assert row["n_bpe_tokens"] == 6
+        assert row["n_space_prefixed"] == 2
+        assert abs(row["bpe_per_word"] - 2.0) < 1e-12
+
+    def test_fertility_at_least_one(self, spark):
+        from concurrent_etl_spark.queries_llm2 import q_token_count_bpe
+
+        for r in q_token_count_bpe(spark, "/root/testdata/sf0.001").collect():
+            assert r["n_bpe_tokens"] >= r["n_ws_tokens"] >= 1
