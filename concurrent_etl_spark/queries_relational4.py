@@ -741,3 +741,45 @@ def q_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("n_exact") <= 0.05
     )
     return agg.select("status", "n_exact", within.alias("approx_within_5pct"))
+
+
+@query(
+    "json_struct_map_parse",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+             AS n_distinct_k,
+           CAST(MAX(len(json_keys(props))) AS INTEGER) AS max_n_keys
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_struct_map_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing two ways — ``from_json`` into a declared
+    struct (the schema-on-read path every semi-structured pipeline
+    needs) and into ``map<string,bigint>`` for key introspection —
+    then an integer-exact rollup per event type. Complements
+    json_props_extract (per-row get_json_object): here the parse
+    feeds aggregation, so Catalyst prunes the parsed struct to the
+    single accessed field and the JSON decode happens once per row
+    inside codegen. At 100 TB this is scan + one keyed shuffle of
+    3-int partial states; BIGINT sums are order-invariant.
+
+    Reference parity: the reference reads its config JSON driver-side
+    (case_2/Normal.py:20-31) and has no data-plane JSON — this is the
+    engine-surface extension (SURVEY §7 step 5, from_json for props).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").alias("s"),
+        F.from_json("props", "map<string,bigint>").alias("m"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("s.k")).alias("sum_k"),
+        F.countDistinct(F.col("s.k")).alias("n_distinct_k"),
+        F.max(F.size(F.map_keys(F.col("m")))).alias("max_n_keys"),
+    )
