@@ -112,7 +112,20 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     two keyed shuffles of pre-aggregated pairs, never a window sort
     over raw lineitem; part/supplier filters ride broadcast joins.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD")
+        & F.col("p_size").between(10, 20)
+    )
+    # the per-part minimum is independent across parts, so the part
+    # band prunes the fact BEFORE the wide (part, supplier) aggregate
+    # — a broadcast semi join cuts the grouped rows ~25x here and
+    # turns the 100 TB plan into band-sized work (the oracle filters
+    # after the aggregate; restriction commutes with per-part mins)
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
     )
@@ -122,10 +135,6 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = eu_cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("supply_cost").alias("min_cost")
-    )
-    part = load_table(spark, sf_dir, "part").where(
-        (F.col("p_type") == "STANDARD")
-        & F.col("p_size").between(10, 20)
     )
     return (
         eu_cost.join(
@@ -522,20 +531,26 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late"),
         )
     )
-    order_stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # collapse to (order, supplier) grain once — max(is_late) is a
+    # map-side-combinable partial, so one shuffle replaces two
+    # count-distinct expansions plus a distinct; the per-order
+    # supplier counts then come from a window over the pair-grain
+    # rows (orders have bounded line counts, so no skew), which
+    # avoids both a self-join and a persist — the pair subtree
+    # executes exactly once
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("any_late")
     )
-    late_pairs = (
-        li.where(F.col("is_late")).select("l_orderkey", "l_suppkey").distinct()
-    )
-    blamed = late_pairs.join(
-        order_stats.where(
-            (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-        ).select(F.col("l_orderkey").alias("s_orderkey")),
-        late_pairs["l_orderkey"] == F.col("s_orderkey"),
+    w = Window.partitionBy("l_orderkey")
+    blamed = (
+        pair.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late_supp", F.sum("any_late").over(w))
+        .where(
+            (F.col("any_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
     )
     am = _region_suppliers(spark, sf_dir, "AMERICA")
     return (
