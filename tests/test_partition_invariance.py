@@ -32,6 +32,10 @@ SPOT_CHECK = [
     "approx_median_bounded",
     "tpch_q8_market_share",
     "tpch_q14_promo_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q21_waiting_suppliers",
+    "token_count_bpe_regex",
 ]
 
 
