@@ -754,3 +754,87 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bpe_per_word"),
     ).withColumn("n_bpe_tokens", F.col("n_bpe_tokens").cast("int")) \
      .withColumn("n_space_prefixed", F.col("n_space_prefixed").cast("int"))
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id, len(embedding) AS n_dims,
+             list_max(list_transform(embedding,
+                      v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS qscale
+      FROM embeddings),
+    q AS (
+      SELECT s.vec_id, s.n_dims, s.qscale,
+             CASE WHEN s.qscale = 0 THEN NULL
+                  ELSE list_transform(e.embedding,
+                       v -> floor(CAST(v AS DOUBLE) / s.qscale + 0.5)) END
+               AS codes
+      FROM scaled s JOIN embeddings e ON s.vec_id = e.vec_id)
+    SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims, qscale,
+           CAST(COALESCE(len(list_filter(codes, c -> abs(c) >= 127)), 0)
+                AS INTEGER) AS n_saturated,
+           CASE WHEN qscale = 0 THEN 0.0 ELSE
+             (SELECT list_sum(list_transform(range(1, n_dims + 1),
+                i -> (CAST(e2.embedding[i] AS DOUBLE) - codes[i] * qscale)
+                   * (CAST(e2.embedding[i] AS DOUBLE) - codes[i] * qscale)))
+              FROM embeddings e2 WHERE e2.vec_id = q.vec_id) / n_dims
+           END AS recon_mse
+    FROM q
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (north star: ANN storage
+    compression — 4x smaller vectors before an IVF/LSH index is
+    built). Per vector: qscale = max|x|/127, codes = floor(x/qscale
+    + 0.5) (floor(x+0.5) instead of round(): both engines evaluate
+    it with identical IEEE ops, where round() on doubles is not
+    cross-engine-stable), saturation count, and reconstruction MSE.
+
+    Everything is per-row higher-order-function work over the array
+    column — no shuffle at any scale; the lambda chain stays in
+    codegen. The quantized codes themselves stay internal (arrays
+    hash differently across engines); the query returns the scalar
+    audit a compression pass reports. Zero vectors degrade to
+    qscale=0 / mse=0 rather than NaN.
+    """
+    from concurrent_etl_spark.engine import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    staged = e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        xd.alias("xd"),
+        (F.array_max(F.transform(xd, lambda v: F.abs(v))) / 127.0).alias(
+            "qscale"
+        ),
+    )
+    codes = F.transform(
+        F.col("xd"), lambda v: F.floor(v / F.col("qscale") + 0.5)
+    )
+    staged = staged.withColumn(
+        "codes", F.when(F.col("qscale") != 0, codes)
+    )
+    err = F.zip_with(
+        F.col("xd"),
+        F.col("codes"),
+        lambda x, c: (x - c * F.col("qscale")) * (x - c * F.col("qscale")),
+    )
+    return staged.select(
+        "vec_id",
+        F.col("n_dims").cast("int").alias("n_dims"),
+        "qscale",
+        F.coalesce(
+            F.size(
+                F.filter(F.col("codes"), lambda c: F.abs(c) >= 127)
+            ),
+            F.lit(0),
+        ).cast("int").alias("n_saturated"),
+        F.when(F.col("qscale") == 0, F.lit(0.0))
+        .otherwise(
+            F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v)
+            / F.col("n_dims")
+        )
+        .alias("recon_mse"),
+    )

@@ -154,3 +154,30 @@ class TestBpeTokenCount:
 
         for r in q_token_count_bpe(spark, "/root/testdata/sf0.001").collect():
             assert r["n_bpe_tokens"] >= r["n_ws_tokens"] >= 1
+
+
+class TestEmbeddingQuantizeInt8:
+    def test_roundtrip_error_bounded_by_half_step(self, spark):
+        """|x - q*scale| <= scale/2 per dim => mse <= (scale/2)^2."""
+        from concurrent_etl_spark.queries_llm2 import q_embedding_quantize_int8
+
+        rows = q_embedding_quantize_int8(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            assert r["n_dims"] == 64
+            assert r["qscale"] > 0
+            assert 0 <= r["recon_mse"] <= (r["qscale"] / 2) ** 2 + 1e-15
+            # max|x| maps exactly to +/-127, so saturation happens
+            assert r["n_saturated"] >= 1
+
+    def test_zero_vector_degrades_gracefully(self, spark, tmp_path):
+        import pandas as pd
+
+        p = str(tmp_path / "embeddings.parquet")
+        pd.DataFrame(
+            {"vec_id": [7], "embedding": [[0.0] * 8], "label": [0]}
+        ).to_parquet(p)
+        from concurrent_etl_spark.queries_llm2 import q_embedding_quantize_int8
+
+        r = q_embedding_quantize_int8(spark, str(tmp_path)).collect()[0]
+        assert r["qscale"] == 0.0 and r["recon_mse"] == 0.0 and r["n_saturated"] == 0
