@@ -3,6 +3,8 @@ data mixing, LM scoring, contamination)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from concurrent_etl_spark import queries_llm2 as Q2
@@ -181,3 +183,23 @@ class TestEmbeddingQuantizeInt8:
 
         r = q_embedding_quantize_int8(spark, str(tmp_path)).collect()[0]
         assert r["qscale"] == 0.0 and r["recon_mse"] == 0.0 and r["n_saturated"] == 0
+
+    def test_pretokenization_is_lossless(self, spark):
+        """GPT-2-style pre-tokenizers must partition the string: the
+        matches concatenate back to the exact input."""
+        from concurrent_etl_spark.queries_llm2 import _BPE_PAT
+        from concurrent_etl_spark.engine import load_table
+
+        bad = (
+            load_table(spark, "/root/testdata/sf0.001", "documents")
+            .select(
+                F.array_join(
+                    F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)),
+                    "",
+                ).alias("rebuilt"),
+                "text",
+            )
+            .where(F.col("rebuilt") != F.col("text"))
+            .count()
+        )
+        assert bad == 0
