@@ -783,3 +783,65 @@ def q_json_struct_map_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.col("s.k")).alias("n_distinct_k"),
         F.max(F.size(F.map_keys(F.col("m")))).alias("max_n_keys"),
     )
+
+
+@query(
+    "sql_interface_weekly_share",
+    oracle="""
+    WITH weekly AS (
+      SELECT r.r_name AS region_name,
+             date_trunc('week', o.o_orderdate) AS week_start,
+             SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                      AS DECIMAL(18,6))) AS revenue_dec
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1, 2)
+    SELECT region_name, week_start,
+           CAST(revenue_dec AS DOUBLE) AS revenue,
+           CAST(revenue_dec AS DOUBLE)
+             / CAST(SUM(revenue_dec) OVER (PARTITION BY region_name)
+                    AS DOUBLE) AS region_share
+    FROM weekly
+    """,
+)
+def q_sql_interface_weekly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: the whole query is one ANSI string through
+    ``spark.sql()`` over the registered temp views — proving the
+    engine's second API surface (SURVEY §7: "DataFrame / SQL").
+    Catalyst compiles it to the identical plan a DataFrame chain
+    would get (star join + partial agg + one windowed share), so
+    every pushdown/broadcast property carries over; the only
+    difference is the parser front-end. Decimal-exact weekly sums;
+    the share is a double ratio of decimal-exact numerators.
+    """
+    from concurrent_etl_spark.engine import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH weekly AS (
+          SELECT r.r_name AS region_name,
+                 date_trunc('week', o.o_orderdate) AS week_start,
+                 SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                          AS DECIMAL(18,6))) AS revenue_dec
+          FROM lineitem l
+          JOIN orders o   ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n   ON c.c_nationkey = n.n_nationkey
+          JOIN region r   ON n.n_regionkey = r.r_regionkey
+          WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o.o_orderdate < TIMESTAMP '1997-04-01'
+          GROUP BY 1, 2)
+        SELECT region_name, week_start,
+               CAST(revenue_dec AS DOUBLE) AS revenue,
+               CAST(revenue_dec AS DOUBLE)
+                 / CAST(SUM(revenue_dec) OVER (PARTITION BY region_name)
+                        AS DOUBLE) AS region_share
+        FROM weekly
+        """
+    )
