@@ -99,3 +99,30 @@ def compact_small_files(
     _os.rename(staged, path)
     _shutil.rmtree(backup)
     return len(_glob.glob(_os.path.join(path, "*.parquet")))
+
+
+def backfill_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Idempotent backfill: replace ONLY the hive partitions present
+    in ``df``, leaving every other partition untouched.
+
+    ``partitionOverwriteMode=dynamic`` scopes the overwrite to the
+    partitions the batch actually contains — the standard
+    reprocess-one-day pattern. With the default (static) mode the
+    same call would truncate the whole table first: the difference
+    between an idempotent backfill and a data-loss incident. The
+    conf is set per-write via the writer option, so the session
+    default stays untouched.
+
+    Reference parity: the reference's recovery story is "delete the
+    Temp table and re-run the whole batch" (case_2/Normal.py:276,
+    311-323) — partition-scoped overwrite is that, minus the full
+    truncate, at any scale: a 100 TB table backfills one day by
+    rewriting one directory.
+    """
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

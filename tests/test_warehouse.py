@@ -110,3 +110,55 @@ class TestCompaction:
         assert after == before
         # no staging/backup dirs left behind
         assert not glob.glob(str(tmp_path / "t._compact*"))
+
+
+class TestBackfillPartitions:
+    def test_only_touched_partition_replaced(self, spark, tmp_path):
+        from concurrent_etl_spark.sources.warehouse import (
+            backfill_partitions,
+            write_partitioned,
+        )
+
+        path = str(tmp_path / "fact")
+        base = spark.createDataFrame(
+            [(1, "day1", 10.0), (2, "day1", 20.0),
+             (3, "day2", 30.0), (4, "day3", 40.0)],
+            "id LONG, day STRING, v DOUBLE",
+        )
+        write_partitioned(base, path, ["day"])
+
+        # reprocess day 2 with corrected values (and one new row)
+        fix = spark.createDataFrame(
+            [(3, "day2", 33.0), (5, "day2", 55.0)],
+            "id LONG, day STRING, v DOUBLE",
+        )
+        backfill_partitions(fix, path, ["day"])
+
+        got = {
+            (r["id"], r["day"], r["v"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            (1, "day1", 10.0), (2, "day1", 20.0),
+            (3, "day2", 33.0), (5, "day2", 55.0),
+            (4, "day3", 40.0),
+        }
+
+    def test_idempotent_rerun(self, spark, tmp_path):
+        from concurrent_etl_spark.sources.warehouse import (
+            backfill_partitions,
+            write_partitioned,
+        )
+
+        path = str(tmp_path / "fact")
+        base = spark.createDataFrame(
+            [(1, "d1", 1.0), (2, "d2", 2.0)], "id LONG, day STRING, v DOUBLE"
+        )
+        write_partitioned(base, path, ["day"])
+        fix = spark.createDataFrame([(2, "d2", 9.0)], "id LONG, day STRING, v DOUBLE")
+        backfill_partitions(fix, path, ["day"])
+        backfill_partitions(fix, path, ["day"])
+        got = sorted(
+            (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+        )
+        assert got == [(1, 1.0), (2, 9.0)]
