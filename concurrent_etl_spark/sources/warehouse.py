@@ -69,6 +69,7 @@ def compact_small_files(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet directory into ~target-sized files.
 
@@ -88,12 +89,19 @@ def compact_small_files(
     total = sum(_os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))  # ceil-div
     staged = path.rstrip("/") + "._compact_tmp"
-    (
-        spark.read.parquet(path)
-        .repartition(int(n_out))
-        .write.mode("overwrite")
-        .parquet(staged)
-    )
+    df = spark.read.parquet(path)
+    if sort_cols:
+        # range-partition + sort within files: parquet row-group
+        # min/max stats on sort_cols become tight and disjoint, so
+        # later range/point predicates skip whole files and row
+        # groups — the poor man's clustering key, paid once at
+        # compaction time
+        df = df.repartitionByRange(int(n_out), *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(int(n_out))
+    df.write.mode("overwrite").parquet(staged)
     backup = path.rstrip("/") + "._compact_old"
     _os.rename(path, backup)
     _os.rename(staged, path)

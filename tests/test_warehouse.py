@@ -162,3 +162,31 @@ class TestBackfillPartitions:
             (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
         )
         assert got == [(1, 1.0), (2, 9.0)]
+
+
+class TestSortedCompaction:
+    def test_files_are_disjoint_and_sorted(self, spark, tmp_path):
+        from concurrent_etl_spark.sources.warehouse import compact_small_files
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "t")
+        spark.range(0, 10000).withColumn(
+            "k", (F.col("id") * 7919) % 10000
+        ).repartition(16).write.parquet(path)
+
+        n = compact_small_files(spark, path, target_file_bytes=50_000,
+                                sort_cols=["k"])
+        assert n >= 2
+
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("k").alias("lo"), F.max("k").alias("hi"),
+                 F.count("*").alias("cnt"))
+            .collect()
+        )
+        spans = sorted((r["lo"], r["hi"]) for r in per_file)
+        # range partitioning => file key ranges are disjoint
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b <= c, spans
+        assert sum(r["cnt"] for r in per_file) == 10000
