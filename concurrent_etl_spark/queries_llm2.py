@@ -838,3 +838,113 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("recon_mse"),
     )
+
+
+# count-min sketch geometry: 4 independent hash rows x 64 buckets.
+# Row hashes are md5("<row>:<token>") — deterministic, engine-neutral.
+_CMS_D, _CMS_W = 4, 64
+
+
+@query(
+    "cms_frequency_sketch",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_tok('lower(text)')}) AS tok FROM documents),
+    exact AS (
+      SELECT tok, COUNT(*) AS exact_count FROM tok GROUP BY tok),
+    rows_ AS (SELECT unnest(range(0, {_CMS_D})) AS i),
+    cells AS (
+      SELECT r.i,
+             ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.tok), 1, 8))
+               ::BIGINT % {_CMS_W} AS bucket,
+             COUNT(*) AS cell_count
+      FROM tok t CROSS JOIN rows_ r
+      GROUP BY 1, 2),
+    topk AS (
+      SELECT tok, exact_count FROM exact
+      ORDER BY exact_count DESC, tok LIMIT 10),
+    est AS (
+      SELECT k.tok, k.exact_count, MIN(c.cell_count) AS cms_estimate
+      FROM topk k
+      CROSS JOIN rows_ r
+      JOIN cells c
+        ON c.i = r.i
+       AND c.bucket = ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || k.tok), 1, 8))
+                        ::BIGINT % {_CMS_W}
+      GROUP BY k.tok, k.exact_count)
+    SELECT tok, exact_count, cms_estimate,
+           cms_estimate >= exact_count AS never_underestimates
+    FROM est
+    """,
+)
+def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch: the mergeable frequency sketch (completes
+    the sketch family next to KMV cardinality and HLL distinct).
+    Build = one grouped count over (row, bucket) cells — 4x64 = 256
+    cells total regardless of corpus size, so the sketch state that
+    crosses the shuffle is CONSTANT at 100 TB (each partition's
+    partial cells merge by addition, the CMS merge law). Estimates
+    for the exact top-10 tokens are read back via a broadcast join
+    of the 256-cell table; the defining guarantee (estimates never
+    undercount) is emitted as a checked column.
+
+    Deterministic md5 row hashes make the sketch content —
+    not just its error bound — reproducible in the oracle.
+    """
+    from concurrent_etl_spark.engine import load_table
+    from concurrent_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    rows = F.array(*[F.lit(i) for i in range(_CMS_D)])
+
+    def bucket(i_col, tok_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(i_col.cast("string"), F.lit(":"), tok_col)),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    cells = (
+        tok.withColumn("i", F.explode(rows))
+        .groupBy("i", bucket(F.col("i"), F.col("tok")).alias("bucket"))
+        .agg(F.count("*").alias("cell_count"))
+    )
+    topk = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "tok")
+        .limit(10)
+    )
+    cells_r = cells.select(
+        F.col("i").alias("ci"),
+        F.col("bucket").alias("cbucket"),
+        "cell_count",
+    )
+    est = (
+        topk.withColumn("i", F.explode(rows))
+        .join(
+            F.broadcast(cells_r),
+            (F.col("i") == F.col("ci"))
+            & (bucket(F.col("i"), F.col("tok")) == F.col("cbucket")),
+        )
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cell_count").alias("cms_estimate"))
+    )
+    return est.select(
+        "tok",
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_count")).alias(
+            "never_underestimates"
+        ),
+    )

@@ -88,3 +88,55 @@ class TestKmvOverlap:
         assert r.est_union == 15.0
         assert r.n_common == 5
         assert abs(r.est_intersect - 5.0) < 1e-9
+
+
+class TestCmsFrequencySketch:
+    def test_never_underestimates_and_min_rule(self, spark):
+        from concurrent_etl_spark.queries_llm2 import q_cms_frequency_sketch
+
+        rows = q_cms_frequency_sketch(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r["never_underestimates"] is True
+            assert r["cms_estimate"] >= r["exact_count"] >= 1
+
+    def test_merge_law_partials_add(self, spark, tmp_path):
+        """CMS of (A ∪ B) == cellwise sum of CMS(A) + CMS(B): build the
+        sketch over two disjoint halves and over the union; cells add."""
+        import pandas as pd
+        from concurrent_etl_spark.queries_llm2 import _CMS_D, _CMS_W
+        from concurrent_etl_spark.operators.text import tokens
+        from pyspark.sql import functions as F
+
+        def cells(df):
+            tok = df.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+            rows = F.array(*[F.lit(i) for i in range(_CMS_D)])
+            b = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))),
+                        1, 8,
+                    ), 16, 10,
+                ).cast("bigint") % _CMS_W
+            )
+            out = {}
+            for r in (
+                tok.withColumn("i", F.explode(rows))
+                .groupBy("i", b.alias("bucket"))
+                .agg(F.count("*").alias("c"))
+                .collect()
+            ):
+                out[(r["i"], r["bucket"])] = r["c"]
+            return out
+
+        docs = [(i, f"tok{i % 5} tok{i % 3} common") for i in range(40)]
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+        a = spark.createDataFrame(pdf[:20])
+        b_ = spark.createDataFrame(pdf[20:])
+        u = spark.createDataFrame(pdf)
+
+        ca, cb, cu = cells(a), cells(b_), cells(u)
+        keys = set(ca) | set(cb)
+        assert set(cu) == keys
+        for k in keys:
+            assert ca.get(k, 0) + cb.get(k, 0) == cu[k]
