@@ -36,6 +36,8 @@ SPOT_CHECK = [
     "tpch_q11_important_stock",
     "tpch_q21_waiting_suppliers",
     "token_count_bpe_regex",
+    "sql_interface_weekly_share",
+    "cms_frequency_sketch",
 ]
 
 
