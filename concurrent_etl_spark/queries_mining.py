@@ -98,17 +98,25 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-based edge orientation (high-degree vertices get fewer
     out-edges), which the u<v canonicalization approximates here.
     """
-    items = (
+    # one fact shuffle: per-order supplier sets, then pairs expand
+    # IN-ROW from the sorted array (u < v by position) — replaces the
+    # order-key self-join of two full fact copies (measured ~2x at
+    # sf0.1; at 100 TB it halves the shuffled bytes and the pair
+    # blow-up happens after the per-order reduction, bounded by the
+    # per-order line count, not by a join)
+    per_order = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .dropDuplicates(["l_orderkey", "l_suppkey"])
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
     )
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
     edges = (
-        a.join(b, "ok")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
+        per_order.select(F.posexplode("ss").alias("i", "u"), F.col("ss"))
+        .select(
+            "u",
+            F.explode(
+                F.slice(F.col("ss"), F.col("i") + 2, F.size("ss"))
+            ).alias("v"),
+        )
         .distinct()
         .persist()
     )
