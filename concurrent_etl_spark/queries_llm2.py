@@ -845,6 +845,37 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_D, _CMS_W = 4, 64
 
 
+def cms_bucket(i_col, tok_col):
+    """Row-i bucket of a token: md5("<i>:<tok>") first 8 hex chars as
+    an integer mod the sketch width. Shared by the catalog query and
+    the merge-law test so the tested sketch IS the shipped sketch."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(i_col.cast("string"), F.lit(":"), tok_col)),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+
+
+def cms_cells(tok_counts: DataFrame) -> DataFrame:
+    """(i, bucket) -> cell_count sketch table from per-token counts.
+
+    Summing counts per cell is identical to counting exploded token
+    occurrences per cell, but aggregates vocabulary-sized input."""
+    rows = F.array(*[F.lit(i) for i in range(_CMS_D)])
+    return (
+        tok_counts.withColumn("i", F.explode(rows))
+        .groupBy("i", cms_bucket(F.col("i"), F.col("tok")).alias("bucket"))
+        .agg(F.sum("exact_count").alias("cell_count"))
+    )
+
+
 @query(
     "cms_frequency_sketch",
     oracle=f"""
@@ -880,13 +911,15 @@ _CMS_D, _CMS_W = 4, 64
 def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch: the mergeable frequency sketch (completes
     the sketch family next to KMV cardinality and HLL distinct).
-    Build = one grouped count over (row, bucket) cells — 4x64 = 256
-    cells total regardless of corpus size, so the sketch state that
-    crosses the shuffle is CONSTANT at 100 TB (each partition's
-    partial cells merge by addition, the CMS merge law). Estimates
-    for the exact top-10 tokens are read back via a broadcast join
-    of the 256-cell table; the defining guarantee (estimates never
-    undercount) is emitted as a checked column.
+    The corpus is scanned ONCE into per-token exact counts (persisted
+    — both the sketch and the top-k read it); the 4x64 = 256 sketch
+    cells are then an aggregation of the vocabulary-sized counts, so
+    the state that crosses the final shuffle is CONSTANT at 100 TB
+    (each partition's partial cells merge by addition, the CMS merge
+    law — tested in tests/test_sketch.py against these same
+    helpers). Estimates for the exact top-10 tokens are read back
+    via a broadcast join of the 256-cell table; the defining
+    guarantee (estimates never undercount) is a checked column.
 
     Deterministic md5 row hashes make the sketch content —
     not just its error bound — reproducible in the oracle.
@@ -895,36 +928,15 @@ def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent_etl_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        F.explode(tokens(F.lower(F.col("text")))).alias("tok")
-    )
-    rows = F.array(*[F.lit(i) for i in range(_CMS_D)])
-
-    def bucket(i_col, tok_col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(i_col.cast("string"), F.lit(":"), tok_col)),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % _CMS_W
-        )
-
-    cells = (
-        tok.withColumn("i", F.explode(rows))
-        .groupBy("i", bucket(F.col("i"), F.col("tok")).alias("bucket"))
-        .agg(F.count("*").alias("cell_count"))
-    )
-    topk = (
-        tok.groupBy("tok")
+    tok_counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
         .agg(F.count("*").alias("exact_count"))
-        .orderBy(F.col("exact_count").desc(), "tok")
-        .limit(10)
+        .persist()
     )
+    cells = cms_cells(tok_counts)
+    topk = tok_counts.orderBy(F.col("exact_count").desc(), "tok").limit(10)
+    rows = F.array(*[F.lit(i) for i in range(_CMS_D)])
     cells_r = cells.select(
         F.col("i").alias("ci"),
         F.col("bucket").alias("cbucket"),
@@ -935,7 +947,7 @@ def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             F.broadcast(cells_r),
             (F.col("i") == F.col("ci"))
-            & (bucket(F.col("i"), F.col("tok")) == F.col("cbucket")),
+            & (cms_bucket(F.col("i"), F.col("tok")) == F.col("cbucket")),
         )
         .groupBy("tok", "exact_count")
         .agg(F.min("cell_count").alias("cms_estimate"))

@@ -785,9 +785,9 @@ def q_json_struct_map_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sql_interface_weekly_share",
-    oracle="""
+#: one source of truth: the oracle AND the spark.sql() body are this
+#: exact ANSI string (executable by both engines unchanged)
+_WEEKLY_SHARE_SQL = """
     WITH weekly AS (
       SELECT r.r_name AS region_name,
              date_trunc('week', o.o_orderdate) AS week_start,
@@ -807,7 +807,12 @@ def q_json_struct_map_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST(SUM(revenue_dec) OVER (PARTITION BY region_name)
                     AS DOUBLE) AS region_share
     FROM weekly
-    """,
+"""
+
+
+@query(
+    "sql_interface_weekly_share",
+    oracle=_WEEKLY_SHARE_SQL,
 )
 def q_sql_interface_weekly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL entry path: the whole query is one ANSI string through
@@ -822,26 +827,4 @@ def q_sql_interface_weekly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent_etl_spark.engine import register_temp_views
 
     register_temp_views(spark, sf_dir)
-    return spark.sql(
-        """
-        WITH weekly AS (
-          SELECT r.r_name AS region_name,
-                 date_trunc('week', o.o_orderdate) AS week_start,
-                 SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
-                          AS DECIMAL(18,6))) AS revenue_dec
-          FROM lineitem l
-          JOIN orders o   ON l.l_orderkey = o.o_orderkey
-          JOIN customer c ON o.o_custkey = c.c_custkey
-          JOIN nation n   ON c.c_nationkey = n.n_nationkey
-          JOIN region r   ON n.n_regionkey = r.r_regionkey
-          WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
-            AND o.o_orderdate < TIMESTAMP '1997-04-01'
-          GROUP BY 1, 2)
-        SELECT region_name, week_start,
-               CAST(revenue_dec AS DOUBLE) AS revenue,
-               CAST(revenue_dec AS DOUBLE)
-                 / CAST(SUM(revenue_dec) OVER (PARTITION BY region_name)
-                        AS DOUBLE) AS region_share
-        FROM weekly
-        """
-    )
+    return spark.sql(_WEEKLY_SHARE_SQL)

@@ -100,42 +100,32 @@ class TestCmsFrequencySketch:
             assert r["never_underestimates"] is True
             assert r["cms_estimate"] >= r["exact_count"] >= 1
 
-    def test_merge_law_partials_add(self, spark, tmp_path):
-        """CMS of (A ∪ B) == cellwise sum of CMS(A) + CMS(B): build the
-        sketch over two disjoint halves and over the union; cells add."""
+    def test_merge_law_partials_add(self, spark):
+        """CMS of (A ∪ B) == cellwise sum of CMS(A) + CMS(B): build
+        the sketch with the query's own helpers over two disjoint
+        halves and over the union; cells add."""
         import pandas as pd
-        from concurrent_etl_spark.queries_llm2 import _CMS_D, _CMS_W
+        from concurrent_etl_spark.queries_llm2 import cms_cells
         from concurrent_etl_spark.operators.text import tokens
         from pyspark.sql import functions as F
 
         def cells(df):
-            tok = df.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
-            rows = F.array(*[F.lit(i) for i in range(_CMS_D)])
-            b = (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("tok"))),
-                        1, 8,
-                    ), 16, 10,
-                ).cast("bigint") % _CMS_W
+            tok_counts = (
+                df.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+                .groupBy("tok")
+                .agg(F.count("*").alias("exact_count"))
             )
-            out = {}
-            for r in (
-                tok.withColumn("i", F.explode(rows))
-                .groupBy("i", b.alias("bucket"))
-                .agg(F.count("*").alias("c"))
-                .collect()
-            ):
-                out[(r["i"], r["bucket"])] = r["c"]
-            return out
+            return {
+                (r["i"], r["bucket"]): r["cell_count"]
+                for r in cms_cells(tok_counts).collect()
+            }
 
         docs = [(i, f"tok{i % 5} tok{i % 3} common") for i in range(40)]
         pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
-        a = spark.createDataFrame(pdf[:20])
-        b_ = spark.createDataFrame(pdf[20:])
-        u = spark.createDataFrame(pdf)
+        ca = cells(spark.createDataFrame(pdf[:20]))
+        cb = cells(spark.createDataFrame(pdf[20:]))
+        cu = cells(spark.createDataFrame(pdf))
 
-        ca, cb, cu = cells(a), cells(b_), cells(u)
         keys = set(ca) | set(cb)
         assert set(cu) == keys
         for k in keys:
