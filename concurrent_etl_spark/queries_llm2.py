@@ -567,9 +567,12 @@ def q_curation_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     stats = T.text_stats(docs).select("doc_id", "quality")
 
+    # sh and bg each feed two+ branches of the plan; persisted, the
+    # corpus-wide explode/tokenize executes once per signal instead of
+    # once per branch (measured ~1.5x on the whole composite at sf0.1)
     sh = docs.select(
         "doc_id", F.explode(T.shingles(F.lower(F.col("text")), 2)).alias("s")
-    )
+    ).persist()
     dfreq = sh.groupBy("s").agg(F.count("*").alias("n_docs"))
     novel = F.when(F.col("n_docs") == 1, 1).otherwise(0)
     nov = (
@@ -587,8 +590,8 @@ def q_curation_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " struct(w AS w1, toks[i + 1] AS w2))"
             )
         ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    ).select("doc_id", "p.w1", "p.w2").persist()
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n")).persist()
     tot = cnt.groupBy("w1").agg(F.sum("n").alias("n_w1"))
     lp = F.round(F.log(F.col("n") / F.col("n_w1")), 12).cast("decimal(24,12)")
     lm = (
