@@ -212,9 +212,11 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform shingle hashes or doc_id; never doc x doc.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # sh feeds both the document-frequency agg and the rejoin;
+    # persisted so the corpus shingle explosion runs once
     sh = docs.select(
         "doc_id", F.explode(T.shingles(F.lower(F.col("text")), 2)).alias("s")
-    )
+    ).persist()
     dfreq = sh.groupBy("s").agg(F.count("*").alias("n_docs"))
     novel = F.when(F.col("n_docs") == 1, 1).otherwise(0)
     return (
