@@ -418,6 +418,9 @@ def simhash_pairs(
     generator — never a cross join.
     """
     fp = simhash(docs, text_col)
+    # both sides of the bucket self-join read this; persisted so the
+    # fingerprint computation (tokenize + hash + 32 bit-sums per doc)
+    # runs once, same as the MinHash signature persist
     bytes_df = fp.select(
         "doc_id",
         "simhash",
@@ -430,7 +433,7 @@ def simhash_pairs(
                 % 256,
             )
         ).alias("byte_idx", "byte_val"),
-    )
+    ).persist()
     a = bytes_df.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sim_a"),

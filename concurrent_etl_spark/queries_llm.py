@@ -854,9 +854,18 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.round(
         1.0 - lev / F.greatest(F.length("text_a"), F.length("text_b")), 9
     )
+    # provably lossless prefilter: lev >= |len_a - len_b|, so a pair
+    # whose lengths differ by more than 20% (+1 slack for the rounded
+    # boundary) can never reach sim >= 0.8 — the O(len^2) DP runs
+    # only on length-compatible candidates
+    len_ok = (
+        F.abs(F.length("text_a") - F.length("text_b"))
+        <= 0.2 * F.greatest(F.length("text_a"), F.length("text_b")) + 1
+    )
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .where(len_ok)
         .select(
             "doc_a",
             "doc_b",
