@@ -828,3 +828,86 @@ def q_sql_interface_weekly_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_WEEKLY_SHARE_SQL)
+
+
+@query(
+    "integrity_constraint_audit",
+    oracle="""
+    SELECT 'orders_pk_dup' AS check_name,
+           (SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_orphan',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_custkey_orphan',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer_nationkey_orphan',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'lineitem_pk_dup',
+           (SELECT COUNT(*) FROM (
+              SELECT l_orderkey, l_linenumber FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+    """,
+)
+def q_integrity_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over the star: primary-key uniqueness
+    (orders; lineitem's composite key) and foreign-key orphan counts
+    for every edge of the dimension chain — the checks a warehouse
+    load runs before publishing a batch (the reference trusts its DB
+    constraints to do this server-side; a lakehouse engine must own
+    them). Each uniqueness check is a map-side-combinable
+    group-count; each orphan check is a left-anti join against the
+    (broadcastable) parent keys; five small aggregates union into
+    one audit row set. At 100 TB every check is one scan + one
+    bounded shuffle, and the audit composes with `observe()` so a
+    violating batch fails before the merge, not after.
+    """
+    from concurrent_etl_spark.engine import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def dup_count(df, keys):
+        return (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > 1)
+            .agg(F.count("*").alias("n_violations"))
+        )
+
+    def orphan_count(child, child_key, parent, parent_key):
+        return (
+            child.join(
+                parent.select(parent_key).distinct(),
+                child[child_key] == F.col(parent_key),
+                "left_anti",
+            ).agg(F.count("*").alias("n_violations"))
+        )
+
+    checks = [
+        ("orders_pk_dup", dup_count(o, ["o_orderkey"])),
+        ("lineitem_orderkey_orphan", orphan_count(li, "l_orderkey", o, "o_orderkey")),
+        ("orders_custkey_orphan", orphan_count(o, "o_custkey", c, "c_custkey")),
+        (
+            "customer_nationkey_orphan",
+            orphan_count(c, "c_nationkey", n, "n_nationkey"),
+        ),
+        ("lineitem_pk_dup", dup_count(li, ["l_orderkey", "l_linenumber"])),
+    ]
+    out = None
+    for name, df in checks:
+        part = df.select(F.lit(name).alias("check_name"), "n_violations")
+        out = part if out is None else out.unionByName(part)
+    return out
