@@ -963,3 +963,52 @@ def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_underestimates"
         ),
     )
+
+
+@query(
+    "array_hof_family",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           round(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')),
+                 9) AS l2_norm,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+           list_max(list_transform(v, x -> abs(x))) AS max_abs,
+           (len(list_filter(v, x -> abs(x) > 2.0)) > 0) AS has_large,
+           round(list_aggregate(v, 'sum') / len(v), 9) AS mean_val
+    FROM e
+    """,
+)
+def q_array_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function family over embedding vectors:
+    transform / filter / exists / aggregate (fold) / array_max, all
+    evaluated JVM-side inside codegen — the zero-Python path for
+    vector feature engineering. The fold is a sequential left fold in
+    element order, so the double sum is bit-reproducible per row (no
+    partition-order dependence: the array lives inside one row), and
+    the oracle's list_aggregate walks the same order. The float32
+    elements are widened to double BEFORE any arithmetic on both
+    sides so intermediate precision matches exactly. Per-row work,
+    no shuffle at all: at 100 TB this is a pure map stage bounded by
+    scan bandwidth.
+
+    Reference parity: none — the reference has no array type
+    (SURVEY §1 'no nested, array, map types'); this is north-star
+    surface for embedding-column pipelines.
+    """
+    from concurrent_etl_spark.engine import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    sq_sum = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 9).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("max_abs"),
+        F.exists(v, lambda x: F.abs(x) > 2.0).alias("has_large"),
+        F.round(total / F.size(v), 9).alias("mean_val"),
+    )

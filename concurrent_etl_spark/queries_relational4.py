@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.catalog import dsum as _dsum
 from concurrent_etl_spark.engine import load_table
 
 
@@ -911,3 +912,67 @@ def q_integrity_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         part = df.select(F.lit(name).alias("check_name"), "n_violations")
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free join via bucketed table layout (S3-class source +
+    J1-class join, re-planned for the lake): orders and customer are
+    written hash-clustered into 8 buckets on the customer key, so the
+    sort-merge join consumes bucket-aligned scans directly — zero
+    Exchange below the join (vs two for the plain parquet plan; the
+    only shuffle left is the final low-cardinality aggregation).
+    This is the pay-once-at-ingest layout that makes every subsequent
+    key join/agg on a 100 TB fact table shuffle-free; results are
+    byte-identical to the unbucketed join, which is exactly what the
+    oracle checks.
+
+    Reference parity: the reference re-reads + re-joins master tables
+    per 1000-row chunk over JDBC (case_2/Normal.py:58,232-236),
+    paying layout cost on EVERY query; bucketing inverts that.
+
+    The bucketed copies are (re)built only when this SparkSession has
+    not registered them yet — rebuilds are idempotent overwrites
+    keyed by the sf_dir, so concurrent scale factors never collide.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.sources.warehouse import write_bucketed
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = _os.path.join(_tempfile.gettempdir(), "ces_bucketed", tag)
+    tables = {
+        "orders": (f"bco_orders_{tag}", ["o_custkey"]),
+        "customer": (f"bco_customer_{tag}", ["c_custkey"]),
+    }
+    for src, (tbl, keys) in tables.items():
+        if not spark.catalog.tableExists(tbl):
+            write_bucketed(
+                load_table(spark, sf_dir, src),
+                tbl,
+                _os.path.join(base, src),
+                keys,
+                n_buckets=8,
+            )
+    o = spark.table(tables["orders"][0])
+    c = spark.table(tables["customer"][0])
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice", "sum_price"),
+        )
+    )

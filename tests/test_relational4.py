@@ -150,3 +150,60 @@ class TestIntegrityConstraintAudit:
             for r in q_integrity_constraint_audit(spark, str(tmp_path)).collect()
         }
         assert got2["orders_pk_dup"] == 1
+
+
+class TestBucketedColocatedJoin:
+    def test_join_has_no_exchange_below_it(self, spark):
+        """The whole point of bucketing: both join inputs are read
+        pre-hash-clustered, so the plan's only Exchange is the final
+        aggregation's — the join itself never shuffles."""
+        from concurrent_etl_spark.plans.explain import plan_string
+
+        # at sf0.001 Catalyst rightly broadcasts the tiny dim side,
+        # which hides the bucket alignment; disabling broadcast shows
+        # the plan a 100 TB x 100 TB join would get
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = Q4.q_bucketed_colocated_join(spark, SF_DIR)
+            plan = plan_string(df, "simple")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Bucketed: true" in plan
+        # one shuffle for the groupBy(mktsegment); ZERO for the join —
+        # both inputs arrive pre-clustered from the bucketed layout
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_matches_unbucketed_join(self, spark, tables):
+        got = {
+            r["mktsegment"]: (r["n_orders"], round(r["sum_price"], 4))
+            for r in Q4.q_bucketed_colocated_join(spark, SF_DIR).collect()
+        }
+        o, c = tables["orders"], tables["customer"]
+        exp = {
+            r["c_mktsegment"]: (r["n"], round(r["s"], 4))
+            for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("s"),
+            )
+            .collect()
+        }
+        assert got == exp
+
+
+class TestArrayHofFamily:
+    def test_norm_and_counts_consistent(self, spark):
+        from concurrent_etl_spark import queries_llm2 as QL2
+
+        rows = QL2.q_array_hof_family(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r["l2_norm"] >= r["max_abs"] - 1e-9  # norm dominates any |x|
+            assert r["n_pos"] >= 0
+            assert r["has_large"] == (r["max_abs"] > 2.0)
+            assert abs(r["mean_val"]) <= r["max_abs"] + 1e-9
