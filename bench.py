@@ -59,6 +59,11 @@ def main() -> None:
         # ambient machine load and first-use codegen compilation; the
         # min is the reproducible steady-state number
         best = float("inf")
+        # settle the JVM between queries: earlier queries' cached
+        # blocks and shuffle buffers otherwise bleed GC pauses into
+        # whichever query happens to run late in the list
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         for _ in range(2):
             # drop caches a previous rep's internal persist() left
             # behind — each rep must pay the query's full compute
