@@ -976,3 +976,57 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum("o_totalprice", "sum_price"),
         )
     )
+
+
+@query(
+    "map_functions_family",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           3 AS n_keys,
+           'brand,name,size' AS keys_sorted,
+           upper(p_brand) AS brand_up,
+           upper(p_name) AS name_up,
+           CAST(p_size AS VARCHAR) AS size_s,
+           CAST(p_size AS DOUBLE) + p_retailprice AS size_plus_price
+    FROM part
+    """,
+)
+def q_map_functions_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType manipulation family: create_map / map_filter /
+    transform_values / map_concat / map_zip_with / map_keys, the full
+    key-value column surface (SURVEY §1 maps 'MapType/JSON strings
+    for props' into the data model; json_struct_map_parse covers the
+    parse-in, this covers compute-on-map). The maps are built from
+    part attributes in-row, so the oracle states the expected output
+    of each map op directly — semantics checked, mechanism Spark's.
+    All ops are per-row codegen'd expressions: zero shuffle, scales
+    as a pure map stage like the array HOF family.
+
+    Reference parity: none — the reference has no map/dict-valued
+    columns anywhere (SURVEY §1 'no nested, array, map types').
+    """
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("type"), F.col("p_type"),
+        F.lit("name"), F.col("p_name"),
+    )
+    # drop one key, uppercase the survivors, then append a new key
+    no_type = F.map_filter(m, lambda k, v: k != "type")
+    upped = F.transform_values(no_type, lambda k, v: F.upper(v))
+    merged = F.map_concat(
+        upped, F.create_map(F.lit("size"), F.col("p_size").cast("string"))
+    )
+    # numeric map combine: per-key addition across two aligned maps
+    m1 = F.create_map(F.lit("v"), F.col("p_size").cast("double"))
+    m2 = F.create_map(F.lit("v"), F.col("p_retailprice"))
+    zipped = F.map_zip_with(m1, m2, lambda k, a, b: a + b)
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.size(F.map_keys(merged)).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(merged)), ",").alias("keys_sorted"),
+        F.element_at(merged, "brand").alias("brand_up"),
+        F.element_at(merged, "name").alias("name_up"),
+        F.element_at(merged, "size").alias("size_s"),
+        F.element_at(zipped, "v").alias("size_plus_price"),
+    )

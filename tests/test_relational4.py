@@ -207,3 +207,16 @@ class TestArrayHofFamily:
             assert r["n_pos"] >= 0
             assert r["has_large"] == (r["max_abs"] > 2.0)
             assert abs(r["mean_val"]) <= r["max_abs"] + 1e-9
+
+
+class TestMapFunctionsFamily:
+    def test_map_ops_semantics(self, spark, tables):
+        rows = Q4.q_map_functions_family(spark, SF_DIR).collect()
+        assert rows
+        part = {r["p_partkey"]: r for r in tables["part"].collect()}
+        for r in rows:
+            src = part[r["partkey"]]
+            assert r["n_keys"] == 3  # type dropped, size appended
+            assert r["keys_sorted"] == "brand,name,size"
+            assert r["brand_up"] == src["p_brand"].upper()
+            assert r["size_plus_price"] == float(src["p_size"]) + src["p_retailprice"]
