@@ -48,8 +48,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
 
-    # warmup: JVM + codegen + parquet footer caches
-    queries["groupby_agg_pricing"](spark, sf_dir).count()
+    # warmup: run every headline query once untimed — JVM/JIT warmup,
+    # codegen compilation, and parquet footer caches are per-plan, so
+    # warming one query leaves the others paying compilation inside
+    # their timed reps (measured ~2x on the first query in the list)
+    for name in HEADLINE:
+        if name in queries:
+            spark.catalog.clearCache()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
