@@ -262,8 +262,15 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = F.round(
             F.col("r") * F.col("w") / F.col("deg") * 1e12, 0
         ).cast("bigint")
+        # the rank vector is node-set-sized — (customer + supplier)
+        # cardinality, this schema's dim class — so broadcasting it
+        # makes each iteration a map-side join over the cached edge
+        # list with the per-node agg as the only shuffle (measured
+        # ~10% at sf0.1). For a graph whose node set scales with the
+        # data (web graphs), drop the hint and let AQE plan the
+        # shuffle join.
         r = (
-            ewd.join(r, ewd.src == r.node)
+            ewd.join(F.broadcast(r), ewd.src == r.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(
