@@ -38,6 +38,8 @@ SPOT_CHECK = [
     "token_count_bpe_regex",
     "sql_interface_weekly_share",
     "cms_frequency_sketch",
+    "array_hof_family",
+    "bucketed_colocated_join",
 ]
 
 
