@@ -71,7 +71,12 @@ def main() -> None:
         # blocks and shuffle buffers otherwise bleed GC pauses into
         # whichever query happens to run late in the list
         spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        try:
+            # classic-session only: _jvm is a private gateway absent
+            # under Spark Connect — skip the GC settle there
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         for _ in range(2):
             # drop caches a previous rep's internal persist() left
             # behind — each rep must pay the query's full compute

@@ -62,13 +62,19 @@ def kmv_distinct(
     hashed = df.select(
         *group_cols, hash60(value_col).alias("h")
     ).dropDuplicates([*group_cols, "h"])
-    w = Window.partitionBy(*group_cols).orderBy("h") if group_cols else (
-        Window.orderBy("h")
-    )
-    kept = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-    )
+    if group_cols:
+        # per-group k-minima: partitioned window; rank<=k compiles to
+        # WindowGroupLimit (map-side k-row cap before the shuffle)
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        kept = (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+        )
+    else:
+        # global k-minima: sort+limit -> TakeOrderedAndProject
+        # (per-partition k-row heaps, driver merge) — never a global
+        # single-partition window
+        kept = hashed.orderBy("h").limit(k)
     n_kept = F.count("*")
     kth = F.max("h")
     est = F.when(
@@ -135,12 +141,13 @@ def kmv_overlap(
     """
     ha = df_a.select(hash60(value_col).alias("h")).dropDuplicates(["h"])
     hb = df_b.select(hash60(value_col).alias("h")).dropDuplicates(["h"])
-    w = Window.orderBy("h")
+    # merged k-minima via sort+limit (TakeOrderedAndProject), not a
+    # global row_number window — bounded driver merge of k-row heaps
     union_kept = (
         ha.unionByName(hb)
         .dropDuplicates(["h"])
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+        .orderBy("h")
+        .limit(k)
         .select("h")
     )
     tagged = (
