@@ -963,9 +963,13 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     paying layout cost on EVERY query; bucketing inverts that.
 
     The bucketed copies are (re)built only when this SparkSession has
-    not registered them yet — rebuilds are idempotent overwrites
-    keyed by the sf_dir, so concurrent scale factors never collide.
+    not registered them yet. The build path is keyed by (application
+    id, sf_dir) so concurrent sessions on the SAME sf_dir never
+    overwrite each other's files, and the tableExists short-circuit
+    is trusted only after validating the table's parquet files still
+    exist on disk (a catalog entry can outlive a cleaned tempdir).
     """
+    import glob as _glob
     import hashlib as _hashlib
     import os as _os
     import tempfile as _tempfile
@@ -973,17 +977,27 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent_etl_spark.sources.warehouse import write_bucketed
 
     tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = _os.path.join(_tempfile.gettempdir(), "ces_bucketed", tag)
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no sparkContext gateway
+        app = spark.conf.get("spark.app.id", "app")
+    app_tag = _hashlib.md5(f"{app}|{tag}".encode()).hexdigest()[:12]
+    base = _os.path.join(_tempfile.gettempdir(), "ces_bucketed", app_tag)
     tables = {
-        "orders": (f"bco_orders_{tag}", ["o_custkey"]),
-        "customer": (f"bco_customer_{tag}", ["c_custkey"]),
+        "orders": (f"bco_orders_{app_tag}_{tag}", ["o_custkey"]),
+        "customer": (f"bco_customer_{app_tag}_{tag}", ["c_custkey"]),
     }
     for src, (tbl, keys) in tables.items():
-        if not spark.catalog.tableExists(tbl):
+        path = _os.path.join(base, src)
+        built = spark.catalog.tableExists(tbl) and bool(
+            _glob.glob(_os.path.join(path, "*.parquet"))
+            or _glob.glob(_os.path.join(path, "**", "*.parquet"))
+        )
+        if not built:
             write_bucketed(
                 load_table(spark, sf_dir, src),
                 tbl,
-                _os.path.join(base, src),
+                path,
                 keys,
                 n_buckets=8,
             )
