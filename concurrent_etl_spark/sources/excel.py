@@ -4,23 +4,33 @@ The reference's input format is SAP-exported .xlsx read per-file with
 pd.read_excel (case_1/NormalETL.py:26; case_2/Normal.py:93). Spark
 has no built-in Excel reader; the production options are the
 spark-excel package or this adapter: binaryFile source -> Arrow
-batches -> pandas.read_excel per file inside executors. Listing,
-scheduling, and retries stay Spark's job; only the byte decode runs
-in pandas.
+batches -> per-file decode inside executors. Listing, scheduling,
+and retries stay Spark's job; only the byte decode runs in Python.
 
-This container ships no xlsx codec (openpyxl), so decoding raises a
-clear error unless a codec import succeeds — the correctness path is
-file-native CSV/parquet (SURVEY §4 'Excel is an adapter, not core').
+Decode strategy: ``pd.read_excel`` (openpyxl) when the codec is
+installed, else the vendored minimal SpreadsheetML decoder below —
+xlsx is a documented public format (ECMA-376: a zip archive holding
+``xl/workbook.xml``, ``xl/worksheets/sheetN.xml``, and an optional
+``xl/sharedStrings.xml``), and the staging model only needs cell
+values as strings (dtype=str, case_2/Normal.py:93), so a stdlib
+zipfile+ElementTree parse covers the reference's entire input
+surface without a dependency.
 """
 
 from __future__ import annotations
 
 import io
+import zipfile
 from collections.abc import Iterator
+from xml.etree import ElementTree as ET
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
+
+_SSML = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RELNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_ODREL = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 
 
 def _excel_codec_available() -> bool:
@@ -30,6 +40,110 @@ def _excel_codec_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def _col_index(ref: str) -> int:
+    """0-based column index from an A1-style cell ref ('BC12' -> 54)."""
+    idx = 0
+    for ch in ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return idx - 1
+
+
+def _first_sheet_path(zf: zipfile.ZipFile) -> str:
+    """Resolve the workbook's first sheet via its relationship id;
+    fall back to the lexically-first worksheet part."""
+    try:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        first = wb.find(f"{_SSML}sheets/{_SSML}sheet")
+        rid = first.get(f"{_ODREL}id")
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        for rel in rels.findall(f"{_RELNS}Relationship"):
+            if rel.get("Id") == rid:
+                target = rel.get("Target").lstrip("/")
+                path = target if target.startswith("xl/") else "xl/" + target
+                if path in zf.namelist():
+                    return path
+    except (KeyError, ET.ParseError, AttributeError):
+        pass
+    cands = sorted(
+        n
+        for n in zf.namelist()
+        if n.startswith("xl/worksheets/") and n.endswith(".xml")
+    )
+    if not cands:
+        raise ValueError("xlsx package contains no worksheet part")
+    return cands[0]
+
+
+def read_xlsx_bytes(data: bytes) -> pd.DataFrame:
+    """Decode one .xlsx payload to an all-string DataFrame.
+
+    Minimal ECMA-376 SpreadsheetML reader: first worksheet only,
+    first row is the header (pd.read_excel default), every value
+    returned as its raw cell string (dtype=str staging semantics).
+    Handles shared strings (rich-text runs concatenated), inline
+    strings, formula-cached strings, booleans, and numeric cells;
+    sparse rows place cells by their A1 refs so gaps stay None.
+    """
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in root.findall(f"{_SSML}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{_SSML}t")))
+
+    root = ET.fromstring(zf.read(_first_sheet_path(zf)))
+    rows: list[dict[int, str | None]] = []
+    for row_el in root.iter(f"{_SSML}row"):
+        cells: dict[int, str | None] = {}
+        auto = 0
+        for c in row_el.findall(f"{_SSML}c"):
+            ref = c.get("r")
+            ci = _col_index(ref) if ref else auto
+            auto = ci + 1
+            t = c.get("t", "n")
+            if t == "inlineStr":
+                is_el = c.find(f"{_SSML}is")
+                val = (
+                    "".join(tt.text or "" for tt in is_el.iter(f"{_SSML}t"))
+                    if is_el is not None
+                    else None
+                )
+            else:
+                v = c.find(f"{_SSML}v")
+                if v is None or v.text is None:
+                    val = None
+                elif t == "s":
+                    val = shared[int(v.text)]
+                elif t == "b":
+                    val = "True" if v.text.strip() == "1" else "False"
+                else:  # "n" (number) or "str" (formula-cached string)
+                    val = v.text
+            cells[ci] = val
+        rows.append(cells)
+
+    if not rows:
+        return pd.DataFrame()
+    header_cells = rows[0]
+    width = (max(header_cells) + 1) if header_cells else 0
+    header = [
+        header_cells.get(i)
+        if header_cells.get(i) is not None
+        else f"Unnamed: {i}"
+        for i in range(width)
+    ]
+    body = [[r.get(i) for i in range(width)] for r in rows[1:]]
+    return pd.DataFrame(body, columns=header, dtype=object)
+
+
+def _decode_one(content: bytes) -> pd.DataFrame:
+    if _excel_codec_available():  # pragma: no cover - env-dependent
+        return pd.read_excel(io.BytesIO(content), dtype=str, na_values=None)
+    return read_xlsx_bytes(content)
 
 
 def read_excel_dir(
@@ -42,7 +156,9 @@ def read_excel_dir(
     Output schema: ``columns`` (all string, dtype=str semantics) +
     ``_source_file`` provenance. One task per file (binaryFile
     source); memory per task bounded by the largest single file, the
-    same constraint the reference had per-thread.
+    same constraint the reference had per-thread. Missing columns
+    surface as nulls; extra sheet columns are dropped — the staging
+    projection the reference did with df[expected_cols].
     """
     out_schema = StructType(
         [StructField(c, StringType()) for c in columns]
@@ -50,21 +166,14 @@ def read_excel_dir(
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not _excel_codec_available():  # pragma: no cover
-            raise NotImplementedError(
-                "xlsx decode needs openpyxl, which this environment does "
-                "not ship; use read_csv_staged for the file-native path"
-            )
         for pdf in batches:
             for _, row in pdf.iterrows():
-                data = pd.read_excel(
-                    io.BytesIO(row["content"]), dtype=str, na_values=None
-                )
+                data = _decode_one(row["content"])
                 data = data[[c for c in columns if c in data.columns]]
                 for c in columns:
                     if c not in data.columns:
                         data[c] = None
-                data = data[columns]
+                data = data[columns].astype(object)
                 data["_source_file"] = row["path"]
                 yield data
 

@@ -109,11 +109,152 @@ class TestJdbcAdapter:
         assert "INSERT (id, v)" in sql
 
 
+def _write_xlsx(path, header, rows, inline=False):
+    """Write a minimal valid ECMA-376 xlsx: one worksheet, shared
+    strings for text cells (or inline strings when ``inline``),
+    plain numeric cells for int/float values. Test-side writer so
+    the reader is exercised against an independently-constructed
+    package, not its own inverse."""
+    import zipfile
+
+    def col_letter(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    shared: list[str] = []
+
+    def cell(ref, v):
+        if v is None:
+            return ""
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if inline:
+            return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+        if v not in shared:
+            shared.append(v)
+        return f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>'
+
+    body = []
+    for rn, row in enumerate([list(header)] + [list(r) for r in rows], start=1):
+        cells = "".join(
+            cell(f"{col_letter(ci)}{rn}", v) for ci, v in enumerate(row)
+        )
+        body.append(f'<row r="{rn}">{cells}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(body)}</sheetData></worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        f'count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
 class TestExcelAdapter:
-    def test_stub_raises_without_codec_or_reads(self, spark, tmp_path):
-        """Without openpyxl the decode raises NotImplementedError at
-        execution; with it, a real xlsx would round-trip. Either way
-        the plan itself must build (plumbing is real)."""
+    COLS = ["order_id", "scrap_qty", "yield_qty", "total_qty"]
+
+    def test_reads_real_xlsx_matching_csv_staged(self, spark, tmp_path):
+        """S2 end-to-end: the reference's per-file pd.read_excel loop
+        (case_1/NormalETL.py:26) as a distributed binaryFile +
+        mapInPandas decode. Two xlsx files (shared-string and
+        inline-string encodings, numeric cells) must stage to exactly
+        the rows the CSV path stages for the same data."""
+        xdir = tmp_path / "xlsx"
+        cdir = tmp_path / "csv"
+        xdir.mkdir()
+        cdir.mkdir()
+        data = {
+            "a_OPERATIONS": [("PO1", 1, 2, 3), ("PO2", 4, 5, 6)],
+            "b_OPERATIONS": [("PO3", 7, 8, 9)],
+        }
+        for i, (stem, rows) in enumerate(sorted(data.items())):
+            _write_xlsx(
+                xdir / f"{stem}.xlsx", self.COLS, rows, inline=bool(i % 2)
+            )
+            (cdir / f"{stem}.csv").write_text(
+                ",".join(self.COLS)
+                + "\n"
+                + "".join(",".join(str(v) for v in r) + "\n" for r in rows)
+            )
+        xdf = read_excel_dir(spark, str(xdir / "*.xlsx"), self.COLS)
+        cdf = read_csv_staged(spark, str(cdir), self.COLS)
+        xrows = sorted(
+            tuple(r[c] for c in self.COLS) for r in xdf.collect()
+        )
+        crows = sorted(
+            tuple(r[c] for c in self.COLS) for r in cdf.collect()
+        )
+        assert xrows == crows
+        files = {r["_source_file"].rsplit("/", 1)[-1] for r in xdf.collect()}
+        assert files == {"a_OPERATIONS.xlsx", "b_OPERATIONS.xlsx"}
+
+    def test_missing_and_extra_columns_project_like_reference(
+        self, spark, tmp_path
+    ):
+        """Sheet missing an expected column -> nulls; extra sheet
+        column -> dropped (the df[expected] staging projection)."""
+        _write_xlsx(
+            tmp_path / "x_OPERATIONS.xlsx",
+            ["order_id", "extra_col", "scrap_qty"],
+            [("PO9", "junk", 42)],
+        )
+        df = read_excel_dir(
+            spark, str(tmp_path / "*.xlsx"), ["order_id", "scrap_qty", "gone"]
+        )
+        row = df.collect()[0]
+        assert (row["order_id"], row["scrap_qty"], row["gone"]) == (
+            "PO9",
+            "42",
+            None,
+        )
+
+    def test_invalid_payload_raises(self, spark, tmp_path):
+        """A non-zip payload fails loudly at execution, never silently
+        yields rows; the plan itself still builds (plumbing is real)."""
         (tmp_path / "x_OPERATIONS.xlsx").write_bytes(b"PK\x03\x04 not a real xlsx")
         df = read_excel_dir(
             spark, str(tmp_path / "*.xlsx"), ["order_id", "scrap_qty"]
@@ -123,7 +264,7 @@ class TestExcelAdapter:
             "scrap_qty",
             "_source_file",
         ]
-        with pytest.raises(Exception):  # codec missing or invalid payload
+        with pytest.raises(Exception):
             df.collect()
 
 
