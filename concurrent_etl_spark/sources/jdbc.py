@@ -98,6 +98,30 @@ class JdbcAdapter:
             .save()
         )
 
+    def execute(self, spark: SparkSession, sql: str) -> int:
+        """Run one DDL/DML statement target-side through the JVM's
+        DriverManager — the reference fired its MERGE by updating a
+        trigger table (case_2/Normal.py:285-286); here the statement
+        (e.g. :meth:`merge_statement`) is executed explicitly.
+        Classic sessions only (needs the JVM gateway); returns the
+        statement's update count.
+        """
+        jvm = spark.sparkContext._jvm
+        props = jvm.java.util.Properties()
+        if self.user:
+            props.setProperty("user", self.user)
+        if self.password:
+            props.setProperty("password", self.password)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            stmt = conn.createStatement()
+            try:
+                return stmt.executeUpdate(sql)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
     def merge_statement(
         self, staging: str, target: str, keys: list[str], columns: list[str]
     ) -> str:
