@@ -3,6 +3,17 @@
 Query modules (queries_catalog, queries_llm, …) register into these
 dicts via the ``query`` decorator; ``__spark_entry__`` exposes them to
 the driver harness.
+
+Persist convention: a query callable MAY ``persist()`` intermediates
+whose consumer is the DataFrame it returns (the result is lazy, so
+the function cannot unpersist before the caller executes it). The
+contract is therefore harness-level: every catalog-wide runner
+(``bench.py``, ``tools/check_oracle.py``, ``tools/explain_all.py``)
+calls ``spark.catalog.clearCache()`` after consuming each query, so
+cached blocks never accumulate across a 149-query sweep. Functions
+that DO run a terminal action internally (pagerank's bounded
+materialization, streaming's merge) unpersist eagerly in
+``try/finally`` instead.
 """
 
 from __future__ import annotations

@@ -242,16 +242,22 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ew = cw.unionByName(
         cw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
-    deg = ew.groupBy("src").agg(F.sum("w").alias("deg"))
+    # deg is one-row-per-node (every node appears as src in the
+    # mirrored edge list), so it doubles as the node set — computing
+    # nodes = ewd.distinct() separately was a second full shuffle of
+    # the edge list for information deg already holds
+    deg = ew.groupBy("src").agg(F.sum("w").alias("deg")).persist()
     # pre-join degrees into the edge list once and persist THAT: each
     # iteration then joins only the rank vector (one join per step,
     # and the upstream fact join never re-executes)
     ewd = ew.join(deg, "src").persist()
     try:
-        nodes = ewd.select(F.col("src").alias("node")).distinct()
-        n_nodes = nodes.count()  # scalar graph size: bounded driver value
+        n_nodes = deg.count()  # scalar graph size: bounded driver value
 
-        r = nodes.select("node", F.round(F.lit(1.0) / n_nodes, 12).alias("r"))
+        r = deg.select(
+            F.col("src").alias("node"),
+            F.round(F.lit(1.0) / n_nodes, 12).alias("r"),
+        )
         for _ in range(2):
             # scaled-integer message passing: contributions round to 1e-12
             # resolution as BIGINTs, so the distributed sum is exact and
@@ -280,6 +286,10 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
                         12,
                     ).alias("r")
                 )
+                # truncate lineage between iterations: the next step's
+                # broadcast exchange otherwise re-executes this whole
+                # iteration's join+agg chain when it materializes
+                .localCheckpoint(eager=False)
             )
         label = F.when(
             F.col("node") % 2 == 0,
@@ -307,6 +317,7 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         ewd.unpersist()
+        deg.unpersist()
         cw.unpersist()
 
 

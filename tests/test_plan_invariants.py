@@ -27,6 +27,36 @@ SF_DIR = "/root/testdata/sf0.001"
 #: product of two multi-row sides
 CARTESIAN_OK = {"join_cross"}
 
+#: queries allowed to contain an UNPARTITIONED Window (single-partition
+#: WindowExec) — each with a documented boundedness argument. Any other
+#: query growing a global window fails this suite even if correct:
+#: at 100 TB a global window is a one-executor sort of its whole input.
+GLOBAL_WINDOW_OK = {
+    # surrogate-id assignment runs over NEW dim keys only (anti-join
+    # output, bounded by dim change rate, never fact-sized) — and the
+    # initial 15-row dim build in the same query
+    "dimension_upsert",
+    # cumulative-share window runs AFTER orderBy().limit(100): its
+    # input is the 100-row TakeOrdered result, not the vocabulary
+    "vocab_coverage_topk",
+}
+
+_WSPEC = re.compile(r"windowspecdefinition\(([^,()]*?)[,)]")
+
+
+def _has_global_window(plan: str) -> bool:
+    """True if any Window node has no partition columns.
+
+    In plan text a partitioned window's windowspecdefinition starts
+    with bare partition expressions; an unpartitioned one starts
+    directly with an ordering expression ('col ASC NULLS FIRST').
+    """
+    for m in _WSPEC.finditer(plan):
+        first = m.group(1)
+        if " ASC" in first or " DESC" in first:
+            return True
+    return False
+
 
 class TestWholeCatalogPlans:
     def test_all_plans_obey_invariants(self, spark):
@@ -44,4 +74,6 @@ class TestWholeCatalogPlans:
             # forbidden node is plain row-at-a-time BatchEvalPython
             if re.search(r"BatchEvalPython(?!UDTF)", plan):
                 offenders.append(f"{name}: row-at-a-time Python UDF")
+            if name not in GLOBAL_WINDOW_OK and _has_global_window(plan):
+                offenders.append(f"{name}: unpartitioned Window")
         assert not offenders, offenders

@@ -73,6 +73,12 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
             continue
+        finally:
+            # catalog-level teardown: queries may persist() internal
+            # intermediates whose consumer is the returned (lazy)
+            # DataFrame — once evaluated, drop them so a full-catalog
+            # run never accumulates cached blocks across 149 queries
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows-only  {name}: {len(sdf)} rows (no oracle)")
             continue
