@@ -251,74 +251,68 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration then joins only the rank vector (one join per step,
     # and the upstream fact join never re-executes)
     ewd = ew.join(deg, "src").persist()
-    try:
-        n_nodes = deg.count()  # scalar graph size: bounded driver value
+    n_nodes = deg.count()  # scalar graph size: bounded driver value
 
-        r = deg.select(
-            F.col("src").alias("node"),
-            F.round(F.lit(1.0) / n_nodes, 12).alias("r"),
-        )
-        for _ in range(2):
-            # scaled-integer message passing: contributions round to 1e-12
-            # resolution as BIGINTs, so the distributed sum is exact and
-            # partition-invariant like the DECIMAL form but stays in
-            # codegen'd long arithmetic (measured: decimal agg cost ~1.3s
-            # per iteration at sf0.1, long agg ~0.1s). Overflow-safe at
-            # ANY graph size: rank mass conservation bounds each node's
-            # incoming sum by total mass ~1, i.e. <= ~1e12 after scaling.
-            contrib = F.round(
-                F.col("r") * F.col("w") / F.col("deg") * 1e12, 0
-            ).cast("bigint")
-            # the rank vector is node-set-sized — (customer + supplier)
-            # cardinality, this schema's dim class — so broadcasting it
-            # makes each iteration a map-side join over the cached edge
-            # list with the per-node agg as the only shuffle (measured
-            # ~10% at sf0.1). For a graph whose node set scales with the
-            # data (web graphs), drop the hint and let AQE plan the
-            # shuffle join.
-            r = (
-                ewd.join(F.broadcast(r), ewd.src == r.node)
-                .groupBy(F.col("dst").alias("node"))
-                .agg(
-                    F.round(
-                        F.lit((1 - _PR_D) / n_nodes)
-                        + _PR_D * (F.sum(contrib).cast("double") / F.lit(1e12)),
-                        12,
-                    ).alias("r")
-                )
-                # truncate lineage between iterations: the next step's
-                # broadcast exchange otherwise re-executes this whole
-                # iteration's join+agg chain when it materializes
-                .localCheckpoint(eager=False)
-            )
-        label = F.when(
-            F.col("node") % 2 == 0,
-            F.concat(
-                F.lit("c"), (F.col("node") / 2).cast("bigint").cast("string")
-            ),
-        ).otherwise(
-            F.concat(
-                F.lit("s"),
-                ((F.col("node") - 1) / 2).cast("bigint").cast("string"),
+    r = deg.select(
+        F.col("src").alias("node"),
+        F.round(F.lit(1.0) / n_nodes, 12).alias("r"),
+    )
+    for _ in range(2):
+        # scaled-integer message passing: contributions round to 1e-12
+        # resolution as BIGINTs, so the distributed sum is exact and
+        # partition-invariant like the DECIMAL form but stays in
+        # codegen'd long arithmetic (measured: decimal agg cost ~1.3s
+        # per iteration at sf0.1, long agg ~0.1s). Overflow-safe at
+        # ANY graph size: rank mass conservation bounds each node's
+        # incoming sum by total mass ~1, i.e. <= ~1e12 after scaling.
+        contrib = F.round(
+            F.col("r") * F.col("w") / F.col("deg") * 1e12, 0
+        ).cast("bigint")
+        # the rank vector is node-set-sized — (customer + supplier)
+        # cardinality, this schema's dim class — so broadcasting it
+        # makes each iteration a map-side join over the cached edge
+        # list with the per-node agg as the only shuffle (measured
+        # ~10% at sf0.1). For a graph whose node set scales with the
+        # data (web graphs), drop the hint and let AQE plan the
+        # shuffle join. (Measured negative result: localCheckpoint
+        # between iterations to truncate lineage was noise-level at
+        # best and hides the plan from the audit tooling — the
+        # broadcast side executes its chain once per query, which is
+        # the cost model you'd want anyway.)
+        r = (
+            ewd.join(F.broadcast(r), ewd.src == r.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.round(
+                    F.lit((1 - _PR_D) / n_nodes)
+                    + _PR_D * (F.sum(contrib).cast("double") / F.lit(1e12)),
+                    12,
+                ).alias("r")
             )
         )
-        # top-50 via sort+limit -> TakeOrderedAndProject (per-partition
-        # k-row heaps + driver merge of 50-row lists), NOT a global
-        # row_number window (which would sort the full node set on one
-        # partition). rk is not part of the output, so no window at all.
-        out = (
-            r.orderBy(F.desc("r"), F.asc("node"))
-            .limit(50)
-            .select(label.alias("node"), F.round(F.col("r"), 9).alias("rank_score"))
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(
+            F.lit("c"), (F.col("node") / 2).cast("bigint").cast("string")
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("s"),
+            ((F.col("node") - 1) / 2).cast("bigint").cast("string"),
         )
-        # materialize the bounded 50-row result eagerly so the cached
-        # edge list can be released here instead of leaking into the
-        # session (ADVICE r01: persists without unpersist)
-        return out.localCheckpoint(eager=True)
-    finally:
-        ewd.unpersist()
-        deg.unpersist()
-        cw.unpersist()
+    )
+    # top-50 via sort+limit -> TakeOrderedAndProject (per-partition
+    # k-row heaps + driver merge of 50-row lists), NOT a global
+    # row_number window (which would sort the full node set on one
+    # partition). rk is not part of the output, so no window at all.
+    # The persisted edge list is released by the harness-level
+    # clearCache teardown documented in catalog.py (the result is
+    # lazy, so unpersisting here would defeat the caches).
+    return (
+        r.orderBy(F.desc("r"), F.asc("node"))
+        .limit(50)
+        .select(label.alias("node"), F.round(F.col("r"), 9).alias("rank_score"))
+    )
 
 
 @query(
