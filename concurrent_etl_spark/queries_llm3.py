@@ -1,0 +1,379 @@
+"""LLM training-data pipeline queries, round 3 of the surface: BPE
+merge-step counting, integer-exact corpus diversity, containment
+analysis on LSH candidates, entity-resolution blocking, quantized
+embedding-norm profiling, and deterministic stratified sampling.
+
+Beyond-the-reference operators (the reference, nichoteloo/
+concurrent-etl, has no text/embedding surface at all — see SURVEY §2
+'beyond' mandate); every query keeps the catalog's rules: built-in
+JVM expressions only, no cartesians, no unpartitioned windows,
+map-side-combinable aggregations, cross-engine-deterministic values
+(integer/decimal-exact or floor(x+0.5) fixed-point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.engine import load_table
+from concurrent_etl_spark.operators import text as T
+from concurrent_etl_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    staged_shingles,
+    with_injected_near_dups,
+)
+from concurrent_etl_spark.queries_llm import _CORPUS_NEAR, _LSH_PAIRS, _docs, _tok
+
+
+@query(
+    "bpe_pair_merge_step",
+    oracle=f"""
+    WITH words AS (
+      SELECT t AS word, COUNT(*) AS wc
+      FROM (SELECT unnest({_tok('lower(text)')}) AS t FROM documents)
+      GROUP BY 1),
+    chars AS (
+      SELECT word, wc, regexp_extract_all(word, '.') AS ch FROM words),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(ch)),
+                    i -> ch[i] || ch[i+1])) AS pair, wc
+      FROM chars WHERE len(ch) >= 2)
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+    FROM pairs GROUP BY 1
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: the 20 most frequent adjacent
+    character pairs over the corpus, weighted by word frequency.
+
+    The scale shape that makes BPE trainable on 100 TB: the corpus
+    collapses to its VOCABULARY first (word -> count, one map-side-
+    combinable shuffle over vocab-sized data), and pair extraction
+    runs per distinct word, not per occurrence — the classic
+    word-frequency preprocessing every BPE implementation uses. The
+    top-20 is TakeOrdered, never a global sort.
+    """
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+    ch = F.regexp_extract_all(F.col("word"), F.lit("."), 0)
+    staged = words.select("word", "wc", ch.alias("ch")).where(F.size("ch") >= 2)
+    pairs = staged.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ch") - 1),
+                lambda i: F.concat(
+                    F.element_at("ch", i), F.element_at("ch", i + 1)
+                ),
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+@query(
+    "token_diversity_simpson",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_tok('lower(text)')}) AS t FROM documents),
+    c AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 9) AS type_token_ratio,
+           round(1.0 - CAST(SUM(c * c) AS DOUBLE) / (SUM(c) * SUM(c)), 9)
+             AS simpson_diversity
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_token_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio and Simpson
+    diversity index (1 - sum(c^2)/n^2) — the repetitiveness signals a
+    curation pass thresholds on, chosen over Shannon entropy because
+    they are INTEGER-EXACT (counts and one final division; no
+    cross-engine transcendental-function drift).
+
+    Plan: explode -> per-(doc,token) count -> per-doc agg. Both
+    aggregations are map-side combinable and key on doc_id, so the
+    second reuses the first's partitioning at scale (one logical
+    shuffle of token-count data, never raw text).
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    c = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    return c.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(F.count("*").cast("double") / n, 9).alias("type_token_ratio"),
+        F.round(
+            F.lit(1.0) - F.sum(F.col("c") * F.col("c")).cast("double") / (n * n),
+            9,
+        ).alias("simpson_diversity"),
+    )
+
+
+@query(
+    "minhash_containment",
+    oracle=f"""
+    WITH {_CORPUS_NEAR},
+    {_LSH_PAIRS},
+    j AS (
+      SELECT p.doc_a, p.doc_b,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(sa.sh) AS na, len(sb.sh) AS nb
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b)
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / na, 9) AS containment_a,
+           round(CAST(inter AS DOUBLE) / nb, 9) AS containment_b,
+           CASE
+             WHEN CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9
+               THEN 'duplicate'
+             WHEN CAST(inter AS DOUBLE) / na >= 0.8
+              AND CAST(inter AS DOUBLE) / nb < 0.8 THEN 'a_subset_of_b'
+             WHEN CAST(inter AS DOUBLE) / nb >= 0.8
+              AND CAST(inter AS DOUBLE) / na < 0.8 THEN 'b_subset_of_a'
+             ELSE 'partial_overlap'
+           END AS relation
+    FROM j WHERE CAST(inter AS DOUBLE) / na >= 0.5
+              OR CAST(inter AS DOUBLE) / nb >= 0.5
+    """,
+)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment analysis on LSH candidate pairs: |A∩B|/|A| and
+    |A∩B|/|B| distinguish true duplicates from SUBSET relations
+    (boilerplate wrappers, quote-and-extend posts) that symmetric
+    Jaccard under-scores — the asymmetric dedup signal used when
+    deciding which version of a near-dup to keep.
+
+    Same scale story as the Jaccard verify: candidates come from the
+    banded LSH self-join (never all pairs), exact set ops run on
+    candidates only, and all values are integer counts plus one
+    rounded division.
+    """
+    docs = with_injected_near_dups(_docs(spark, sf_dir))
+    sh = staged_shingles(docs).persist()
+    cand = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    j = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    ca = F.col("inter").cast("double") / F.col("na")
+    cb = F.col("inter").cast("double") / F.col("nb")
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    relation = (
+        F.when(jac >= 0.9, "duplicate")
+        .when((ca >= 0.8) & (cb < 0.8), "a_subset_of_b")
+        .when((cb >= 0.8) & (ca < 0.8), "b_subset_of_a")
+        .otherwise("partial_overlap")
+    )
+    return (
+        j.where((ca >= 0.5) | (cb >= 0.5))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 9).alias("containment_a"),
+            F.round(cb, 9).alias("containment_b"),
+            relation.alias("relation"),
+        )
+    )
+
+
+@query(
+    "blocked_candidate_pairs",
+    oracle="""
+    SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_pairs
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE abs(a.c_acctbal - b.c_acctbal) <= 100.0
+    GROUP BY 1, 2
+    """,
+)
+def q_blocked_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking: candidate pairs are generated only
+    WITHIN blocks (nation x market segment) and then filtered by a
+    cheap similarity gate (account balance within 100) — the standard
+    record-linkage shape that turns an O(n^2) match problem into
+    sum-of-block-sizes^2.
+
+    Scale: the self-join shuffles both sides on the block key once;
+    block sizes are bounded by blocking-key design (add key
+    components when a block grows hot — same remedy as join-key
+    salting). No cartesian anywhere: the equi-join on the block key
+    is the join condition, the inequality only filters within block.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_custkey").alias("k_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_custkey").alias("k_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    return (
+        a.join(b, ["nationkey", "mktsegment"])
+        .where(
+            (F.col("k_a") < F.col("k_b"))
+            & (F.abs(F.col("bal_a") - F.col("bal_b")) <= 100.0)
+        )
+        .groupBy("nationkey", "mktsegment")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "embedding_norm_buckets",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_sum(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                  * CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+               AS norm2q
+      FROM embeddings)
+    SELECT label, CAST(norm2q // 500000 AS BIGINT) AS bucket,
+           COUNT(*) AS n_vectors,
+           CAST(MIN(norm2q) AS BIGINT) AS min_norm2q,
+           CAST(MAX(norm2q) AS BIGINT) AS max_norm2q
+    FROM q GROUP BY 1, 2
+    """,
+)
+def q_embedding_norm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm distribution per label: vectors are profiled by
+    quantized squared L2 norm into width-0.5 buckets — the sanity
+    check run before cosine ANN indexing (un-normalized outliers
+    poison centroid training and distance thresholds).
+
+    Determinism trick shared with embedding_centroids: components are
+    fixed-point quantized (floor(x*1000+0.5), identical IEEE ops in
+    both engines) so the squared-norm SUM is exact bigint arithmetic
+    — no float accumulation order dependence. Per-row HOF work + one
+    low-cardinality agg; no shuffle of vector data beyond the
+    (label, bucket) partials.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vq = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * 1000 + 0.5).cast("bigint"),
+    )
+    norm2q = F.aggregate(
+        F.transform(vq, lambda q: q * q), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("vec_id", "label", norm2q.alias("norm2q"))
+        .groupBy(
+            "label", F.floor(F.col("norm2q") / 500000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("norm2q").cast("bigint").alias("min_norm2q"),
+            F.max("norm2q").cast("bigint").alias("max_norm2q"),
+        )
+    )
+
+
+#: per-stratum sampling quota in permille — signup/error kept whole
+#: (rare strata), high-volume strata downsampled hard.
+_STRATA_PERMILLE: dict[str, int] = {
+    "view": 100,
+    "click": 250,
+    "purchase": 500,
+    "signup": 1000,
+    "error": 1000,
+}
+
+
+@query(
+    "stratified_sample_quota",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT event_type,
+             CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                       ::BIGINT % 1000 <
+               CASE event_type
+                 {' '.join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_STRATA_PERMILLE.items()))}
+                 ELSE 0 END
+             THEN 1 ELSE 0 END AS keep
+      FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_total,
+           CAST(SUM(keep) AS BIGINT) AS n_sampled
+    FROM flagged GROUP BY 1
+    """,
+)
+def q_stratified_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each event stratum gets its
+    own keep-rate (rare strata kept whole, high-volume strata
+    downsampled) decided by a content hash — the reproducible
+    sampleBy() used to build class-balanced training mixes, without
+    RNG state (same rows survive on every run, any partitioning, any
+    cluster size).
+
+    Plan: ONE linear scan computes the keep flag row-locally (hash
+    mod 1000 vs the stratum's permille quota), then a stratum-
+    cardinality agg reports achieved counts. Nothing shuffles except
+    the few-row summary; at 100 TB the sample itself would be written
+    out by the same filter expression, still shuffle-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    quota = F.create_map(
+        *[
+            x
+            for k, v in sorted(_STRATA_PERMILLE.items())
+            for x in (F.lit(k), F.lit(v))
+        ]
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    keep = (
+        h % 1000 < F.coalesce(quota[F.col("event_type")], F.lit(0))
+    ).cast("int")
+    return (
+        ev.select("event_type", keep.alias("keep"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").cast("bigint").alias("n_sampled"),
+        )
+    )
