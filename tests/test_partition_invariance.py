@@ -40,6 +40,12 @@ SPOT_CHECK = [
     "cms_frequency_sketch",
     "array_hof_family",
     "bucketed_colocated_join",
+    # round-2 additions: fixed-point embedding sums, hash-based
+    # sampling, integer-ratio diversity, LSH-candidate containment
+    "embedding_norm_buckets",
+    "stratified_sample_quota",
+    "token_diversity_simpson",
+    "minhash_containment",
 ]
 
 
