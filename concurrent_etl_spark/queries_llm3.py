@@ -377,3 +377,69 @@ def q_stratified_sample_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("keep").cast("bigint").alias("n_sampled"),
         )
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_NEAR},
+    {_LSH_PAIRS},
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM pairs),
+    reach (n, m) AS (
+      SELECT s, s FROM edges
+      UNION
+      SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m),
+    comp AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n),
+    sized AS (
+      SELECT c.doc_id, c.cluster_id, s.cluster_size, length(d.text) AS n_chars
+      FROM comp c
+      JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM comp GROUP BY cluster_id) s USING (cluster_id)
+      JOIN corpus d ON d.doc_id = c.doc_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+      FROM sized)
+    SELECT doc_id, cluster_id, cluster_size,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS action
+    FROM ranked WHERE cluster_size > 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup RESOLUTION: LSH candidates -> connected
+    components -> per-cluster survivor selection. The keep policy is
+    'longest version wins, ties to the smallest id' — the common
+    choice because near-dup clusters usually contain truncations and
+    wrappers of one canonical document, and the longest member is the
+    superset. The output is the actionable keep/drop list a curation
+    pipeline applies.
+
+    Scale: clusters come from the iterative hash-min components
+    (bounded rounds, candidate-sized edges); survivor selection is a
+    window PARTITIONED by cluster_id — per-cluster state only, and
+    duplicate clusters are near-cliques, so partitions stay small by
+    construction.
+    """
+    from pyspark.sql import Window
+
+    from concurrent_etl_spark.operators.dedup import dup_clusters
+
+    docs = with_injected_near_dups(_docs(spark, sf_dir))
+    clusters = dup_clusters(docs).where(F.col("cluster_size") > 1)
+    sized = clusters.join(
+        docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return sized.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.when(F.col("rn") == 1, "keep").otherwise("drop").alias("action"),
+    )

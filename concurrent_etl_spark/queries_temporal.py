@@ -141,3 +141,73 @@ def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(weighted / norm, 9).alias("ewma"),
         )
     )
+
+
+@query(
+    "rolling_zscore_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             COUNT(*) OVER win AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))
+                    * CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS s2
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id,
+           round((value - s / n)
+                 / sqrt((s2 - s * s / n) / (n - 1)), 6) AS z,
+           CASE WHEN abs((value - s / n)
+                 / sqrt((s2 - s * s / n) / (n - 1))) >= 2.5
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM w
+    WHERE n >= 5 AND (s2 - s * s / n) / (n - 1) > 0
+    """,
+)
+def q_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly gate: each event scored against the
+    trailing-10 window of the SAME user's values — the streaming-able
+    outlier filter a metrics pipeline runs before aggregation (a
+    sensor stuck at 100x normal would otherwise poison daily sums).
+
+    Determinism: window sums accumulate as DECIMAL (exact, partition-
+    invariant), convert to double once, then mean/variance/sqrt are a
+    fixed IEEE expression both engines evaluate identically. Windows
+    shorter than 5 rows or with zero variance emit nothing (a z-score
+    against no history is noise).
+
+    Scale: ONE shuffle on user_id; both window stats share one
+    partitioned sort (trailing ROWS frame = O(1) state per row).
+    Per-user history length never matters — the frame is bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    vdec = F.col("value").cast("decimal(18,6)")
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("*").over(win).alias("n"),
+        F.sum(vdec).over(win).cast("double").alias("s"),
+        F.sum(vdec * vdec).over(win).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    return (
+        staged.where((F.col("n") >= 5) & (var > 0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(z, 6).alias("z"),
+            F.when(F.abs(z) >= 2.5, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )
