@@ -85,6 +85,69 @@ class TestDerbyRoundTrip:
             100, 101, 102, 103, 104,
         ]
 
+    def test_stream_to_warehouse_merge_daemon(self, spark, tmp_path):
+        """The reference's full daemon shape (watch dir -> stage ->
+        server-side MERGE, case_2/Normal.py:276-286,300-331) end to
+        end against a real database: a file stream feeds foreachBatch,
+        each batch truncate-loads a Derby staging table and executes
+        the generated MERGE into the target; a second wave updates one
+        key and inserts another, and the target holds exactly the
+        last-writer state."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [StructField("ID", LongType()), StructField("VAL", StringType())]
+        )
+        src = tmp_path / "sample"
+        src.mkdir()
+        (src / "w1.csv").write_text("ID,VAL\n1,a\n2,b\n")
+        adapter = JdbcAdapter(url=_url("daemon", create=True))
+        # target must exist before the first MERGE: seed an empty table
+        adapter.write_append(
+            spark.createDataFrame([], "ID bigint, VAL string"), "TGT"
+        )
+
+        def handle(batch, batch_id):
+            if batch.isEmpty():
+                return
+            adapter.write_overwrite_truncate(batch.select("ID", "VAL"), "STG")
+            adapter.execute(
+                spark,
+                adapter.merge_statement(
+                    "STG", "TGT", keys=["ID"], columns=["ID", "VAL"]
+                ).rstrip(";"),
+            )
+
+        def run_wave():
+            q = (
+                spark.readStream.format("csv")
+                .schema(schema)
+                .option("header", "true")
+                .load(str(src))
+                .writeStream.foreachBatch(handle)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_wave()
+        tgt = JdbcAdapter(url=_url("daemon"))
+        assert sorted(
+            (r["ID"], r["VAL"]) for r in tgt.read_table(spark, "TGT").collect()
+        ) == [(1, "a"), (2, "b")]
+
+        (src / "w2.csv").write_text("ID,VAL\n2,b2\n3,c\n")
+        run_wave()
+        assert sorted(
+            (r["ID"], r["VAL"]) for r in tgt.read_table(spark, "TGT").collect()
+        ) == [(1, "a"), (2, "b2"), (3, "c")]
+
     def test_merge_statement_upserts_target_side(self, spark):
         """S9: stage rows over JDBC, execute the generated MERGE on
         the database, verify matched rows updated and new rows
