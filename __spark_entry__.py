@@ -127,9 +127,44 @@ _R01_VERIFIED = [
 ]
 
 
+def _driver_verified() -> set[str]:
+    """Names already driver-green in ANY past round's artifact.
+
+    Reads CORRECTNESS_r*.json so the rotation maintains itself: once
+    the driver records a passing row for a query, that query yields
+    its prefix slot to still-unchecked ones automatically next round.
+    A row counts only if every recorded check passed — failures stay
+    in front to be rechecked after a fix.
+    """
+    import glob
+    import json
+    import os
+
+    verified: set[str] = set(_R01_VERIFIED)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            checks = [
+                v
+                for k, v in row.items()
+                if k.endswith("_match") and v is not None
+            ]
+            if checks and all(checks) and not row.get("err"):
+                verified.add(name)
+    return verified
+
+
 def _rotated(names: dict) -> list[str]:
-    front = [n for n in _CHECK_FIRST if n in names]
-    back = [n for n in _R01_VERIFIED if n in names]
+    done = _driver_verified()
+    front = [n for n in _CHECK_FIRST if n in names and n not in done]
+    back = [n for n in names if n in done]
     placed = set(front) | set(back)
     middle = [n for n in names if n not in placed]
     return front + middle + back
