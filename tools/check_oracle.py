@@ -70,7 +70,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark error: {e}", flush=True)
             failed.append(name)
             continue
         finally:
@@ -80,12 +80,12 @@ def main() -> int:
             # run never accumulates cached blocks across 149 queries
             spark.catalog.clearCache()
         if name not in oracles:
-            print(f"rows-only  {name}: {len(sdf)} rows (no oracle)")
+            print(f"rows-only  {name}: {len(sdf)} rows (no oracle)", flush=True)
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: duckdb error: {e}", flush=True)
             failed.append(name)
             continue
         problems = []
@@ -102,11 +102,11 @@ def main() -> int:
                 i = neq.idxmax()
                 problems.append(f"first diff row {i}: spark={cs.loc[i].tolist()} oracle={co.loc[i].tolist()}")
         if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems))
+            print(f"FAIL  {name}: " + "; ".join(problems), flush=True)
             failed.append(name)
         else:
-            print(f"OK    {name}: {len(sdf)} rows")
-    print(f"\n{len(queries) - len(failed)}/{len(queries)} passed")
+            print(f"OK    {name}: {len(sdf)} rows", flush=True)
+    print(f"\n{len(queries) - len(failed)}/{len(queries)} passed", flush=True)
     return 1 if failed else 0
 
 
