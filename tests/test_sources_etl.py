@@ -252,6 +252,35 @@ class TestExcelAdapter:
             None,
         )
 
+    def test_python_datasource_matches_mapinpandas_path(self, spark, tmp_path):
+        """spark.read.format('xlsx') (Spark 4 Python DataSource, one
+        partition per file) returns the same staged rows as the
+        binaryFile+mapInPandas adapter."""
+        from concurrent_etl_spark.sources.xlsx_datasource import register
+
+        xdir = tmp_path / "xlsx"
+        xdir.mkdir()
+        _write_xlsx(
+            xdir / "a_OPERATIONS.xlsx", self.COLS, [("PO1", 1, 2, 3)]
+        )
+        _write_xlsx(
+            xdir / "b_OPERATIONS.xlsx", self.COLS, [("PO2", 4, 5, 6)],
+            inline=True,
+        )
+        register(spark)
+        via_ds = (
+            spark.read.format("xlsx")
+            .option("path", str(xdir / "*.xlsx"))
+            .option("columns", ",".join(self.COLS))
+            .load()
+        )
+        via_mip = read_excel_dir(spark, str(xdir / "*.xlsx"), self.COLS)
+        assert via_ds.schema == via_mip.schema
+        assert via_ds.rdd.getNumPartitions() == 2  # one per file
+        a = sorted(tuple(r[c] for c in self.COLS) for r in via_ds.collect())
+        b = sorted(tuple(r[c] for c in self.COLS) for r in via_mip.collect())
+        assert a == b
+
     def test_invalid_payload_raises(self, spark, tmp_path):
         """A non-zip payload fails loudly at execution, never silently
         yields rows; the plan itself still builds (plumbing is real)."""
