@@ -188,26 +188,34 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .persist()
     )
 
+    # the band self-join carries ONLY (doc_id, band) through the
+    # shuffle — signatures re-attach to the (tiny) deduped candidate
+    # set afterwards from the cached sigs. Shuffling the 24-element
+    # sig array 8x per doc measured neutral at sf0.1 (AQE broadcasts
+    # the exploded side locally) but costs ~200x more exchange bytes
+    # per band row under the shuffle join a 100 TB corpus forces.
     exploded = sigs.select(
-        "doc_id", "sig", F.posexplode("bands").alias("band_idx", "band_hash")
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
     a = exploded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sig").alias("sig_a"),
-        "band_idx",
-        "band_hash",
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )
     b = exploded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sig").alias("sig_b"),
-        "band_idx",
-        "band_hash",
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
     )
     pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
     )
     est = (
         F.aggregate(
