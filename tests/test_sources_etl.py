@@ -127,13 +127,18 @@ def _write_xlsx(path, header, rows, inline=False):
 
     shared: list[str] = []
 
+    from xml.sax.saxutils import escape
+
     def cell(ref, v):
         if v is None:
             return ""
         if isinstance(v, (int, float)):
             return f'<c r="{ref}"><v>{v}</v></c>'
         if inline:
-            return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+            return (
+                f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                f"{escape(v)}</t></is></c>"
+            )
         if v not in shared:
             shared.append(v)
         return f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>'
@@ -153,7 +158,10 @@ def _write_xlsx(path, header, rows, inline=False):
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         f'count="{len(shared)}" uniqueCount="{len(shared)}">'
-        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "".join(
+            f'<si><t xml:space="preserve">{escape(s)}</t></si>'
+            for s in shared
+        )
         + "</sst>"
     )
     ct = (
@@ -280,6 +288,57 @@ class TestExcelAdapter:
         a = sorted(tuple(r[c] for c in self.COLS) for r in via_ds.collect())
         b = sorted(tuple(r[c] for c in self.COLS) for r in via_mip.collect())
         assert a == b
+
+    def test_property_roundtrip_random_matrices(self, tmp_path):
+        """Property check of the vendored SpreadsheetML reader: any
+        matrix of strings / ints / floats / None cells written by the
+        independent test writer decodes to exactly the expected
+        all-string frame, under both shared-string and inline-string
+        encodings (XML escaping, sparse rows, unicode)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from concurrent_etl_spark.sources.excel import read_xlsx_bytes
+
+        cell = st.one_of(
+            st.none(),
+            st.integers(min_value=-10**9, max_value=10**9),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_categories=("Cs", "Cc", "Cn")
+                ),
+                max_size=12,
+            ),
+        )
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            n_cols=st.integers(min_value=1, max_value=4),
+            data=st.data(),
+            inline=st.booleans(),
+        )
+        def check(n_cols, data, inline):
+            header = [f"c{i}" for i in range(n_cols)]
+            rows = data.draw(
+                st.lists(
+                    st.lists(cell, min_size=n_cols, max_size=n_cols),
+                    max_size=8,
+                )
+            )
+            path = tmp_path / "prop.xlsx"
+            _write_xlsx(path, header, rows, inline=inline)
+            pdf = read_xlsx_bytes(path.read_bytes())
+            assert list(pdf.columns) == header
+            got = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+            want = [
+                tuple(None if v is None else str(v) for v in r) for r in rows
+            ]
+            # rows whose cells are ALL None produce no <c> elements; the
+            # reader keeps the row only if the writer emitted a <row>
+            assert got == want
+
+        check()
 
     def test_invalid_payload_raises(self, spark, tmp_path):
         """A non-zip payload fails loudly at execution, never silently
