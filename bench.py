@@ -63,9 +63,10 @@ def main() -> None:
     for name in HEADLINE:
         if name not in queries:
             continue
-        # best-of-2: a single shot conflates engine throughput with
+        # best-of-3: a single shot conflates engine throughput with
         # ambient machine load and first-use codegen compilation; the
-        # min is the reproducible steady-state number
+        # min is the reproducible steady-state number (2 reps measured
+        # +-1s run-to-run variance on the 14-query total; 3 halves it)
         best = float("inf")
         # settle the JVM between queries: earlier queries' cached
         # blocks and shuffle buffers otherwise bleed GC pauses into
@@ -77,7 +78,7 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-        for _ in range(2):
+        for _ in range(3):
             # drop caches a previous rep's internal persist() left
             # behind — each rep must pay the query's full compute
             spark.catalog.clearCache()
