@@ -202,3 +202,207 @@ def resize_payload(media: DataFrame, target_units: int = 256) -> DataFrame:
             )
 
     return media.where(F.col("modality") == "image").mapInPandas(gen, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs — formats decodable with the standard library alone
+# ---------------------------------------------------------------------------
+# jpeg/png/mp3 decode needs PIL/librosa (stubbed above), but WAV is
+# readable with stdlib `wave` and BMP is a documented public format
+# (fixed struct header + padded BGR rows), so these two paths run a
+# GENUINE binary encode -> Arrow batch -> decode round trip with no
+# dependency. The synthesizers build bytes with manual struct packing
+# and the decoders parse independently (stdlib wave / header-field
+# parsing), so a bug in either side breaks the algebraic oracle.
+
+WAV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("pos_weighted_sum", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+WAV_RATE = 8000
+
+
+def wav_bytes(doc_id: int) -> bytes:
+    """Deterministic mono 16-bit PCM WAV: n = 200 + doc_id % 801
+    frames of s(i) = ((i*37 + doc_id*11) % 2001) - 1000 — integer
+    samples an SQL oracle reproduces in closed form."""
+    import struct
+
+    n = 200 + doc_id % 801
+    frames = b"".join(
+        struct.pack("<h", ((i * 37 + doc_id * 11) % 2001) - 1000)
+        for i in range(n)
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(frames))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(frames))
+        + frames
+    )
+
+
+def synthesize_wav(docs: DataFrame, every: int = 5) -> DataFrame:
+    """(doc_id, payload) of real RIFF/WAV bytes for every k-th doc."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"] if d % every == 0]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [wav_bytes(d) for d in ids]}
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+def wav_decode_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode via stdlib ``wave``: header fields + exact
+    integer sample statistics. pos_weighted_sum is order-sensitive,
+    so a decoder that misreads frame order/width fails the oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            rows = {k.name: [] for k in WAV_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = wave.open(io.BytesIO(bytes(payload)), "rb")
+                nf, nch = w.getnframes(), w.getnchannels()
+                samples = struct.unpack(
+                    f"<{nf * nch}h", w.readframes(nf)
+                )
+                rows["doc_id"].append(int(doc_id))
+                rows["sample_rate"].append(w.getframerate())
+                rows["n_channels"].append(nch)
+                rows["n_frames"].append(nf)
+                rows["sum_sq"].append(sum(s * s for s in samples))
+                rows["pos_weighted_sum"].append(
+                    sum((i + 1) * s for i, s in enumerate(samples))
+                )
+                rows["peak"].append(max(abs(s) for s in samples))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, WAV_SCHEMA)
+
+
+BMP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("pos_checksum", LongType()),
+    ]
+)
+
+
+def _bmp_pixel(x: int, y: int, doc_id: int) -> tuple[int, int, int]:
+    """Deterministic RGB at TOP-DOWN (x, y)."""
+    return (
+        (x * 7 + y * 13 + doc_id) % 256,
+        (x * 3 + y * 5) % 256,
+        (x + y + doc_id * 17) % 256,
+    )
+
+
+def bmp_bytes(doc_id: int) -> bytes:
+    """Deterministic 24-bit uncompressed BMP: (8 + id%9) x (4 + id%5),
+    BGR pixel order, 4-byte-padded rows, bottom-up storage — the
+    standard Windows DIB layout."""
+    import struct
+
+    w, h = 8 + doc_id % 9, 4 + doc_id % 5
+    stride = (3 * w + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = _bmp_pixel(x, y, doc_id)
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        body += row
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + bytes(body)
+
+
+def synthesize_bmp(docs: DataFrame, every: int = 4, phase: int = 1) -> DataFrame:
+    """(doc_id, payload) of real BMP bytes for doc_id % every == phase."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"] if d % every == phase]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [bmp_bytes(d) for d in ids]}
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+def bmp_decode_features(media: DataFrame) -> DataFrame:
+    """REAL image decode: honest header-field parse (pixel offset,
+    dimensions, bpp) + padded bottom-up BGR row walk. pos_checksum
+    weights each pixel by its TOP-DOWN position, so wrong row order,
+    padding, or channel order fails the oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = {k.name: [] for k in BMP_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                (offset,) = struct.unpack_from("<I", buf, 10)
+                w, h = struct.unpack_from("<ii", buf, 18)
+                (bpp,) = struct.unpack_from("<H", buf, 28)
+                if bpp != 24:
+                    raise ValueError(f"unsupported bpp {bpp}")
+                bottom_up = h > 0
+                h = abs(h)
+                stride = (3 * w + 3) // 4 * 4
+                sr = sg = sb = chk = 0
+                for y in range(h):  # top-down output coordinates
+                    src_row = (h - 1 - y) if bottom_up else y
+                    base = offset + src_row * stride
+                    for x in range(w):
+                        b_, g_, r_ = buf[base + 3 * x : base + 3 * x + 3]
+                        sr += r_
+                        sg += g_
+                        sb += b_
+                        chk += (y * w + x + 1) * (r_ + g_ + b_)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(sr)
+                rows["sum_g"].append(sg)
+                rows["sum_b"].append(sb)
+                rows["pos_checksum"].append(chk)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, BMP_SCHEMA)

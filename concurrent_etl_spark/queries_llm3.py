@@ -443,3 +443,101 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.when(F.col("rn") == 1, "keep").otherwise("drop").alias("action"),
     )
+
+
+@query(
+    "audio_wav_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 200 + doc_id % 801 AS n
+      FROM documents WHERE doc_id % 5 = 0),
+    idx AS (SELECT unnest(range(0, 1001)) AS i),
+    s AS (
+      SELECT m.doc_id, idx.i,
+             ((idx.i * 37 + m.doc_id * 11) % 2001) - 1000 AS v
+      FROM m JOIN idx ON idx.i < m.n)
+    SELECT doc_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(SUM((i + 1) * v) AS BIGINT) AS pos_weighted_sum,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_audio_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round trip: deterministic PCM samples are
+    packed into genuine RIFF/WAV binaries (manual struct, one Arrow
+    batch stage), then DECODED by the independent stdlib ``wave``
+    parser in a second stage; the oracle recomputes the exact integer
+    sample statistics in closed form. The position-weighted sum is
+    order-sensitive, so a decoder that misreads the header, sample
+    width, or frame order cannot pass. This is the no-dependency
+    stand-in for the jpeg/mp3 decode stubs — the Spark shape (binary
+    column -> mapInPandas decode -> typed features) is identical.
+    """
+    from concurrent_etl_spark.operators.multimodal import (
+        synthesize_wav,
+        wav_decode_features,
+    )
+    from pyspark.sql import functions as _F
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthesize_wav(docs, every=5)
+    out = wav_decode_features(media)
+    return out.select(
+        "doc_id",
+        _F.col("sample_rate").cast("int").alias("sample_rate"),
+        _F.col("n_channels").cast("int").alias("n_channels"),
+        "n_frames",
+        "sum_sq",
+        "pos_weighted_sum",
+        "peak",
+    )
+
+
+@query(
+    "image_bmp_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 4 = 1),
+    xs AS (SELECT unnest(range(0, 17)) AS x),
+    ys AS (SELECT unnest(range(0, 9)) AS y),
+    px AS (
+      SELECT m.doc_id, m.w, m.h, xs.x, ys.y,
+             (xs.x * 7 + ys.y * 13 + m.doc_id) % 256 AS r,
+             (xs.x * 3 + ys.y * 5) % 256 AS g,
+             (xs.x + ys.y + m.doc_id * 17) % 256 AS b
+      FROM m JOIN xs ON xs.x < m.w JOIN ys ON ys.y < m.h)
+    SELECT doc_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((y * w + x + 1) * (r + g + b)) AS BIGINT)
+             AS pos_checksum
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_image_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec round trip: deterministic RGB rasters are
+    packed as genuine 24-bit BMPs (BGR channels, 4-byte-padded rows,
+    bottom-up — the standard DIB layout), then DECODED by an honest
+    header-parsing reader; the oracle recomputes the pixel sums and a
+    position-weighted checksum in closed form. Wrong channel order,
+    row padding, or vertical flip fails the hash. Same Spark shape as
+    a PIL-backed decode at 100 TB: payload bytes stay in Arrow
+    batches, features come out typed, metadata-only queries prune the
+    payload column at the scan.
+    """
+    from concurrent_etl_spark.operators.multimodal import (
+        bmp_decode_features,
+        synthesize_bmp,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthesize_bmp(docs, every=4, phase=1)
+    return bmp_decode_features(media)
