@@ -406,3 +406,103 @@ def bmp_decode_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(gen, BMP_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def wav_window_features(media: DataFrame, window: int = 100) -> DataFrame:
+    """Audio analog of frame sampling: decode real WAV payloads and
+    emit one row per fixed-length sample window (1 -> N expansion)
+    with exact integer energy stats — the framing step before any
+    spectral featurizer. Short final windows are kept (their length
+    is reported), matching what a real STFT pipeline pads."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_WINDOW_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = wave.open(io.BytesIO(bytes(payload)), "rb")
+                nf = w.getnframes()
+                samples = struct.unpack(f"<{nf}h", w.readframes(nf))
+                for wi in range((nf + window - 1) // window):
+                    chunk = samples[wi * window : (wi + 1) * window]
+                    rows["doc_id"].append(int(doc_id))
+                    rows["window_idx"].append(wi)
+                    rows["n_samples"].append(len(chunk))
+                    rows["sum_sq"].append(sum(s * s for s in chunk))
+                    rows["peak"].append(max(abs(s) for s in chunk))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, AUDIO_WINDOW_SCHEMA)
+
+
+def bmp_resize_nearest(
+    media: DataFrame, target_w: int = 4, target_h: int = 3
+) -> DataFrame:
+    """REAL image resize: decode the BMP, nearest-neighbor sample
+    (src = floor(dst * src_dim / dst_dim) — integer arithmetic, so an
+    SQL oracle reproduces pixel selection exactly), and RE-ENCODE a
+    valid BMP. Binary in, binary out: downstream decoders keep
+    working on the resized payloads, which is the contract a
+    PIL-backed resize would satisfy at 100 TB."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        out_ids, out_payloads = [], []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                (offset,) = struct.unpack_from("<I", buf, 10)
+                w, h = struct.unpack_from("<ii", buf, 18)
+                bottom_up = h > 0
+                h = abs(h)
+                stride = (3 * w + 3) // 4 * 4
+
+                def px(x: int, y: int) -> tuple[int, int, int]:
+                    src_row = (h - 1 - y) if bottom_up else y
+                    base = offset + src_row * stride + 3 * x
+                    b_, g_, r_ = buf[base : base + 3]
+                    return r_, g_, b_
+
+                tstride = (3 * target_w + 3) // 4 * 4
+                body = bytearray()
+                for y in range(target_h - 1, -1, -1):  # bottom-up out
+                    row = bytearray()
+                    for x in range(target_w):
+                        r_, g_, b_ = px(
+                            x * w // target_w, y * h // target_h
+                        )
+                        row += bytes((b_, g_, r_))
+                    row += b"\x00" * (tstride - len(row))
+                    body += row
+                header = (
+                    b"BM"
+                    + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+                    + struct.pack(
+                        "<IiiHHIIiiII",
+                        40, target_w, target_h, 1, 24, 0, len(body),
+                        2835, 2835, 0, 0,
+                    )
+                )
+                out_ids.append(int(doc_id))
+                out_payloads.append(header + bytes(body))
+        yield pd.DataFrame({"doc_id": out_ids, "payload": out_payloads})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return media.mapInPandas(gen, schema)

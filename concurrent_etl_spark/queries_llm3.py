@@ -541,3 +541,85 @@ def q_image_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     media = synthesize_bmp(docs, every=4, phase=1)
     return bmp_decode_features(media)
+
+
+@query(
+    "audio_window_energy",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 200 + doc_id % 801 AS n
+      FROM documents WHERE doc_id % 5 = 0),
+    idx AS (SELECT unnest(range(0, 1001)) AS i),
+    s AS (
+      SELECT m.doc_id, idx.i, idx.i // 100 AS window_idx,
+             ((idx.i * 37 + m.doc_id * 11) % 2001) - 1000 AS v
+      FROM m JOIN idx ON idx.i < m.n)
+    SELECT doc_id, window_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak
+    FROM s GROUP BY doc_id, window_idx
+    """,
+)
+def q_audio_window_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing with a real codec: WAV payloads decode (stdlib
+    wave) and expand 1 -> N into fixed 100-sample energy windows —
+    the step before any spectral featurizer, with the short final
+    window kept and reported. Exact integer stats; the oracle
+    recomputes every window in closed form.
+    """
+    from concurrent_etl_spark.operators.multimodal import (
+        synthesize_wav,
+        wav_window_features,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return wav_window_features(synthesize_wav(docs, every=5), window=100)
+
+
+@query(
+    "image_bmp_resize",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 4 = 1),
+    xs AS (SELECT unnest(range(0, 4)) AS x),
+    ys AS (SELECT unnest(range(0, 3)) AS y),
+    px AS (
+      SELECT m.doc_id, xs.x, ys.y,
+             (xs.x * m.w // 4) AS sx, (ys.y * m.h // 3) AS sy
+      FROM m CROSS JOIN xs CROSS JOIN ys),
+    rgb AS (
+      SELECT p.doc_id, p.x, p.y,
+             (p.sx * 7 + p.sy * 13 + p.doc_id) % 256 AS r,
+             (p.sx * 3 + p.sy * 5) % 256 AS g,
+             (p.sx + p.sy + p.doc_id * 17) % 256 AS b
+      FROM px p)
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((y * 4 + x + 1) * (r + g + b)) AS BIGINT)
+             AS pos_checksum
+    FROM rgb GROUP BY doc_id
+    """,
+)
+def q_image_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize chain: BMP decode -> 4x3 nearest-neighbor
+    sample (integer source indexing the oracle reproduces exactly)
+    -> RE-ENCODE a valid BMP -> independent decode of the resized
+    payload. Because the verification decodes the re-encoded bytes,
+    the oracle hash covers the whole decode/transform/encode loop,
+    not just the arithmetic.
+    """
+    from concurrent_etl_spark.operators.multimodal import (
+        bmp_decode_features,
+        bmp_resize_nearest,
+        synthesize_bmp,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthesize_bmp(docs, every=4, phase=1)
+    resized = bmp_resize_nearest(media, target_w=4, target_h=3)
+    return bmp_decode_features(resized)
