@@ -1,0 +1,78 @@
+"""Measured scaling evidence: wall time vs scale factor.
+
+Runs representative headline queries at sf0.001 / sf0.01 / sf0.1
+(100x data spread) and records best-of-2 wall times plus the
+time-ratio per 10x data step. A plan that holds at scale shows
+sublinear-to-linear steps (fixed overhead dominates small SFs; the
+10x step ratio approaching ~10 means compute scales with data, far
+above ~10 means a superlinear blow-up is hiding in the plan).
+
+Usage: python tools/scaling_curve.py [round_tag]
+Writes /root/repo/SCALING_r{tag}.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+QUERIES = [
+    "flagship_confirmation",
+    "groupby_agg_pricing",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "pagerank_bipartite",
+    "triangle_count",
+    "ann_topk_cosine",
+]
+
+SF_DIRS = {
+    "0.001": "/root/testdata/sf0.001",
+    "0.01": "/root/testdata/sf0.01",
+    "0.1": "/root/testdata/sf0.1",
+}
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "02"
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from concurrent_etl_spark.engine import get_spark
+
+    spark = get_spark(app_name="scaling-curve")
+    queries = entrymod.queries()
+
+    # warm codegen per (query, sf) is what we measure AROUND: one
+    # untimed pass per plan, then best-of-2 timed
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        fn = queries[name]
+        times: dict[str, float] = {}
+        for sf, sf_dir in SF_DIRS.items():
+            spark.catalog.clearCache()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[sf] = round(best, 4)
+        out[name] = {
+            "sec": times,
+            "step_ratio_10x": [
+                round(times["0.01"] / times["0.001"], 2),
+                round(times["0.1"] / times["0.01"], 2),
+            ],
+        }
+
+    path = f"/root/repo/SCALING_r{tag}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
