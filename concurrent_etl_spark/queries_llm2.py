@@ -263,10 +263,14 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     corpus = base.unionByName(mutants)
+    # tokens staged first — unstaged shingles(text) re-tokenizes per
+    # element inside the HOF (the O(n^2) trap text.py documents)
     sh = corpus.select(
+        "doc_id", "split", T.tokens(F.lower(F.col("text"))).alias("_t")
+    ).select(
         "doc_id",
         "split",
-        F.explode(T.shingles(F.lower(F.col("text")), 2)).alias("s"),
+        F.explode(T.shingles_from_tokens(F.col("_t"), 2)).alias("s"),
     )
     ev = sh.where(F.col("split") == "eval").select(
         F.col("doc_id").alias("eval_id"), "s"
@@ -570,9 +574,14 @@ def q_curation_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sh and bg each feed two+ branches of the plan; persisted, the
     # corpus-wide explode/tokenize executes once per signal instead of
     # once per branch (measured ~1.5x on the whole composite at sf0.1)
-    sh = docs.select(
-        "doc_id", F.explode(T.shingles(F.lower(F.col("text")), 2)).alias("s")
-    ).persist()
+    sh = (
+        docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("_t"))
+        .select(
+            "doc_id",
+            F.explode(T.shingles_from_tokens(F.col("_t"), 2)).alias("s"),
+        )
+        .persist()
+    )
     dfreq = sh.groupBy("s").agg(F.count("*").alias("n_docs"))
     novel = F.when(F.col("n_docs") == 1, 1).otherwise(0)
     nov = (
