@@ -506,3 +506,212 @@ def bmp_resize_nearest(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
     return media.mapInPandas(gen, schema)
+
+
+# --- PNG: a real COMPRESSED image codec on stdlib zlib ---------------
+#
+# BMP above proves raster layout handling; PNG adds the two things a
+# production image pipeline actually fights: entropy coding (zlib
+# DEFLATE) and per-scanline predictive filtering (the five PNG filter
+# types). Encoder and decoder below implement ECMA-ish ISO/IEC 15948
+# structure honestly: signature, CRC-checked chunks, IHDR, multi-chunk
+# IDAT, filter reconstruction (None/Sub/Up/Average/Paeth). Reference
+# parity note: the reference repo has no image path at all; this is
+# north-star surface (multimodal columns), kept dependency-free.
+
+PNG_SCHEMA = BMP_SCHEMA  # same typed-feature contract as the BMP path
+
+
+def _png_pixel(x: int, y: int, doc_id: int) -> tuple[int, int, int]:
+    """Deterministic RGB at top-down (x, y) — closed form the DuckDB
+    oracle reproduces exactly."""
+    return (
+        (x * 11 + y * 3 + doc_id * 5) % 256,
+        (x * 2 + y * 7 + doc_id) % 256,
+        (x * 5 + y + doc_id * 3) % 256,
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode(raw_rows: list[bytes]) -> bytes:
+    """Encode top-down RGB scanlines (each 3*w bytes) as a real PNG.
+    Every filter type is exercised (row y uses filter y % 5), and the
+    IDAT stream is split into two chunks when it exceeds 64 bytes, so
+    a decoder that ignores filters or reads only the first IDAT
+    cannot round-trip."""
+    import struct
+    import zlib
+
+    h = len(raw_rows)
+    stride = len(raw_rows[0])
+    w = stride // 3
+    body = bytearray()
+    prior = b"\x00" * stride
+    for y, raw in enumerate(raw_rows):
+        ft = y % 5
+        body.append(ft)
+        for i in range(stride):
+            left = raw[i - 3] if i >= 3 else 0
+            up = prior[i]
+            ul = prior[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = raw[i]
+            elif ft == 1:
+                v = raw[i] - left
+            elif ft == 2:
+                v = raw[i] - up
+            elif ft == 3:
+                v = raw[i] - (left + up) // 2
+            else:
+                v = raw[i] - _paeth(left, up, ul)
+            body.append(v & 0xFF)
+        prior = raw
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    comp = zlib.compress(bytes(body), 6)
+    idats = (
+        [comp]
+        if len(comp) <= 64
+        else [comp[: len(comp) // 2], comp[len(comp) // 2 :]]
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + b"".join(chunk(b"IDAT", d) for d in idats)
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_bytes(doc_id: int) -> bytes:
+    """Deterministic 8-bit RGB PNG: (6 + id%11) x (5 + id%6), raster
+    from ``_png_pixel`` — the instance the DuckDB oracle recomputes in
+    closed form."""
+    w, h = 6 + doc_id % 11, 5 + doc_id % 6
+    return png_encode(
+        [
+            b"".join(bytes(_png_pixel(x, y, doc_id)) for x in range(w))
+            for y in range(h)
+        ]
+    )
+
+
+def png_decode_stats(buf: bytes) -> tuple[int, int, int, int, int, int]:
+    """Pure decode: parse + CRC-check the chunk stream, inflate IDAT,
+    reconstruct scanlines through the five PNG filters; returns
+    (w, h, sum_r, sum_g, sum_b, pos_checksum)."""
+    import struct
+    import zlib
+
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w, h = 8, None, None
+    idat = bytearray()
+    while pos < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", data, 0)
+            if (depth, ctype) != (8, 2):
+                raise ValueError("unsupported PNG format")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("missing IHDR")
+    body = zlib.decompress(bytes(idat))
+    stride = 3 * w
+    prior = bytearray(stride)
+    sr = sg = sb = chk = 0
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = body[base]
+        raw = bytearray(stride)
+        line = body[base + 1 : base + 1 + stride]
+        for i in range(stride):
+            left = raw[i - 3] if i >= 3 else 0
+            up = prior[i]
+            ul = prior[i - 3] if i >= 3 else 0
+            if ft == 0:
+                v = line[i]
+            elif ft == 1:
+                v = line[i] + left
+            elif ft == 2:
+                v = line[i] + up
+            elif ft == 3:
+                v = line[i] + (left + up) // 2
+            elif ft == 4:
+                v = line[i] + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad filter {ft}")
+            raw[i] = v & 0xFF
+        for x in range(w):
+            r_, g_, b_ = raw[3 * x : 3 * x + 3]
+            sr += r_
+            sg += g_
+            sb += b_
+            chk += (y * w + x + 1) * (r_ + g_ + b_)
+        prior = raw
+    return w, h, sr, sg, sb, chk
+
+
+def synthesize_png(docs: DataFrame, every: int = 4, phase: int = 2) -> DataFrame:
+    """(doc_id, payload) of real PNG bytes for doc_id % every == phase."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"] if d % every == phase]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [png_bytes(d) for d in ids]}
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+def png_decode_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode: verify the PNG signature, walk
+    the chunk stream (CRC-checking each chunk), inflate the
+    concatenated IDAT payload, reconstruct every scanline through the
+    five PNG filters, and emit exact integer pixel stats.  The
+    position-weighted checksum fails on wrong filter math, scanline
+    order, or channel order — the same contract a PIL-backed decoder
+    would have to meet."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PNG_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, sr, sg, sb, chk = png_decode_stats(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(sr)
+                rows["sum_g"].append(sg)
+                rows["sum_b"].append(sb)
+                rows["pos_checksum"].append(chk)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, PNG_SCHEMA)

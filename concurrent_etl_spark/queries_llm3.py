@@ -623,3 +623,52 @@ def q_image_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_bmp(docs, every=4, phase=1)
     resized = bmp_resize_nearest(media, target_w=4, target_h=3)
     return bmp_decode_features(resized)
+
+
+@query(
+    "image_png_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 6 + doc_id % 11 AS w, 5 + doc_id % 6 AS h
+      FROM documents WHERE doc_id % 4 = 2),
+    xs AS (SELECT unnest(range(0, 17)) AS x),
+    ys AS (SELECT unnest(range(0, 11)) AS y),
+    px AS (
+      SELECT m.doc_id, m.w, m.h, xs.x, ys.y,
+             (xs.x * 11 + ys.y * 3 + m.doc_id * 5) % 256 AS r,
+             (xs.x * 2 + ys.y * 7 + m.doc_id) % 256 AS g,
+             (xs.x * 5 + ys.y + m.doc_id * 3) % 256 AS b
+      FROM m JOIN xs ON xs.x < m.w JOIN ys ON ys.y < m.h)
+    SELECT doc_id,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((y * w + x + 1) * (r + g + b)) AS BIGINT)
+             AS pos_checksum
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image codec round trip on stdlib zlib:
+    deterministic RGB rasters are encoded as genuine ISO/IEC 15948
+    PNGs — CRC-checked chunk stream, DEFLATE-compressed IDAT (split
+    across two chunks when large), and per-scanline predictive
+    filtering cycling through all five PNG filter types — then
+    DECODED by an independent parser that inflates, reconstructs each
+    scanline through the filter inverse, and emits exact integer
+    pixel stats. The oracle recomputes the raster in closed form, so
+    wrong Paeth/Average math, scanline order, or a decoder that reads
+    only the first IDAT chunk fails the hash. Beyond the BMP path,
+    this exercises what production image pipelines actually fight:
+    entropy coding and prediction filters — with zero dependencies.
+    """
+    from concurrent_etl_spark.operators.multimodal import (
+        png_decode_features,
+        synthesize_png,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthesize_png(docs, every=4, phase=2)
+    return png_decode_features(media)

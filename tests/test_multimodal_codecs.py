@@ -78,3 +78,102 @@ class TestBmpCodec:
         )
         with pytest.raises(Exception):
             bmp_decode_features(docs).collect()
+
+class TestPngCodec:
+    def test_png_structure_and_crcs(self):
+        import zlib
+
+        from concurrent_etl_spark.operators.multimodal import png_bytes
+
+        buf = png_bytes(999)  # large enough for a 2-chunk IDAT
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+        pos, tags = 8, []
+        while pos < len(buf):
+            (ln,) = struct.unpack_from(">I", buf, pos)
+            tag = buf[pos + 4 : pos + 8]
+            data = buf[pos + 8 : pos + 8 + ln]
+            (crc,) = struct.unpack_from(">I", buf, pos + 8 + ln)
+            assert zlib.crc32(tag + data) & 0xFFFFFFFF == crc
+            tags.append(tag)
+            pos += 12 + ln
+        assert tags[0] == b"IHDR" and tags[-1] == b"IEND"
+        assert tags.count(b"IDAT") == 2  # multi-chunk IDAT exercised
+
+    def test_decode_matches_formula(self, spark):
+        from concurrent_etl_spark.operators.multimodal import (
+            _png_pixel,
+            png_decode_features,
+            synthesize_png,
+        )
+
+        docs = spark.range(0, 16).selectExpr("id AS doc_id")
+        out = png_decode_features(synthesize_png(docs, every=4, phase=2))
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {2, 6, 10, 14}
+        for d, r in rows.items():
+            w, h = 6 + d % 11, 5 + d % 6
+            px = [_png_pixel(x, y, d) for y in range(h) for x in range(w)]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sum_r"] == sum(p[0] for p in px)
+            assert r["sum_g"] == sum(p[1] for p in px)
+            assert r["sum_b"] == sum(p[2] for p in px)
+            assert r["pos_checksum"] == sum(
+                (i + 1) * sum(p) for i, p in enumerate(px)
+            )
+
+    def test_decoder_rejects_corrupt_crc(self, spark):
+        from concurrent_etl_spark.operators.multimodal import (
+            png_bytes,
+            png_decode_features,
+        )
+
+        buf = bytearray(png_bytes(3))
+        buf[40] ^= 0xFF  # flip a byte inside IHDR data -> CRC mismatch
+        docs = spark.createDataFrame(
+            [(3, bytes(buf))], "doc_id bigint, payload binary"
+        )
+        with pytest.raises(Exception):
+            png_decode_features(docs).collect()
+
+class TestPngProperty:
+    def test_random_rasters_roundtrip(self):
+        """Any raster must survive encode -> decode exactly: the five
+        filter inverses, CRC framing, and IDAT reassembly are all
+        invertible. Pure-python path (no Spark) so hypothesis can run
+        many cases."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from concurrent_etl_spark.operators.multimodal import (
+            png_decode_stats,
+            png_encode,
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            st.integers(1, 24),
+            st.integers(1, 16),
+            st.randoms(use_true_random=False),
+        )
+        def check(w, h, rng):
+            raster = [
+                bytes(rng.randrange(256) for _ in range(3 * w))
+                for _ in range(h)
+            ]
+            dw, dh, sr, sg, sb, chk = png_decode_stats(
+                png_encode(raster)
+            )
+            px = [
+                raster[y][3 * x : 3 * x + 3]
+                for y in range(h)
+                for x in range(w)
+            ]
+            assert (dw, dh) == (w, h)
+            assert sr == sum(p[0] for p in px)
+            assert sg == sum(p[1] for p in px)
+            assert sb == sum(p[2] for p in px)
+            assert chk == sum(
+                (i + 1) * sum(p) for i, p in enumerate(px)
+            )
+
+        check()
