@@ -672,3 +672,141 @@ def q_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     media = synthesize_png(docs, every=4, phase=2)
     return png_decode_features(media)
+
+
+#: duplicate-span sampling constants (shared with the oracle SQL)
+_DS_K = 16  # window length in characters
+_DS_B = 5  # small RK base: 5^15 * max_codepoint * 16 stays < 2^63
+_DS_P = 1_000_000_007
+_DS_W = 8  # keep windows whose hash % 8 == 0 (deterministic 1/8 sample)
+_DS_DF = 100  # stop-span cap: windows in more docs than this are boilerplate
+_DS_T = 3  # min shared sampled windows to report a pair
+
+
+@query(
+    "duplicate_span_pairs",
+    oracle=f"""
+    WITH {{corpus}},
+    chars AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(lower(text), '.'),
+                            c -> ord(c)) AS cs
+      FROM corpus),
+    subs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_filter(range(1, len(cs) - {_DS_K} + 2), i ->
+                 (list_aggregate(
+                    list_transform(range(0, {_DS_K}), j ->
+                      cs[i + j] *
+                      CAST(pow({_DS_B}, {_DS_K} - 1 - j) AS BIGINT)),
+                    'sum') % {_DS_P}) % {_DS_W} = 0),
+               i -> array_to_string(
+                      list_slice(cs, i, i + {_DS_K} - 1), '-'))) AS subs
+      FROM chars WHERE len(cs) >= {_DS_K}),
+    ex AS (
+      SELECT doc_id, len(subs) AS n_samp, unnest(subs) AS sub FROM subs),
+    df AS (
+      SELECT sub FROM ex GROUP BY sub
+      HAVING COUNT(*) BETWEEN 2 AND {_DS_DF}),
+    pairs AS (
+      SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+             COUNT(*) AS n_shared,
+             MIN(a.n_samp) AS n_lo, MIN(b.n_samp) AS n_hi
+      FROM ex a JOIN df USING (sub) JOIN ex b ON a.sub = b.sub
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_lo, doc_hi,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shared * {_DS_W} AS BIGINT) AS est_span_chars,
+           ROUND(CAST(n_shared AS DOUBLE) / LEAST(n_lo, n_hi), 9)
+             AS containment
+    FROM pairs WHERE n_shared >= {_DS_T}
+    """.format(corpus=_CORPUS_NEAR),
+)
+def q_duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection across documents — the
+    suffix-sampling exact-substring dedup a training-data pipeline
+    runs beside MinHash (whole-doc similarity misses a copied
+    paragraph inside an otherwise-unique page). Every 16-char window
+    gets a Rabin-Karp hash; windows with hash % 8 == 0 form a
+    deterministic, position-independent 1/8 sample (two docs sharing
+    a span always sample the SAME windows, unlike stride sampling).
+    The join key is the literal window CONTENT, so matches are exact
+    — the hash only chooses the sample. A doc-frequency gate keeps
+    only windows seen in 2..100 docs: singletons cannot form pairs
+    (prunes ~all of the corpus before the self-join) and
+    ultra-common spans are boilerplate AND the join-skew hot keys, so
+    one gate removes both. Per-pair output: shared-window count, an
+    estimated shared-span length (each sampled window represents ~8
+    chars of run), and containment vs the smaller doc.
+
+    100 TB shape: one linear scan per doc (chars x 16 HOF work,
+    JVM-side), explode at 1/8 of char positions, one shuffle keyed on
+    window content with frequency-capped keys (no hot key exceeds
+    DF=100 rows per side), pair fan-out bounded by C(100,2) per
+    window. Never O(n^2) in documents.
+    """
+    docs = with_injected_near_dups(_docs(spark, sf_dir))
+    cs = F.transform(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("."), 0), F.ascii
+    )
+    staged = docs.select("doc_id", cs.alias("cs")).where(
+        F.size("cs") >= _DS_K
+    )
+    weights = [int(_DS_B ** (_DS_K - 1 - j)) for j in range(_DS_K)]
+    window_hash = (
+        "aggregate(transform(sequence(0, {k} - 1), "
+        "j -> cs[i + j - 1] * element_at(array({w}), j + 1)), "
+        "0L, (acc, x) -> acc + x) % {p}"
+    ).format(
+        k=_DS_K, w=", ".join(f"{w}L" for w in weights), p=_DS_P
+    )
+    subs = F.expr(
+        f"array_distinct(transform("
+        f"filter(sequence(1, size(cs) - {_DS_K} + 1), "
+        f"i -> ({window_hash}) % {_DS_W} = 0), "
+        f"i -> array_join(slice(cs, i, {_DS_K}), '-')))"
+    )
+    ex = (
+        staged.select("doc_id", subs.alias("subs"))
+        .select(
+            "doc_id",
+            F.size("subs").alias("n_samp"),
+            F.explode("subs").alias("sub"),
+        )
+    )
+    keep = (
+        ex.groupBy("sub")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df").between(2, _DS_DF))
+        .select("sub")
+    )
+    exf = ex.join(keep, "sub")
+    a, b = exf.alias("a"), exf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_lo"),
+            F.col("b.doc_id").alias("doc_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("a.n_samp").alias("n_lo"),
+            F.min("b.n_samp").alias("n_hi"),
+        )
+        .where(F.col("n_shared") >= _DS_T)
+    )
+    return pairs.select(
+        "doc_lo",
+        "doc_hi",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        (F.col("n_shared") * _DS_W).cast("bigint").alias("est_span_chars"),
+        F.round(
+            F.col("n_shared") / F.least("n_lo", "n_hi"), 9
+        ).alias("containment"),
+    )
