@@ -1070,3 +1070,59 @@ def q_map_functions_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(merged, "size").alias("size_s"),
         F.element_at(zipped, "v").alias("size_plus_price"),
     )
+
+
+@query(
+    "zorder_locality",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey,
+             o_custkey % 4096 AS x,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 4096 AS y
+      FROM orders),
+    z AS (
+      SELECT x, y,
+             list_aggregate(list_transform(range(0, 12), b ->
+               (((x >> b) & 1) << (2 * b)) +
+               (((y >> b) & 1) << (2 * b + 1))), 'sum') AS zkey
+      FROM d)
+    SELECT CAST(zkey >> 18 AS BIGINT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+           CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+    FROM z GROUP BY 1
+    """,
+)
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key, computed entirely in JVM
+    bitwise expressions, with its locality property surfaced as data:
+    group orders by curve segment (zkey >> 18) and report each
+    segment's bounding box over BOTH interleaved dimensions. Because
+    a Morton segment of length 2^18 covers a 512x512 quad, every
+    segment's (x_max - x_min) and (y_max - y_min) are bounded at
+    once — the property that makes parquet min/max stats prune
+    multi-column predicates after ``write_zordered`` lays a table out
+    by this key (tests/test_warehouse.py measures the row-group
+    skipping). The oracle recomputes the interleaving in closed form,
+    so a bit-order or off-by-one error in the key fails the hash.
+    """
+    from concurrent_etl_spark.sources.warehouse import zorder_key
+
+    d = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 4096).alias("x"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            % 4096
+        ).alias("y"),
+    )
+    z = d.select("x", "y", zorder_key(["x", "y"], bits=12).alias("zkey"))
+    return (
+        z.groupBy(F.shiftright("zkey", 18).cast("bigint").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("x").cast("bigint").alias("x_min"),
+            F.max("x").cast("bigint").alias("x_max"),
+            F.min("y").cast("bigint").alias("y_min"),
+            F.max("y").cast("bigint").alias("y_max"),
+        )
+    )

@@ -134,3 +134,61 @@ def backfill_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> 
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def zorder_key(cols: list[str], bits: int = 16):
+    """Z-order (Morton) key: interleave the low ``bits`` bits of each
+    column, entirely in JVM bitwise expressions (codegen-friendly, no
+    Python). Sorting by this key clusters rows that are close in ALL
+    dimensions at once, so parquet row-group min/max stats stay tight
+    on EVERY interleaved column — a multi-column predicate then skips
+    row groups that a single-column sort could only skip for its lead
+    column. This is the same layout idea Delta's OPTIMIZE ZORDER BY
+    applies, expressed with stock Spark functions.
+
+    Columns must be non-negative integers (callers rank/bucket real
+    values first — ranking also equalizes scales, which raw bit
+    interleaving needs to be meaningful).
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    key: Column = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for c, col in enumerate(cols):
+            bit = F.shiftright(F.col(col).cast("bigint"), b).bitwiseAND(
+                F.lit(1)
+            )
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * n + c).cast("bigint")
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """Rewrite df clustered along the Z-order curve of ``cols``.
+
+    repartitionByRange on the Morton key gives each output file a
+    contiguous curve segment (disjoint key ranges across files);
+    sortWithinPartitions orders row groups inside each file. After
+    this, a conjunctive range predicate over the interleaved columns
+    prunes at BOTH granularities via plain parquet min/max stats —
+    no table format or index needed, so the pattern works on any
+    object store at 100 TB.
+    """
+    zk = zorder_key(cols, bits).alias("__zkey")
+    (
+        df.select("*", zk)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -190,3 +190,101 @@ class TestSortedCompaction:
         for (a, b), (c, d) in zip(spans, spans[1:]):
             assert b <= c, spans
         assert sum(r["cnt"] for r in per_file) == 10000
+
+
+class TestZorder:
+    def _rowgroups_surviving(self, path, xcol, xlo, xhi, ycol, ylo, yhi):
+        """Count parquet row groups whose min/max stats intersect the
+        2D box — exactly the skipping decision a stats-based reader
+        makes before touching data pages."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        survive = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                total += 1
+                sx = md.row_group(rg).column(names[xcol]).statistics
+                sy = md.row_group(rg).column(names[ycol]).statistics
+                if (sx.min <= xhi and sx.max >= xlo
+                        and sy.min <= yhi and sy.max >= ylo):
+                    survive += 1
+        return survive, total
+
+    def test_zorder_skips_more_rowgroups_than_linear_sort(
+        self, spark, tables, tmp_path
+    ):
+        import random
+
+        from concurrent_etl_spark.sources.warehouse import write_zordered
+
+        # two independent uniform dims, small row groups so each file
+        # holds several — skipping granularity is the row group
+        rng = random.Random(7)
+        rows = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(40_000)]
+        df = spark.createDataFrame(rows, "x bigint, y bigint")
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+        zpath = str(tmp_path / "zord")
+        lpath = str(tmp_path / "linear")
+        rg_conf = {"parquet.block.size": 64 * 1024}
+        # z-ordered layout
+        write_zordered(df, zpath, ["x", "y"], bits=12, n_files=4)
+        # linear layout: range-partition + sort by x only
+        (
+            df.repartitionByRange(4, "x")
+            .sortWithinPartitions("x", "y")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 64 * 1024)
+            .parquet(lpath)
+        )
+        # re-write zordered with small row groups too (write_zordered
+        # has no option hook; rewrite preserving order)
+        (
+            spark.read.parquet(zpath)
+            .coalesce(4)
+            .write.mode("overwrite")
+            .option("parquet.block.size", 64 * 1024)
+            .parquet(str(tmp_path / "zord_rg"))
+        )
+        # predicate on the NON-lead dimension: the x-sorted layout
+        # cannot prune at all (every row group spans the full y
+        # range), while z-order bounds y in every curve segment —
+        # this is the multi-dimensional claim, and it is robust at
+        # any row-group count (a 1D sort still wins on its own lead
+        # column; z-order's value is balanced pruning on ALL
+        # interleaved dims)
+        ylo, yhi = 2000, 2200  # ~5% of the y domain
+        zs, zt = self._rowgroups_surviving(
+            str(tmp_path / "zord_rg"), "y", ylo, yhi, "y", ylo, yhi
+        )
+        ls, lt = self._rowgroups_surviving(
+            lpath, "y", ylo, yhi, "y", ylo, yhi
+        )
+        assert zt > 4 and lt > 4
+        assert ls == lt  # 1D layout: zero pruning on y
+        assert zs / zt < 1.0  # z-order: real skipping on y
+        assert zs / zt < ls / lt
+        # correctness: the clustered copy returns identical rows
+        got = (
+            spark.read.parquet(zpath)
+            .where(f"y BETWEEN {ylo} AND {yhi}")
+            .collect()
+        )
+        exp = [r for r in rows if ylo <= r[1] <= yhi]
+        assert sorted((r["x"], r["y"]) for r in got) == sorted(exp)
+
+    def test_zorder_key_interleaves_bits(self, spark):
+        from concurrent_etl_spark.sources.warehouse import zorder_key
+
+        df = spark.createDataFrame(
+            [(0b1010, 0b0110)], "x bigint, y bigint"
+        ).select(zorder_key(["x", "y"], bits=4).alias("z"))
+        # x bits at even positions, y bits at odd:
+        # x=1010 -> bits (0,1,0,1) at pos 0,2,4,6 ; y=0110 -> pos 1,3,5,7
+        expected = (0 << 0 | 1 << 2 | 0 << 4 | 1 << 6) | (
+            0 << 1 | 1 << 3 | 1 << 5 | 0 << 7
+        )
+        assert df.collect()[0]["z"] == expected
