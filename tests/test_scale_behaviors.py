@@ -60,3 +60,55 @@ class TestAqeSkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+_BLOOM_CONF = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # the 10 GB default application-side gate is exactly the 100 TB
+    # design point (the filter pays off when the probe side is huge);
+    # lower it so the test-sized probe side qualifies
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # force the shuffle join a data-scaled build side would force —
+    # a broadcast join already semi-filters, bloom targets SMJ
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+class TestRuntimeBloomFilter:
+    def test_selective_join_injects_bloom_prefilter(self, spark, tables):
+        """When a selective filter sits on one join side and the
+        other side is too big to broadcast, Catalyst builds a Bloom
+        filter from the filtered side and pushes might_contain onto
+        the probe side's SCAN — rows that cannot join are dropped
+        before the shuffle. At 100 TB this turns 'shuffle all of
+        lineitem' into 'shuffle the ~20% that can match'; the configs
+        only scale the size gates down to test data."""
+        old = {k: spark.conf.get(k, None) for k in _BLOOM_CONF}
+        for k, v in _BLOOM_CONF.items():
+            spark.conf.set(k, v)
+        try:
+            o = tables["orders"].where("o_orderpriority = '1-URGENT'")
+            li = tables["lineitem"]
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n"))
+            )
+            from concurrent_etl_spark.plans.explain import plan_string
+
+            plan = plan_string(j, "formatted")
+            assert "might_contain" in plan, plan[:2000]
+            assert "bloom_filter_agg" in plan.lower(), plan[:2000]
+            # correctness: identical to the bloom-free result
+            got = {(r["o_orderpriority"], r["n"]) for r in j.collect()}
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+            )
+            exp = {(r["o_orderpriority"], r["n"]) for r in j.collect()}
+            assert got == exp and len(got) == 1
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
