@@ -1126,3 +1126,63 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").cast("bigint").alias("y_max"),
         )
     )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: per-group totals computed as a
+    MERGE of partial aggregates, never a rescan of history. Stage 1
+    aggregates each (event_type, base-vs-delta) slice to mergeable
+    state — count, DECIMAL sum (associative-exact, so partial order
+    never changes the result), min/max. Stage 2 merges the partials
+    per event_type and only then derives avg (avg itself is not
+    mergeable; sum/count are — the algebraic-vs-distributive measure
+    distinction every incremental-agg system is built on). The
+    oracle is the full-scan GROUP BY, proving merge(partials) ==
+    recompute(all) exactly.
+
+    At 100 TB the base partials are a stored table maintained per
+    ingest batch: each new day touches only its own partials, history
+    is never rescanned, and the same merge runs across arbitrarily
+    many stored slices. Spark's own map-side partial aggregation is
+    this exact law applied inside one job; this query materializes it
+    across jobs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    partials = (
+        ev.withColumn(
+            "is_base", F.col("ts") < F.lit("2024-01-24").cast("timestamp")
+        )
+        .groupBy("event_type", "is_base")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("psum"),
+            F.min("ts").alias("pmin"),
+            F.max("ts").alias("pmax"),
+        )
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.sum("psum").cast("double").alias("sum_value"),
+        F.min("pmin").alias("min_ts"),
+        F.max("pmax").alias("max_ts"),
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        "sum_value",
+        "min_ts",
+        "max_ts",
+        F.round(F.col("sum_value") / F.col("n_events"), 9).alias("avg_value"),
+    )
