@@ -810,3 +810,96 @@ def q_duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared") / F.least("n_lo", "n_hi"), 9
         ).alias("containment"),
     )
+
+
+@query(
+    "zipf_slope_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_tok('lower(text)')}) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+    top AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+      FROM c ORDER BY n DESC, token LIMIT 500),
+    q AS (
+      SELECT CAST(ROUND(ln(rnk) * 1000000, 0) AS BIGINT) AS xi,
+             CAST(ROUND(ln(n) * 1000000, 0) AS BIGINT) AS yi
+      FROM top),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+             CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+             CAST(SUM(xi * yi) AS BIGINT) AS sxy,
+             CAST(SUM(yi * yi) AS BIGINT) AS syy
+      FROM q)
+    SELECT k AS n_terms,
+           ROUND((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 9) AS slope,
+           ROUND((CAST(sy AS DOUBLE) / 1000000
+                  - ((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                    * CAST(sx AS DOUBLE) / 1000000) / k, 9) AS intercept,
+           ROUND(POW(CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy, 2)
+                 / ((CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 9) AS r2
+    FROM m
+    """,
+)
+def q_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    ln(frequency) vs ln(rank) for the top-500 terms (natural language
+    sits near slope -1; a far-off slope flags synthetic, templated, or
+    degenerate text — a corpus-level quality gate). Determinism trick:
+    the logs are quantized to integer micro-units BEFORE the moment
+    sums, so every accumulation is exact 64-bit integer arithmetic
+    under any partitioning; only the final closed-form combination
+    runs in (deterministic, identical-expression) double. Scale path:
+    rank needs a global order, but only for 500 rows — the vocabulary
+    is cut by orderBy+limit (TakeOrderedAndProject, partition-local
+    top-k) before the bounded 500-row window assigns ranks.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    c = tok.groupBy("token").agg(F.count("*").alias("n"))
+    top = c.orderBy(F.desc("n"), F.asc("token")).limit(500)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    q = top.withColumn("rnk", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("xi"),
+        F.round(F.log(F.col("n").cast("double")) * 1_000_000, 0)
+        .cast("bigint")
+        .alias("yi"),
+    )
+    m = q.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("xi").cast("bigint").alias("sx"),
+        F.sum("yi").cast("bigint").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("bigint").alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).cast("bigint").alias("sxy"),
+        F.sum(F.col("yi") * F.col("yi")).cast("bigint").alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = kd * F.col("sxy") - sxd * F.col("sy")
+    den = kd * F.col("sxx") - sxd * F.col("sx")
+    slope = num / den
+    return m.select(
+        F.col("k").alias("n_terms"),
+        F.round(slope, 9).alias("slope"),
+        F.round(
+            (syd / 1_000_000 - slope * sxd / 1_000_000) / F.col("k"), 9
+        ).alias("intercept"),
+        F.round(
+            F.pow(num, 2)
+            / (den * (kd * F.col("syy") - syd * F.col("sy"))),
+            9,
+        ).alias("r2"),
+    )

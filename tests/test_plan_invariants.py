@@ -39,6 +39,9 @@ GLOBAL_WINDOW_OK = {
     # cumulative-share window runs AFTER orderBy().limit(100): its
     # input is the 100-row TakeOrdered result, not the vocabulary
     "vocab_coverage_topk",
+    # rank window runs AFTER orderBy().limit(500): its input is the
+    # 500-row TakeOrdered head of the vocabulary, never the corpus
+    "zipf_slope_fit",
 }
 
 _WSPEC = re.compile(r"windowspecdefinition\(([^,()]*?)[,)]")
