@@ -98,3 +98,18 @@ def read_jsonl_staged(
     if with_provenance:
         df = df.withColumn("_source_file", F.input_file_name())
     return df
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (Spark-native columnar alternative to parquet).
+
+    ORC ships in stock Spark with the same predicate-pushdown and
+    column-pruning surface as parquet (stripe-level min/max + bloom
+    indexes), so warehouses standardized on ORC plug into every
+    operator here unchanged — the scan layer is the only difference.
+    """
+    df.write.format("orc").mode("overwrite").save(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.format("orc").load(path)
