@@ -1186,3 +1186,96 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_ts",
         F.round(F.col("sum_value") / F.col("n_events"), 9).alias("avg_value"),
     )
+
+
+def _lpa_sql() -> str:
+    """Two unrolled synchronous label-propagation rounds as oracle SQL."""
+    pick = (
+        "SELECT node, lbl FROM ("
+        "SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node "
+        "ORDER BY wt DESC, lbl) AS rn FROM {src}) WHERE rn = 1"
+    )
+    return f"""
+    WITH raw AS (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    cw AS (SELECT src, dst, COUNT(*) AS w FROM raw GROUP BY 1, 2),
+    ew AS (SELECT src, dst, w FROM cw
+           UNION ALL SELECT dst AS src, src AS dst, w FROM cw),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ew),
+    v1 AS (SELECT e.src AS node, l.lbl, SUM(e.w) AS wt
+           FROM ew e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+    l1 AS ({pick.format(src='v1')}),
+    v2 AS (SELECT e.src AS node, l.lbl, SUM(e.w) AS wt
+           FROM ew e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+    l2 AS ({pick.format(src='v2')})
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers,
+           CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM l2 GROUP BY 1
+    """
+
+
+@query("label_propagation_communities", oracle=_lpa_sql())
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    customer-supplier bipartite graph: every node starts as its own
+    label; each round it adopts the label with the largest total edge
+    weight among its neighbors (ties broken toward the smaller
+    label, which makes the classically order-sensitive LPA fully
+    deterministic — the property that lets an oracle exist at all).
+    Two unrolled rounds, then a per-community census. Completes the
+    graph family: connected components answers "reachable at all",
+    pagerank ranks within the structure, LPA partitions it into
+    densely-linked groups.
+
+    At 100 TB each round is one shuffle keyed on integer node ids
+    (weight-vote agg) plus one partitioned top-1 window (bounded per
+    node by its neighbor-label count); label state stays one row per
+    node, and rounds chain linearly like the pagerank iterations.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    raw = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    cw = raw.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
+    ew = cw.unionByName(
+        cw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).persist()
+    labels = ew.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    rn_w = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("lbl"))
+    for _ in range(2):
+        votes = (
+            ew.join(labels, ew.dst == labels.node)
+            .groupBy(ew.src.alias("vnode"), "lbl")
+            .agg(F.sum("w").alias("wt"))
+            .withColumnRenamed("vnode", "node")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(rn_w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    out = labels.groupBy(F.col("lbl").cast("bigint").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_customers"),
+        F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppliers"),
+        F.min("node").cast("bigint").alias("min_node"),
+    )
+    # cw/ew persists are registration-only until the caller's action
+    # runs; the bench/oracle harnesses clearCache() per query (repo
+    # convention) — an eager unpersist here would fire at plan-build
+    # time and silently disable the caching it means to clean up
+    return out
