@@ -25,6 +25,8 @@ QUERIES = [
     "pagerank_bipartite",
     "triangle_count",
     "ann_topk_cosine",
+    "duplicate_span_pairs",
+    "label_propagation_communities",
 ]
 
 SF_DIRS = {
