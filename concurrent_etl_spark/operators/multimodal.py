@@ -6,10 +6,14 @@ Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages — the payload bytes never pass through Python
 row-at-a-time, and each batch is one Arrow buffer.
 
-The container has no image/audio libraries, so the actual codecs are
-STUBBED (``NotImplementedError``) behind a deterministic byte-level
-feature extractor that keeps the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — real and testable.
+The container has no image/audio libraries (PIL/librosa), so the
+jpeg/mp3 codecs are STUBBED (``NotImplementedError``) behind a
+deterministic byte-level feature extractor that keeps the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape — real
+and testable. Three REAL codecs run with zero dependencies and are
+oracle-checked end-to-end: RIFF/WAV (stdlib ``wave``), 24-bit BMP
+(manual DIB parse), and PNG (stdlib ``zlib``: CRC-checked chunks,
+DEFLATE, all five predictive scanline filters).
 
 At 100 TB: payloads dominate bytes, so the partitioning rule is
 "split by target partition byte size, never by row count"
