@@ -466,3 +466,87 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def span_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 16,
+    base: int = 5,
+    mod: int = 1_000_000_007,
+    sample_w: int = 8,
+    df_max: int = 100,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (suffix-sampling substring
+    dedup): mod-sampled Rabin-Karp k-char windows joined on literal
+    window content, doc-frequency-gated (2..df_max) so singleton
+    windows never reach the self-join and boilerplate hot keys are
+    dropped before they can skew the shuffle. Returns (doc_lo,
+    doc_hi, n_shared, est_span_chars, containment); see
+    ``queries_llm3.q_duplicate_span_pairs`` for the full scale
+    argument and the closed-form oracle.
+    """
+    cs = F.transform(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("."), 0),
+        F.ascii,
+    )
+    staged = docs.select("doc_id", cs.alias("cs")).where(F.size("cs") >= k)
+    weights = [int(base ** (k - 1 - j)) for j in range(k)]
+    window_hash = (
+        "aggregate(transform(sequence(0, {k} - 1), "
+        "j -> cs[i + j - 1] * element_at(array({w}), j + 1)), "
+        "0L, (acc, x) -> acc + x) % {p}"
+    ).format(k=k, w=", ".join(f"{w}L" for w in weights), p=mod)
+    # the total (size-guarded) form matters even though ``staged``
+    # filters short docs already: InferFiltersFromGenerate replicates
+    # this expression into inferred filter conjuncts, and codegen's
+    # common-subexpression hoisting can evaluate it BEFORE the
+    # short-circuiting size guard — on a short doc the unguarded
+    # sequence(1, size-k+1) turns descending and indexes out of range
+    subs = F.expr(
+        f"array_distinct(transform("
+        f"filter(if(size(cs) >= {k}, sequence(1, size(cs) - {k} + 1), "
+        f"cast(array() as array<int>)), "
+        f"i -> ({window_hash}) % {sample_w} = 0), "
+        f"i -> array_join(slice(cs, i, {k}), '-')))"
+    )
+    ex = staged.select("doc_id", subs.alias("subs")).select(
+        "doc_id",
+        F.size("subs").alias("n_samp"),
+        F.explode("subs").alias("sub"),
+    )
+    keep = (
+        ex.groupBy("sub")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df").between(2, df_max))
+        .select("sub")
+    )
+    exf = ex.join(keep, "sub")
+    a, b = exf.alias("a"), exf.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_lo"),
+            F.col("b.doc_id").alias("doc_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.min("a.n_samp").alias("n_lo"),
+            F.min("b.n_samp").alias("n_hi"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )
+    return pairs.select(
+        "doc_lo",
+        "doc_hi",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        (F.col("n_shared") * sample_w).cast("bigint").alias("est_span_chars"),
+        F.round(F.col("n_shared") / F.least("n_lo", "n_hi"), 9).alias(
+            "containment"
+        ),
+    )

@@ -747,68 +747,17 @@ def q_duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF=100 rows per side), pair fan-out bounded by C(100,2) per
     window. Never O(n^2) in documents.
     """
+    from concurrent_etl_spark.operators.dedup import span_pairs
+
     docs = with_injected_near_dups(_docs(spark, sf_dir))
-    cs = F.transform(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit("."), 0), F.ascii
-    )
-    staged = docs.select("doc_id", cs.alias("cs")).where(
-        F.size("cs") >= _DS_K
-    )
-    weights = [int(_DS_B ** (_DS_K - 1 - j)) for j in range(_DS_K)]
-    window_hash = (
-        "aggregate(transform(sequence(0, {k} - 1), "
-        "j -> cs[i + j - 1] * element_at(array({w}), j + 1)), "
-        "0L, (acc, x) -> acc + x) % {p}"
-    ).format(
-        k=_DS_K, w=", ".join(f"{w}L" for w in weights), p=_DS_P
-    )
-    subs = F.expr(
-        f"array_distinct(transform("
-        f"filter(sequence(1, size(cs) - {_DS_K} + 1), "
-        f"i -> ({window_hash}) % {_DS_W} = 0), "
-        f"i -> array_join(slice(cs, i, {_DS_K}), '-')))"
-    )
-    ex = (
-        staged.select("doc_id", subs.alias("subs"))
-        .select(
-            "doc_id",
-            F.size("subs").alias("n_samp"),
-            F.explode("subs").alias("sub"),
-        )
-    )
-    keep = (
-        ex.groupBy("sub")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df").between(2, _DS_DF))
-        .select("sub")
-    )
-    exf = ex.join(keep, "sub")
-    a, b = exf.alias("a"), exf.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_lo"),
-            F.col("b.doc_id").alias("doc_hi"),
-        )
-        .agg(
-            F.count("*").alias("n_shared"),
-            F.min("a.n_samp").alias("n_lo"),
-            F.min("b.n_samp").alias("n_hi"),
-        )
-        .where(F.col("n_shared") >= _DS_T)
-    )
-    return pairs.select(
-        "doc_lo",
-        "doc_hi",
-        F.col("n_shared").cast("bigint").alias("n_shared"),
-        (F.col("n_shared") * _DS_W).cast("bigint").alias("est_span_chars"),
-        F.round(
-            F.col("n_shared") / F.least("n_lo", "n_hi"), 9
-        ).alias("containment"),
+    return span_pairs(
+        docs,
+        k=_DS_K,
+        base=_DS_B,
+        mod=_DS_P,
+        sample_w=_DS_W,
+        df_max=_DS_DF,
+        min_shared=_DS_T,
     )
 
 

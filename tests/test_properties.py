@@ -99,3 +99,79 @@ class TestScd2PartitionInvariance:
             )
 
         assert run(base) == run(base.repartition(n_parts))
+
+
+def _span_pairs_reference(docs, k=6, base=5, mod=1_000_000_007,
+                          sample_w=2, df_max=4, min_shared=1):
+    """Brute-force python reference for operators.dedup.span_pairs:
+    same definition, sequential implementation."""
+    from collections import Counter
+
+    subs = {}
+    for doc_id, text in docs:
+        cs = [ord(c) for c in text.lower()]
+        if len(cs) < k:
+            continue
+        wins = set()
+        for i in range(len(cs) - k + 1):
+            h = sum(
+                cs[i + j] * base ** (k - 1 - j) for j in range(k)
+            ) % mod
+            if h % sample_w == 0:
+                wins.add("-".join(str(c) for c in cs[i : i + k]))
+        if wins:
+            subs[doc_id] = wins
+    df = Counter()
+    for wins in subs.values():
+        for w in wins:
+            df[w] += 1
+    keep = {w for w, n in df.items() if 2 <= n <= df_max}
+    ids = sorted(subs)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(subs[a] & subs[b] & keep)
+            if shared >= min_shared:
+                nlo = min(len(subs[a]), len(subs[b]))
+                out[(a, b)] = (
+                    shared,
+                    shared * sample_w,
+                    round(shared / nlo, 9),
+                )
+    return out
+
+
+class TestSpanPairsProperty:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=60),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def test_matches_bruteforce(self, spark, texts):
+        """span_pairs over a low-entropy random corpus (which forces
+        genuine shared windows) must equal the sequential brute-force
+        evaluation of the same definition — sampling, DF gate,
+        threshold, containment and all."""
+        from concurrent_etl_spark.operators.dedup import span_pairs
+
+        docs = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        got = {
+            (r["doc_lo"], r["doc_hi"]): (
+                r["n_shared"],
+                r["est_span_chars"],
+                round(r["containment"], 9),
+            )
+            for r in span_pairs(
+                df, k=6, sample_w=2, df_max=4, min_shared=1
+            ).collect()
+        }
+        exp = _span_pairs_reference(docs)
+        assert got == exp
