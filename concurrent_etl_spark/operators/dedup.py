@@ -511,10 +511,22 @@ def span_pairs(
         f"i -> ({window_hash}) % {sample_w} = 0), "
         f"i -> array_join(slice(cs, i, {k}), '-')))"
     )
-    ex = staged.select("doc_id", subs.alias("subs")).select(
-        "doc_id",
-        F.size("subs").alias("n_samp"),
-        F.explode("subs").alias("sub"),
+    # explode_OUTER, not explode: for an inner explode Catalyst
+    # infers `size(subs) > 0 AND isnotnull(subs)` and pushes it below
+    # this projection — with `subs` inlined, that filter re-tokenizes
+    # the document PER WINDOW POSITION (O(chars^2) per doc; measured
+    # 332 s vs ~6 s at sf0.001). Outer generate infers nothing, so
+    # the expensive expression is evaluated exactly once per doc on
+    # the staged `cs`; the explicit null filter below removes the
+    # empty-sample rows the outer explode keeps.
+    ex = (
+        staged.select("doc_id", subs.alias("subs"))
+        .select(
+            "doc_id",
+            F.size("subs").alias("n_samp"),
+            F.explode_outer("subs").alias("sub"),
+        )
+        .where(F.col("sub").isNotNull())
     )
     keep = (
         ex.groupBy("sub")

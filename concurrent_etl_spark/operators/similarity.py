@@ -295,3 +295,69 @@ def cosine_pandas_udf():
         return pd.Series(num / den)
 
     return _cos
+
+
+def radius_pairs_grid(
+    points: DataFrame,
+    radius: float,
+    id_col: str = "vec_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """All point pairs within ``radius`` in 2D, via grid bucketing —
+    the metric-range complement of the top-k ANN path. Each point
+    lands in cell (floor(x/r), floor(y/r)); one side explodes to its
+    3x3 cell neighborhood, the other stays at its home cell, and the
+    equi-join on cell ids yields every candidate pair exactly once
+    (the id ordering kills the mirror match). Exact distance verifies
+    candidates. Never O(n^2): candidate count is sum over cells of
+    |cell| x |neighborhood|, i.e. density-bounded; a hot cell is a
+    data-skew fact the same salting remedy applies to. One explode
+    (x9) + one shuffle on integer cell keys.
+    """
+    r2 = radius * radius
+    cells = points.select(
+        F.col(id_col).alias("pid"),
+        F.col(x_col).cast("double").alias("px"),
+        F.col(y_col).cast("double").alias("py"),
+        F.floor(F.col(x_col).cast("double") / radius).alias("cx"),
+        F.floor(F.col(y_col).cast("double") / radius).alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8), "
+        "d -> struct(d div 3 - 1 AS dx, d % 3 - 1 AS dy)))"
+    )
+    a = cells.select(
+        F.col("pid").alias("a_id"),
+        F.col("px").alias("ax"),
+        F.col("py").alias("ay"),
+        "cx",
+        "cy",
+        offsets.alias("o"),
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    b = cells.select(
+        F.col("pid").alias("b_id"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        a.join(b, ["jx", "jy"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(d2 <= F.lit(r2))
+        .select(
+            F.col("a_id").alias("vec_lo"),
+            F.col("b_id").alias("vec_hi"),
+            F.round(F.sqrt(d2), 9).alias("dist"),
+        )
+    )

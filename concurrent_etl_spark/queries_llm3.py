@@ -852,3 +852,42 @@ def q_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("r2"),
     )
+
+
+@query(
+    "spatial_radius_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings)
+    SELECT a.vec_id AS vec_lo, b.vec_id AS vec_hi,
+           ROUND(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 9) AS dist
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 0.02 * 0.02
+    """,
+)
+def q_spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D radius search (all pairs within r=0.02 in the first two
+    embedding dimensions) via grid bucketing: cell size r, one side
+    exploded to its 3x3 neighborhood, equi-join on integer cell ids,
+    exact distance verify on candidates only. The oracle is the
+    brute-force O(n^2) definition — the scale path must reproduce it
+    exactly, which is the whole point: grid bucketing is a plan
+    optimization, not an approximation (contrast with the LSH/IVF
+    queries, where the approximation itself is the operator and a
+    recall query measures it). At 100 TB: no cross product ever
+    materializes; candidates are density-bounded per cell and the
+    shuffle keys are uniform integer cell ids.
+    """
+    from concurrent_etl_spark.operators.similarity import radius_pairs_grid
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("x"),
+        F.element_at("embedding", 2).alias("y"),
+    )
+    return radius_pairs_grid(pts, radius=0.02)
