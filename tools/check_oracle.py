@@ -64,9 +64,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failed = []
+    ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -106,7 +108,7 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"OK    {name}: {len(sdf)} rows", flush=True)
-    print(f"\n{len(queries) - len(failed)}/{len(queries)} passed", flush=True)
+    print(f"\n{ran - len(failed)}/{ran} passed ({len(queries)} registered)", flush=True)
     return 1 if failed else 0
 
 
