@@ -302,3 +302,72 @@ def q_sessionize_gap_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("duration_s"),
     )
+
+
+@query(
+    "sequence_pattern_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(left(event_type, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT)
+             AS n_funnel_paths,
+           CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+             AS n_error_bursts,
+           CAST(len(regexp_extract_all(seq, 'vc*p')) > 0 AS BOOLEAN)
+             AS converted
+    FROM seqs
+    """,
+)
+def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (MATCH_RECOGNIZE-lite): each
+    user's event history collapses to an ordered type string (one
+    char per event, ties broken by event_id so the encoding is
+    deterministic), and behavioral patterns become plain regexes over
+    it — view→(clicks)*→purchase funnel paths, repeated-error
+    bursts. The per-user sequence is built with
+    array_sort(collect_list(struct)) — grouped, not windowed, so one
+    shuffle keyed on user_id and no per-user sort pass; the regex
+    scan is per-row JVM work on kilobyte strings. The funnel count
+    cross-checks q_funnel_conversion's staged-min-timestamp approach
+    with a completely different mechanism.
+
+    At 100 TB the only guard needed is per-user sequence length
+    (collect_list state is the user's event count — bounded for
+    human-generated events; a runaway key would need the same
+    salting/capping remedy as any hot aggregation key).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    n_funnel = F.regexp_count(F.col("seq"), F.lit("vc*p"))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("seq_len"),
+        n_funnel.cast("bigint").alias("n_funnel_paths"),
+        F.regexp_count(F.col("seq"), F.lit("ee+"))
+        .cast("bigint")
+        .alias("n_error_bursts"),
+        (n_funnel > 0).alias("converted"),
+    )
