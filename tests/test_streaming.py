@@ -392,3 +392,72 @@ class TestMergeAdditive:
             for r in spark.read.parquet(target).collect()
         }
         assert got == {"a": (7, 17.5), "b": (1, 1.0), "c": (7, 7.0)}
+
+
+class TestPartitionScopedMerge:
+    def test_only_touched_partitions_rewritten(self, spark, tmp_path):
+        """Upserting a delta that touches one day must leave the
+        other days' parquet files byte-identical on disk (same
+        inode-level files, not rewritten equivalents) — the property
+        that turns a 1 GB delta into a 1 GB write at 100 TB."""
+        import glob
+        import os
+
+        from concurrent_etl_spark.streaming.file_stream import (
+            merge_into_partitioned_parquet,
+        )
+
+        target = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0), (4, "d3", 40.0)],
+            "k int, day string, v double",
+        )
+        merge_into_partitioned_parquet(spark, target, base, ["k"], "day")
+        untouched_before = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(f"{target}/day=d2/*.parquet")
+            + glob.glob(f"{target}/day=d3/*.parquet")
+        }
+        assert untouched_before
+        delta = spark.createDataFrame(
+            [(2, "d1", 99.0), (5, "d1", 50.0)], "k int, day string, v double"
+        )
+        touched = merge_into_partitioned_parquet(
+            spark, target, delta, ["k"], "day"
+        )
+        assert touched == ["d1"]
+        untouched_after = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(f"{target}/day=d2/*.parquet")
+            + glob.glob(f"{target}/day=d3/*.parquet")
+        }
+        assert untouched_after == untouched_before  # files never rewritten
+        got = {
+            (r["k"], r["day"], r["v"])
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got == {
+            (1, "d1", 10.0), (2, "d1", 99.0), (5, "d1", 50.0),
+            (3, "d2", 30.0), (4, "d3", 40.0),
+        }
+
+    def test_idempotent_replay(self, spark, tmp_path):
+        from concurrent_etl_spark.streaming.file_stream import (
+            merge_into_partitioned_parquet,
+        )
+
+        target = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "d1", 1.0), (2, "d2", 2.0)], "k int, day string, v double"
+        )
+        merge_into_partitioned_parquet(spark, target, base, ["k"], "day")
+        delta = spark.createDataFrame(
+            [(1, "d1", 7.0)], "k int, day string, v double"
+        )
+        for _ in range(2):  # replaying the same batch changes nothing
+            merge_into_partitioned_parquet(spark, target, delta, ["k"], "day")
+        got = {
+            (r["k"], r["day"], r["v"])
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got == {(1, "d1", 7.0), (2, "d2", 2.0)}
