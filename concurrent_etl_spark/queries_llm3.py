@@ -891,3 +891,67 @@ def q_spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 2).alias("y"),
     )
     return radius_pairs_grid(pts, radius=0.02)
+
+
+@query(
+    "pps_systematic_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (PARTITION BY lang ORDER BY rk, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+             SUM(n_chars) OVER (PARTITION BY lang) AS total
+      FROM w)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST((cum * 20) // total AS BIGINT) AS strata_idx
+    FROM c
+    WHERE (cum * 20) // total > ((cum - n_chars) * 20) // total
+    """,
+)
+def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling: ~20 docs
+    per language, selection probability proportional to n_chars (the
+    token-budget-weighted draw a corpus-mixture builder uses — a
+    1 MB document should be 100x likelier in a size-weighted sample
+    than a 10 KB one). Docs are laid on a per-language line in
+    md5-shuffled order; cumulative size crosses 20 equally-spaced
+    thresholds and the crossing docs are the sample. ALL arithmetic
+    is integer ((cum*k) div total — no step-size double, no RNG
+    state), so the same sample falls out on any cluster: systematic
+    PPS is the weighted counterpart of the hash-bucket uniform draws
+    used by train_eval_split / stratified_sample_quota. Windows are
+    partitioned by language — bounded per-partition state, no global
+    sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("rk"),
+    )
+    order = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    c = w.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.sum("n_chars")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("n_chars").over(Window.partitionBy("lang")).alias("total"),
+    )
+    idx = F.expr("(cum * 20) div total")
+    prev_idx = F.expr("((cum - n_chars) * 20) div total")
+    return c.where(idx > prev_idx).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        idx.cast("bigint").alias("strata_idx"),
+    )
