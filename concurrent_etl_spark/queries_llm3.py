@@ -955,3 +955,65 @@ def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         idx.cast("bigint").alias("strata_idx"),
     )
+
+
+def _jl_sql() -> str:
+    from concurrent_etl_spark.operators import similarity as S
+    from concurrent_etl_spark.queries_llm import _oracle_dot
+
+    planes = S.hyperplanes(n_planes=16)
+    terms = []
+    for p in planes:
+        arr = S.oracle_hyperplane_sql_array(p)
+        d = _oracle_dot("v", arr)
+        terms.append(f"({d}) * ({d})")
+    proj_sq = "(" + " + ".join(terms) + ") * 0.1875"
+    orig_sq = "list_aggregate(list_transform(v, x -> x * x), 'sum')"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           ROUND({orig_sq}, 9) AS orig_sq_norm,
+           ROUND({proj_sq}, 9) AS proj_sq_norm,
+           ROUND(({proj_sq}) / ({orig_sq}), 9) AS distortion
+    FROM e
+    """
+
+
+@query("jl_random_projection", oracle=_jl_sql())
+def q_jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims: the
+    dimensionality-reduction step an ANN pipeline runs before index
+    build (4x fewer FLOPs per distance at a bounded distortion). The
+    projection matrix reuses the engine's md5-seeded hyperplane
+    family (uniform [-1,1] entries; scaling 3/k corrects E[r^2]=1/3),
+    so the same deterministic constants serve LSH bucketing (signs),
+    JL reduction (values), and the oracle SQL (literals). Per-vector
+    output is the audit a JL step owes its caller: original squared
+    norm, scaled projected squared norm, and their ratio — the
+    distortion JL bounds in expectation. Pure per-row HOF math: zero
+    shuffles, zero Python, embarrassingly parallel at any scale.
+    """
+    from concurrent_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    planes = S.hyperplanes(n_planes=16)
+    ys = [
+        S.dot(F.col("v"), F.array(*[F.lit(c) for c in p])) for p in planes
+    ]
+    acc = ys[0] * ys[0]
+    for y in ys[1:]:
+        acc = acc + y * y
+    proj_sq = acc * F.lit(0.1875)
+    orig_sq = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(orig_sq, 9).alias("orig_sq_norm"),
+        F.round(proj_sq, 9).alias("proj_sq_norm"),
+        F.round(proj_sq / orig_sq, 9).alias("distortion"),
+    )
