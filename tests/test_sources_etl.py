@@ -419,3 +419,26 @@ class TestOrcSource:
             .collect()
         }
         assert got == exp and got
+
+
+class TestSchemaEvolutionRead:
+    def test_mergeschema_unions_column_sets(self, spark, tmp_path):
+        """A table whose files were written under an evolving schema
+        (a column added later) reads as the union of column sets with
+        nulls for the missing values — the read-side half of
+        schema_evolution_union's name-aligned write-side union, and
+        the property that lets a 100 TB table add a column without
+        rewriting history."""
+        path = str(tmp_path / "evolving")
+        spark.createDataFrame(
+            [(1, "a")], "k int, v string"
+        ).write.parquet(path + "/batch=1")
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "k int, v string, score double"
+        ).write.parquet(path + "/batch=2")
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        assert sorted(f.name for f in df.schema.fields) == [
+            "batch", "k", "score", "v",
+        ]
+        rows = {r["k"]: (r["v"], r["score"]) for r in df.collect()}
+        assert rows == {1: ("a", None), 2: ("b", 9.5)}
