@@ -46,6 +46,16 @@ SPOT_CHECK = [
     "stratified_sample_quota",
     "token_diversity_simpson",
     "minhash_containment",
+    # round-2 second tranche: content-keyed span sampling, iterative
+    # label voting, log-quantized moments, cumulative PPS thresholds,
+    # float projections, grid-bucketed distances
+    "duplicate_span_pairs",
+    "label_propagation_communities",
+    "zipf_slope_fit",
+    "pps_systematic_sample",
+    "jl_random_projection",
+    "spatial_radius_pairs",
+    "incremental_agg_merge",
 ]
 
 
