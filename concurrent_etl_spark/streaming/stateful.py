@@ -72,3 +72,83 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSIONS_OUTPUT = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+SESSIONS_STATE = "start_us bigint, end_us bigint, n bigint"
+
+
+def _sessions_fn(gap_us: int):
+    def fn(key, pdfs: Iterable[pd.DataFrame], state):
+        """Event-time sessionization with timeout-driven close: while
+        a user stays active their session accumulates; when the
+        WATERMARK passes last-event + gap, Spark calls this once more
+        with hasTimedOut=True and the closed session is emitted and
+        the state evicted. Emission is append-only (closed sessions
+        are immutable facts)."""
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us * 1000)],
+                    "session_end": [pd.Timestamp(end_us * 1000)],
+                    "n_events": [n],
+                }
+            )
+            return
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us, end_us, n = None, None, 0
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            if not ts_us:
+                continue
+            n += len(ts_us)
+            lo, hi = min(ts_us), max(ts_us)
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+        if start_us is not None:
+            state.update((start_us, end_us, n))
+            # close when the watermark passes last activity + gap
+            state.setTimeoutTimestamp((end_us + gap_us) // 1000)
+        return
+        yield  # pragma: no cover - make fn a generator
+
+    return fn
+
+
+def user_sessions_event_timeout(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows as custom state with EVENT-TIME timeouts: the
+    applyInPandasWithState form of sessionization (vs the batch
+    lag-cumsum and the built-in session_window aggregation the
+    catalog also ships). Differences that matter at scale: state is
+    one row per OPEN session (idle keys are evicted by the timeout,
+    so state never grows with history), closes are driven by the
+    watermark — deterministic under replay, no wall clock — and the
+    output stream carries only immutable closed sessions (append
+    mode), which is what a downstream sink wants to ingest
+    exactly-once.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessions_fn(gap_us),
+            outputStructType=SESSIONS_OUTPUT,
+            stateStructType=SESSIONS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

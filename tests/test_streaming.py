@@ -461,3 +461,81 @@ class TestPartitionScopedMerge:
             for r in spark.read.parquet(target).collect()
         }
         assert got == {(1, "d1", 7.0), (2, "d2", 2.0)}
+
+
+class TestEventTimeSessionTimeout:
+    def test_sessions_close_when_watermark_passes_gap(self, spark, tmp_path):
+        """EventTimeTimeout sessionization: a user's session closes
+        (and is emitted exactly once, append-mode) only after later
+        events advance the WATERMARK past last-activity + gap — the
+        deterministic, replay-stable close no wall clock can give."""
+        from pyspark.sql.types import TimestampType
+
+        from concurrent_etl_spark.streaming.stateful import (
+            user_sessions_event_timeout,
+        )
+
+        schema = StructType(
+            [
+                StructField("user_id", LongType()),
+                StructField("ts", TimestampType()),
+            ]
+        )
+        src = tmp_path / "events"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        sink = str(tmp_path / "sessions")
+
+        def run_once():
+            q = (
+                user_sessions_event_timeout(
+                    spark.readStream.format("csv")
+                    .schema(schema)
+                    .option("header", "true")
+                    .load(str(src)),
+                    gap_minutes=30,
+                    watermark="0 seconds",
+                )
+                .writeStream.foreachBatch(
+                    lambda batch, _id: batch.write.mode("append").parquet(sink)
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+            import glob
+
+            if not glob.glob(f"{sink}/*.parquet"):
+                return {}
+            return {
+                r.user_id: (
+                    str(r.session_start), str(r.session_end), r.n_events
+                )
+                for r in spark.read.parquet(sink).collect()
+            }
+
+        # wave 1: user 1 active 10:00-10:05 — session stays OPEN
+        # (watermark is at 10:05, gap end is 10:35)
+        _write_csv(
+            src / "b1.csv",
+            ["1,2024-01-01T10:00:00", "1,2024-01-01T10:05:00"],
+            header="user_id,ts",
+        )
+        assert run_once() == {}
+        # wave 2: user 2 at 12:00 pushes the watermark past 10:35 —
+        # user 1's session closes and emits; user 2's stays open
+        _write_csv(
+            src / "b2.csv", ["2,2024-01-01T12:00:00"], header="user_id,ts"
+        )
+        got = run_once()
+        assert got == {
+            1: ("2024-01-01 10:00:00", "2024-01-01 10:05:00", 2)
+        }
+        # wave 3: user 3 at 14:00 closes user 2's session the same way
+        _write_csv(
+            src / "b3.csv", ["3,2024-01-01T14:00:00"], header="user_id,ts"
+        )
+        got = run_once()
+        assert got[2] == ("2024-01-01 12:00:00", "2024-01-01 12:00:00", 1)
