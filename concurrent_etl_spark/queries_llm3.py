@@ -1017,3 +1017,52 @@ def q_jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(proj_sq, 9).alias("proj_sq_norm"),
         F.round(proj_sq / orig_sq, 9).alias("distortion"),
     )
+
+
+@query(
+    "video_y4m_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+             2 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id % 4 = 3),
+    fs AS (SELECT unnest(range(0, 6)) AS f),
+    ps AS (SELECT unnest(range(0, 3)) AS p),
+    xs AS (SELECT unnest(range(0, 9)) AS x),
+    ys AS (SELECT unnest(range(0, 5)) AS y),
+    px AS (
+      SELECT m.doc_id, m.w, m.h, fs.f, ps.p, xs.x, ys.y,
+             (xs.x * 7 + ys.y * 11 + fs.f * 13 + m.doc_id * 3 + ps.p * 29)
+               % 256 AS v
+      FROM m JOIN fs ON fs.f < m.nf JOIN ps ON true
+      JOIN xs ON xs.x < m.w JOIN ys ON ys.y < m.h)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(SUM(CASE WHEN p = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_y,
+           CAST(SUM(CASE WHEN p = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_u,
+           CAST(SUM(CASE WHEN p = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_v,
+           CAST(SUM((p * w * h + y * w + x + 1) * v) AS BIGINT)
+             AS pos_checksum
+    FROM px GROUP BY doc_id, f
+    """,
+)
+def q_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video demux round trip: deterministic YUV rasters are
+    packed as genuine YUV4MPEG2 (Y4M) clips — the standard
+    uncompressed video interchange format: ASCII stream header with
+    order-free tags, per-frame FRAME markers, raw C444 planes — then
+    demuxed by an independent stdlib parser into per-frame exact
+    plane statistics (1 clip -> N frame rows). The position-weighted
+    checksum spans all three planes, so wrong plane order, frame
+    order, or geometry fails the hash. Completes the real-codec
+    triple: WAV (audio), BMP/PNG (image), Y4M (video).
+    """
+    from concurrent_etl_spark.operators.multimodal import (
+        synthesize_y4m,
+        y4m_frame_features,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthesize_y4m(docs, every=4, phase=3)
+    return y4m_frame_features(media)

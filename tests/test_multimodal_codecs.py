@@ -177,3 +177,47 @@ class TestPngProperty:
             )
 
         check()
+
+class TestY4mCodec:
+    def test_header_and_frame_structure(self):
+        from concurrent_etl_spark.operators.multimodal import y4m_bytes
+
+        buf = y4m_bytes(7)
+        header = buf[: buf.index(b"\n")].decode()
+        assert header.startswith("YUV4MPEG2 ")
+        assert "W6" in header and "H3" in header and "C444" in header
+        assert buf.count(b"FRAME\n") == 2 + 7 % 4
+
+    def test_decode_matches_formula(self, spark):
+        from concurrent_etl_spark.operators.multimodal import (
+            _y4m_sample,
+            synthesize_y4m,
+            y4m_frame_features,
+        )
+
+        docs = spark.range(0, 16).selectExpr("id AS doc_id")
+        out = y4m_frame_features(synthesize_y4m(docs, every=4, phase=3))
+        rows = [(r["doc_id"], r["frame_idx"], r) for r in out.collect()]
+        assert {d for d, _, _ in rows} == {3, 7, 11, 15}
+        for d, f, r in rows:
+            w, h = 4 + d % 5, 2 + d % 3
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sum_y"] == sum(
+                _y4m_sample(x, y, f, d, 0) for y in range(h) for x in range(w)
+            )
+            assert r["sum_v"] == sum(
+                _y4m_sample(x, y, f, d, 2) for y in range(h) for x in range(w)
+            )
+
+    def test_decoder_rejects_truncated_stream(self, spark):
+        from concurrent_etl_spark.operators.multimodal import (
+            y4m_bytes,
+            y4m_frame_features,
+        )
+
+        buf = y4m_bytes(3)[:-5]  # chop the final plane
+        docs = spark.createDataFrame(
+            [(3, buf)], "doc_id bigint, payload binary"
+        )
+        with pytest.raises(Exception):
+            y4m_frame_features(docs).collect()
