@@ -1066,3 +1066,46 @@ def q_video_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     media = synthesize_y4m(docs, every=4, phase=3)
     return y4m_frame_features(media)
+
+
+@query(
+    "audio_zero_crossings",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 200 + doc_id % 801 AS n
+      FROM documents WHERE doc_id % 5 = 0),
+    idx AS (SELECT unnest(range(0, 1001)) AS i),
+    s AS (
+      SELECT m.doc_id, idx.i, idx.i // 100 AS window_idx,
+             ((idx.i * 37 + m.doc_id * 11) % 2001) - 1000 AS v
+      FROM m JOIN idx ON idx.i < m.n),
+    x AS (
+      SELECT doc_id, window_idx, i, v,
+             lag(v) OVER (PARTITION BY doc_id, window_idx ORDER BY i)
+               AS pv
+      FROM s)
+    SELECT doc_id, window_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN pv IS NOT NULL
+                          AND (v >= 0) <> (pv >= 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_crossings
+    FROM x GROUP BY doc_id, window_idx
+    """,
+)
+def q_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate per 100-sample window through the real WAV
+    codec: decode genuine RIFF/WAV payloads (stdlib ``wave``) and
+    count strict sign changes between adjacent samples per window —
+    the classic integer-exact noisiness/voicedness descriptor and
+    the cheapest audio-quality gate (no FFT, no floats, same answer
+    at any parallelism). The oracle recomputes every window's
+    crossing count in closed form from the PCM formula.
+    """
+    from concurrent_etl_spark.operators.multimodal import (
+        synthesize_wav,
+        wav_zcr_features,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthesize_wav(docs, every=5)
+    return wav_zcr_features(media)
