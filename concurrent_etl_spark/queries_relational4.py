@@ -1244,26 +1244,13 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
         (F.col("o_custkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
+    from concurrent_etl_spark.operators.graph import label_propagation
+
     cw = raw.groupBy("src", "dst").agg(F.count("*").alias("w")).persist()
     ew = cw.unionByName(
         cw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     ).persist()
-    labels = ew.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    )
-    rn_w = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("lbl"))
-    for _ in range(2):
-        votes = (
-            ew.join(labels, ew.dst == labels.node)
-            .groupBy(ew.src.alias("vnode"), "lbl")
-            .agg(F.sum("w").alias("wt"))
-            .withColumnRenamed("vnode", "node")
-        )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(rn_w))
-            .where(F.col("rn") == 1)
-            .select("node", "lbl")
-        )
+    labels = label_propagation(ew, rounds=2)
     out = labels.groupBy(F.col("lbl").cast("bigint").alias("community")).agg(
         F.count("*").cast("bigint").alias("n_nodes"),
         F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))

@@ -175,3 +175,66 @@ class TestSpanPairsProperty:
         }
         exp = _span_pairs_reference(docs)
         assert got == exp
+
+
+def _lpa_reference(edges, rounds=2):
+    """Sequential synchronous LPA with the same deterministic
+    semantics: vote weight sums over in-neighbors, max weight wins,
+    smaller label breaks ties."""
+    from collections import defaultdict
+
+    nodes = sorted({s for s, _, _ in edges})
+    lbl = {n: n for n in nodes}
+    inn = defaultdict(list)
+    for s, d, w in edges:
+        inn[s].append((d, w))
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            votes = defaultdict(int)
+            for d, w in inn[n]:
+                if d in lbl:
+                    votes[lbl[d]] += w
+            if votes:
+                new[n] = min(
+                    votes, key=lambda v: (-votes[v], v)
+                )
+        lbl = new
+    return lbl
+
+
+class TestLabelPropagationProperty:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_matches_sequential_reference(self, spark, raw_edges):
+        """label_propagation on random small multigraphs (mirrored,
+        multiplicity-weighted, self-loops dropped) must equal the
+        sequential evaluation of the same synchronous definition."""
+        from collections import Counter
+
+        from concurrent_etl_spark.operators.graph import label_propagation
+
+        pairs = [(a, b) for a, b in raw_edges if a != b]
+        if not pairs:
+            return
+        weights = Counter()
+        for a, b in pairs:
+            weights[(a, b)] += 1
+            weights[(b, a)] += 1
+        edges = [(s, d, w) for (s, d), w in weights.items()]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+        got = {
+            r["node"]: r["lbl"]
+            for r in label_propagation(df, rounds=2).collect()
+        }
+        assert got == _lpa_reference(edges, rounds=2)
