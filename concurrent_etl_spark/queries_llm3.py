@@ -1109,3 +1109,59 @@ def q_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     media = synthesize_wav(docs, every=5)
     return wav_zcr_features(media)
+
+
+def _langid_sql() -> str:
+    from concurrent_etl_spark.queries_llm import _text_stats_sql
+
+    return f"""
+    WITH stats AS ({_text_stats_sql('documents')}),
+    j AS (
+      SELECT d.lang AS lang_true, s.lang_guess
+      FROM documents d JOIN stats s ON d.doc_id = s.doc_id),
+    cm AS (
+      SELECT lang_true, lang_guess, COUNT(*) AS n
+      FROM j GROUP BY 1, 2),
+    tot AS (
+      SELECT lang_true, SUM(n) AS n_true FROM cm GROUP BY 1)
+    SELECT cm.lang_true, cm.lang_guess,
+           CAST(cm.n AS BIGINT) AS n,
+           ROUND(CAST(cm.n AS DOUBLE) / t.n_true, 9) AS frac_of_true
+    FROM cm JOIN tot t ON t.lang_true = cm.lang_true
+    """
+
+
+@query("langid_confusion_eval", oracle=_langid_sql())
+def q_langid_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID self-evaluation: confusion matrix of the stopword-
+    ratio guesser against the corpus's ground-truth ``lang`` labels,
+    with per-truth-language recall fractions. The same pattern as
+    ``ann_recall_eval`` — an operator that MEASURES another
+    operator's quality inside the engine, which is how a pipeline
+    decides whether the cheap heuristic suffices before paying for a
+    model-based classifier. The diagonal rows (lang_true ==
+    lang_guess) read off recall directly; off-diagonal mass shows
+    which languages the stopword lists confuse.
+
+    Plan: one linear stats scan (zero-shuffle lang_guess), a
+    broadcast-sized join back to truth labels, and a two-level
+    low-cardinality aggregation. Scale cost is the text scan, which
+    any lang-ID pass pays by definition.
+    """
+    from concurrent_etl_spark.operators.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text_stats(docs.select("doc_id", "text"))
+    j = docs.select("doc_id", F.col("lang").alias("lang_true")).join(
+        stats.select("doc_id", "lang_guess"), "doc_id"
+    )
+    cm = j.groupBy("lang_true", "lang_guess").agg(F.count("*").alias("n"))
+    tot = cm.groupBy("lang_true").agg(F.sum("n").alias("n_true"))
+    return cm.join(tot, "lang_true").select(
+        "lang_true",
+        "lang_guess",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("n_true"), 9).alias(
+            "frac_of_true"
+        ),
+    )
