@@ -1165,3 +1165,49 @@ def q_langid_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_true"
         ),
     )
+
+
+@query(
+    "audio_pitch_autocorr",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 200 + doc_id % 801 AS n
+      FROM documents WHERE doc_id % 25 = 0),
+    lags AS (SELECT unnest(range(20, 80)) AS lag),
+    idx AS (SELECT unnest(range(0, 1001)) AS i),
+    r AS (
+      SELECT m.doc_id, m.n, lags.lag,
+             SUM((((idx.i * 37 + m.doc_id * 11) % 2001) - 1000)
+                 * ((((idx.i + lags.lag) * 37 + m.doc_id * 11) % 2001)
+                    - 1000)) AS r
+      FROM m JOIN lags ON lags.lag < m.n
+      JOIN idx ON idx.i < m.n - lags.lag
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+           CAST(lag AS BIGINT) AS pitch_lag,
+           CAST(r AS BIGINT) AS r_at_peak
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY r DESC, lag) AS rk
+          FROM r)
+    WHERE rk = 1
+    """,
+)
+def q_audio_pitch_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pitch-period estimation through the real WAV codec: exact
+    int64 autocorrelation over lags 20..79 samples (400-66 Hz at
+    8 kHz), argmax with smaller-lag tie-break. Time-domain DSP with
+    zero floats — the determinism that lets a closed-form SQL oracle
+    recompute every correlation value. A quarter of the WAV corpus
+    (doc_id % 25 == 0) keeps the oracle's O(docs x lags x samples)
+    cross join honest at every scale factor.
+    """
+    from concurrent_etl_spark.operators.multimodal import (
+        synthesize_wav,
+        wav_pitch_autocorr,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") % 25 == 0
+    )
+    media = synthesize_wav(docs, every=5)
+    return wav_pitch_autocorr(media)
