@@ -1211,3 +1211,53 @@ def q_audio_pitch_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = synthesize_wav(docs, every=5)
     return wav_pitch_autocorr(media)
+
+
+@query(
+    "image_box_downsample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 4 + doc_id % 5 AS h
+      FROM documents WHERE doc_id % 4 = 1),
+    oxs AS (SELECT unnest(range(0, 9)) AS ox),
+    oys AS (SELECT unnest(range(0, 4)) AS oy),
+    dd AS (SELECT unnest(range(0, 2)) AS dx),
+    dyy AS (SELECT unnest(range(0, 2)) AS dy),
+    blocks AS (
+      SELECT m.doc_id, m.w, m.h, m.w // 2 AS ow, m.h // 2 AS oh,
+             oxs.ox, oys.oy,
+             SUM(((2*oxs.ox + dd.dx) * 7 + (2*oys.oy + dyy.dy) * 13
+                  + m.doc_id) % 256) // 4 AS r,
+             SUM(((2*oxs.ox + dd.dx) * 3 + (2*oys.oy + dyy.dy) * 5)
+                 % 256) // 4 AS g,
+             SUM(((2*oxs.ox + dd.dx) + (2*oys.oy + dyy.dy)
+                  + m.doc_id * 17) % 256) // 4 AS b
+      FROM m JOIN oxs ON oxs.ox < m.w // 2 JOIN oys ON oys.oy < m.h // 2
+      JOIN dd ON true JOIN dyy ON true
+      GROUP BY 1, 2, 3, 4, 5, 6, 7)
+    SELECT doc_id,
+           CAST(MIN(ow) AS BIGINT) AS out_w,
+           CAST(MIN(oh) AS BIGINT) AS out_h,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((oy * ow + ox + 1) * (r + g + b)) AS BIGINT)
+             AS pos_checksum
+    FROM blocks GROUP BY doc_id
+    """,
+)
+def q_image_box_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 box-average downsample through the real BMP codec: each
+    output pixel is the integer mean of its source block — an actual
+    low-pass filter (vs the nearest-neighbor resize's sampling), all
+    arithmetic exact integer so the oracle recomputes every block
+    mean in closed form. Same Arrow batch shape as every codec op.
+    """
+    from concurrent_etl_spark.operators.multimodal import (
+        bmp_box_downsample_stats,
+        synthesize_bmp,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = synthesize_bmp(docs, every=4, phase=1)
+    return bmp_box_downsample_stats(media)
