@@ -1261,3 +1261,97 @@ def q_image_box_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     media = synthesize_bmp(docs, every=4, phase=1)
     return bmp_box_downsample_stats(media)
+
+
+def _detector_agreement_sql() -> str:
+    span_cte = f"""
+    chars AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(lower(text), '.'),
+                            c -> ord(c)) AS cs
+      FROM corpus),
+    subs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_filter(range(1, len(cs) - {_DS_K} + 2), i ->
+                 (list_aggregate(
+                    list_transform(range(0, {_DS_K}), j ->
+                      cs[i + j] *
+                      CAST(pow({_DS_B}, {_DS_K} - 1 - j) AS BIGINT)),
+                    'sum') % {_DS_P}) % {_DS_W} = 0),
+               i -> array_to_string(
+                      list_slice(cs, i, i + {_DS_K} - 1), '-'))) AS subs
+      FROM chars WHERE len(cs) >= {_DS_K}),
+    ex AS (
+      SELECT doc_id, unnest(subs) AS sub FROM subs),
+    df AS (
+      SELECT sub FROM ex GROUP BY sub
+      HAVING COUNT(*) BETWEEN 2 AND {_DS_DF}),
+    spanp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN df USING (sub) JOIN ex b ON a.sub = b.sub
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_DS_T})"""
+    return f"""
+    WITH {_CORPUS_NEAR},
+    {_LSH_PAIRS},
+    {span_cte},
+    lshp AS (SELECT doc_a, doc_b FROM pairs),
+    u AS (
+      SELECT COALESCE(l.doc_a, s.doc_a) AS doc_a,
+             CASE WHEN l.doc_a IS NOT NULL AND s.doc_a IS NOT NULL
+                  THEN 'both'
+                  WHEN l.doc_a IS NOT NULL THEN 'minhash_only'
+                  ELSE 'span_only' END AS category
+      FROM lshp l FULL OUTER JOIN spanp s
+        ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b)
+    SELECT category, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM u GROUP BY 1
+    """
+
+
+@query("dedup_detector_agreement", oracle=_detector_agreement_sql())
+def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-agreement evaluation: the MinHash-LSH near-dup pairs
+    and the exact shared-span pairs computed over the SAME corpus,
+    full-outer-joined and counted by agreement category. 'both' =
+    whole-document near-dups with literal shared spans (the safe
+    deletes); 'minhash_only' = similar token profiles without long
+    verbatim runs (template kin — review before deleting);
+    'span_only' = verbatim spans inside otherwise-different docs
+    (quotation/boilerplate — the pairs whole-doc similarity
+    structurally misses). Running detectors against each other is
+    how a dedup pipeline calibrates thresholds before a 100 TB
+    sweep; both inputs stay bucketed (LSH bands / sampled window
+    content), so the comparison costs two candidate-generation
+    passes plus one pair-keyed outer join.
+    """
+    from concurrent_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        span_pairs,
+    )
+
+    docs = with_injected_near_dups(_docs(spark, sf_dir))
+    lshp = minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    spanp = span_pairs(docs).select(
+        F.col("doc_lo").alias("doc_a"), F.col("doc_hi").alias("doc_b")
+    )
+    l, s = lshp.alias("l"), spanp.alias("s")
+    u = l.join(
+        s,
+        (F.col("l.doc_a") == F.col("s.doc_a"))
+        & (F.col("l.doc_b") == F.col("s.doc_b")),
+        "full_outer",
+    ).select(
+        F.when(
+            F.col("l.doc_a").isNotNull() & F.col("s.doc_a").isNotNull(),
+            "both",
+        )
+        .when(F.col("l.doc_a").isNotNull(), "minhash_only")
+        .otherwise("span_only")
+        .alias("category")
+    )
+    return u.groupBy("category").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
