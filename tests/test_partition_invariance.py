@@ -56,6 +56,9 @@ SPOT_CHECK = [
     "jl_random_projection",
     "spatial_radius_pairs",
     "incremental_agg_merge",
+    # third tranche: collect_list ordering, multi-detector composition
+    "sequence_pattern_match",
+    "dedup_detector_agreement",
 ]
 
 
