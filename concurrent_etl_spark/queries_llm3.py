@@ -1355,3 +1355,65 @@ def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("category").agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )
+
+
+@query(
+    "dedup_impact_accounting",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text
+      FROM documents WHERE doc_id < 40),
+    t AS (
+      SELECT doc_id, text, md5(text) AS h,
+             len({_tok('lower(text)')}) AS n_tokens
+      FROM corpus),
+    keep AS (
+      SELECT h, MIN(doc_id) AS keep_id FROM t GROUP BY h)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT k.keep_id) AS BIGINT) AS n_kept,
+           CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN t.doc_id = k.keep_id
+                         THEN t.n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           ROUND(1.0 - CAST(SUM(CASE WHEN t.doc_id = k.keep_id
+                                     THEN t.n_tokens ELSE 0 END) AS DOUBLE)
+                 / SUM(t.n_tokens), 9) AS token_savings
+    FROM t JOIN keep k ON k.h = t.h
+    """,
+)
+def q_dedup_impact_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup IMPACT accounting: what the exact-dedup keep-set is
+    worth in token-budget terms — total vs kept docs, total vs kept
+    tokens, and the fractional savings. This is the number a
+    training-data owner actually reports ("dedup saved N% of the
+    token budget"), and at 100 TB it justifies — or kills — a more
+    aggressive near-dedup pass. One content-hash aggregation (the
+    dedup itself), a hash-keyed join back, integer token sums, one
+    final division.
+    """
+    from concurrent_etl_spark.operators.dedup import (
+        with_injected_exact_dups,
+    )
+
+    docs = with_injected_exact_dups(_docs(spark, sf_dir))
+    t = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(T.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+    )
+    keep = t.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    j = t.join(keep, "h")
+    kept_tokens = F.sum(
+        F.when(F.col("doc_id") == F.col("keep_id"), F.col("n_tokens")).otherwise(0)
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("keep_id").cast("bigint").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        kept_tokens.cast("bigint").alias("kept_tokens"),
+        F.round(
+            F.lit(1.0) - kept_tokens.cast("double") / F.sum("n_tokens"), 9
+        ).alias("token_savings"),
+    )
