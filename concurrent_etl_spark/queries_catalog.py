@@ -781,3 +781,126 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "xlsx_source_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+           n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS regionkey
+    FROM nation
+    """,
+)
+def q_xlsx_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 driver-visible: the nation dimension passes through GENUINE
+    .xlsx files — written as real ECMA-376 packages (zip, shared
+    strings, worksheet XML), split across two workbooks, then read
+    back by the engine's Excel source (binaryFile + mapInPandas +
+    the vendored SpreadsheetML decoder) and re-typed through the
+    staged-cast path. The oracle reads the same rows straight from
+    parquet, so any decode/typing defect anywhere in the xlsx path
+    breaks the hash — the reference's actual input format
+    (case_1/NormalETL.py:26), exercised end-to-end under the
+    correctness gate, not just in unit tests.
+
+    Synthesis is a guarded construction-time side effect (bounded:
+    25 dimension rows, keyed by application id + sf so concurrent
+    sessions never collide), same precedent as the bucketed-table
+    build.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.sources.excel import (
+        read_excel_dir,
+        write_xlsx_minimal,
+    )
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no gateway
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    d = _os.path.join(_tempfile.gettempdir(), "ces_xlsx", tag)
+    if not _os.path.isdir(d) or not any(
+        f.endswith(".xlsx") for f in _os.listdir(d)
+    ):
+        _os.makedirs(d, exist_ok=True)
+        rows = [
+            [int(r["n_nationkey"]), r["n_name"], int(r["n_regionkey"])]
+            for r in load_table(spark, sf_dir, "nation").collect()
+        ]
+        header = ["nationkey", "name", "regionkey"]
+        mid = len(rows) // 2
+        write_xlsx_minimal(
+            _os.path.join(d, "nation_a_OPERATIONS.xlsx"), header, rows[:mid]
+        )
+        write_xlsx_minimal(
+            _os.path.join(d, "nation_b_OPERATIONS.xlsx"), header, rows[mid:]
+        )
+    staged = read_excel_dir(
+        spark, _os.path.join(d, "*.xlsx"), ["nationkey", "name", "regionkey"]
+    )
+    return staged.select(
+        F.col("nationkey").cast("bigint").alias("nationkey"),
+        "name",
+        F.col("regionkey").cast("bigint").alias("regionkey"),
+    )
+
+
+@query(
+    "jdbc_source_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+           n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS regionkey
+    FROM nation WHERE n_regionkey < 3
+    """,
+)
+def q_jdbc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4/S7 driver-visible: the nation dimension round-trips
+    through a REAL JDBC database — batched append into embedded
+    Derby (in Spark's own classpath), then a server-side pushdown
+    read (``read_query`` with a WHERE evaluated by Derby, not by
+    Spark). The oracle applies the same predicate to the parquet
+    source, so the write path, the remote query execution, and the
+    type mapping are all under the correctness gate — the
+    warehouse half of the reference (case_2/Normal.py:58,74)
+    verified end-to-end, not option-level.
+
+    The in-memory database is keyed by application id + sf (no
+    cross-session collisions); the build is a guarded
+    construction-time side effect over 25 dimension rows.
+    """
+    import hashlib as _hashlib
+
+    from concurrent_etl_spark.sources.jdbc import JdbcAdapter
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    url = f"jdbc:derby:memory:ces{tag}"
+    adapter = JdbcAdapter(url=url + ";create=true", batch_size=7)
+    probe = JdbcAdapter(url=url)
+    try:
+        probe.read_query(spark, "SELECT COUNT(*) AS N FROM NATION").collect()
+    except Exception:
+        src = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("bigint").alias("NATIONKEY"),
+            F.col("n_name").alias("NAME"),
+            F.col("n_regionkey").cast("bigint").alias("REGIONKEY"),
+        )
+        adapter.write_append(src, "NATION")
+    out = probe.read_query(
+        spark,
+        "SELECT NATIONKEY, NAME, REGIONKEY FROM NATION WHERE REGIONKEY < 3",
+    )
+    return out.select(
+        F.col("NATIONKEY").alias("nationkey"),
+        F.col("NAME").alias("name"),
+        F.col("REGIONKEY").alias("regionkey"),
+    )
