@@ -371,3 +371,79 @@ def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_error_bursts"),
         (n_funnel > 0).alias("converted"),
     )
+
+
+@query(
+    "yoy_revenue_growth",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM o.o_orderdate) AS yr,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT cur.nation,
+           CAST(cur.yr AS BIGINT) AS yr,
+           cur.revenue,
+           prev.revenue AS prev_revenue,
+           ROUND(cur.revenue / prev.revenue - 1, 9) AS growth
+    FROM rev cur JOIN rev prev
+      ON prev.nation = cur.nation AND prev.yr = cur.yr - 1
+    """,
+)
+def q_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth (the TPC-DS q47-family shape): revenue
+    per (nation, year), then the period self-join against year-1 for
+    the growth ratio. Expressed as lag() over the per-nation year
+    series rather than a literal self-join — one shuffle keyed on
+    nation serves both the aggregation and the window, where the
+    naive self-join re-shuffles the aggregate twice. Decimal-exact
+    revenue sums; the single division happens on the final
+    year-aligned pair.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    out = rev.select(
+        "nation",
+        F.col("yr").cast("bigint").alias("yr"),
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.lag("yr").over(w).alias("prev_yr"),
+    )
+    return (
+        out.where(F.col("prev_yr") == F.col("yr") - 1)
+        .select(
+            "nation",
+            "yr",
+            "revenue",
+            "prev_revenue",
+            F.round(F.col("revenue") / F.col("prev_revenue") - 1, 9).alias(
+                "growth"
+            ),
+        )
+    )
