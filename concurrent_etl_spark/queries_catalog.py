@@ -904,3 +904,51 @@ def q_jdbc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("NAME").alias("name"),
         F.col("REGIONKEY").alias("regionkey"),
     )
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events),
+    last AS (
+      SELECT user_id, op, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM ops)
+    SELECT user_id, value AS last_value, ts AS last_ts,
+           CAST(n_ops AS BIGINT) AS n_ops
+    FROM last WHERE rn = 1 AND op = 'U'
+    """,
+)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed APPLY with delete semantics — the half of CDC that
+    ``cdc_latest_state`` (pure compaction) doesn't cover: each key's
+    ops are ordered by (ts, event_id), the last op wins, and a key
+    whose final op is a DELETE ('error' events stand in for the D
+    records a real feed carries) is absent from the applied snapshot
+    entirely. Same scale shape as the compaction: one map-side-
+    combinable max_by aggregation per key, no window sort — the
+    filter on the final op is a post-aggregation row predicate.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    pick = F.struct("ts", "event_id", "op", "value")
+    agg = ev.groupBy("user_id").agg(
+        F.max_by(pick, F.struct("ts", "event_id")).alias("last"),
+        F.count("*").cast("bigint").alias("n_ops"),
+    )
+    return agg.where(F.col("last.op") == "U").select(
+        "user_id",
+        F.col("last.value").alias("last_value"),
+        F.col("last.ts").alias("last_ts"),
+        "n_ops",
+    )
