@@ -109,43 +109,22 @@ _CHECK_FIRST = [
     "cms_frequency_sketch",
 ]
 
-#: round-1 driver-green names (CORRECTNESS_r01.json keys): stable,
-#: so they yield their prefix slots to the unchecked cohorts.
-_R01_VERIFIED = [
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_clusters", "dedup_simhash", "ann_topk_cosine",
-    "embedding_neardup_lsh", "embedding_centroids", "ivf_ann_topk",
-    "kmv_distinct_sketch", "text_stats", "pii_redaction",
-    "multimodal_frame_sample", "multimodal_resize", "multimodal_features",
-    "heavy_hitters_tokens", "tfidf_top_terms", "curation_pipeline",
-    "chunk_documents_udtf", "kmv_set_overlap", "dedup_fuzzy_levenshtein",
-    "bigram_lm_counts", "feature_hashing", "funnel_conversion",
-    "retention_cohorts", "repetition_ratio", "ngram_novelty",
-    "sessionize_gap_cumsum", "flagship_confirmation", "projection_rename",
-    "template_route", "filter_predicates", "anti_join_new_keys",
-    "semi_join_inlist", "composite_key_join", "join_inner",
-    "join_full_outer", "dedup_by_key", "distinct_rows", "count_audit",
-    "string_agg_inlist", "except_completeness", "groupby_agg_pricing",
-    "rollup_agg", "window_topk_per_group", "orderby_limit_topk",
-    "union_intersect", "staged_casts", "string_slicing",
-    "dimension_upsert",
-]
-
-
 def _driver_verified() -> set[str]:
     """Names already driver-green in ANY past round's artifact.
 
-    Reads CORRECTNESS_r*.json so the rotation maintains itself: once
-    the driver records a passing row for a query, that query yields
-    its prefix slot to still-unchecked ones automatically next round.
-    A row counts only if every recorded check passed — failures stay
-    in front to be rechecked after a fix.
+    Reads CORRECTNESS_r*.json as the SINGLE source of truth (no
+    hardcoded name lists — a second copy could diverge if an
+    artifact row is later invalidated): once the driver records a
+    passing row for a query, that query yields its prefix slot to
+    still-unchecked ones automatically next round. A row counts only
+    if every recorded check passed — failures stay in front to be
+    rechecked after a fix.
     """
     import glob
     import json
     import os
 
-    verified: set[str] = set(_R01_VERIFIED)
+    verified: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:

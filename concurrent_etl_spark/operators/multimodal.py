@@ -440,8 +440,13 @@ def wav_window_features(media: DataFrame, window: int = 100) -> DataFrame:
             rows = {k.name: [] for k in AUDIO_WINDOW_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w = wave.open(io.BytesIO(bytes(payload)), "rb")
-                nf = w.getnframes()
-                samples = struct.unpack(f"<{nf}h", w.readframes(nf))
+                nf, nch = w.getnframes(), w.getnchannels()
+                # channel-0 analysis: unpack ALL interleaved samples
+                # (nf * nch — a stereo payload would otherwise crash
+                # the struct.unpack), then stride to one channel
+                samples = struct.unpack(
+                    f"<{nf * nch}h", w.readframes(nf)
+                )[::nch]
                 for wi in range((nf + window - 1) // window):
                     chunk = samples[wi * window : (wi + 1) * window]
                     rows["doc_id"].append(int(doc_id))
@@ -467,8 +472,8 @@ def bmp_resize_nearest(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
-        out_ids, out_payloads = [], []
         for pdf in batches:
+            out_ids, out_payloads = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 buf = bytes(payload)
                 (offset,) = struct.unpack_from("<I", buf, 10)
@@ -505,7 +510,10 @@ def bmp_resize_nearest(
                 )
                 out_ids.append(int(doc_id))
                 out_payloads.append(header + bytes(body))
-        yield pd.DataFrame({"doc_id": out_ids, "payload": out_payloads})
+            # one output Arrow batch per input batch — buffering the
+            # whole partition's re-encoded payloads defeats the
+            # byte-budgeted batching the module header promises
+            yield pd.DataFrame({"doc_id": out_ids, "payload": out_payloads})
 
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
@@ -884,8 +892,10 @@ def wav_zcr_features(media: DataFrame, window: int = 100) -> DataFrame:
             rows = {k.name: [] for k in ZCR_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w = wave.open(io.BytesIO(bytes(payload)), "rb")
-                nf = w.getnframes()
-                samples = struct.unpack(f"<{nf}h", w.readframes(nf))
+                nf, nch = w.getnframes(), w.getnchannels()
+                samples = struct.unpack(
+                    f"<{nf * nch}h", w.readframes(nf)
+                )[::nch]
                 for wi in range((nf + window - 1) // window):
                     chunk = samples[wi * window : (wi + 1) * window]
                     zc = sum(
@@ -934,9 +944,9 @@ def wav_pitch_autocorr(
             rows = {k.name: [] for k in PITCH_SCHEMA.fields}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w = wave.open(io.BytesIO(bytes(payload)), "rb")
-                nf = w.getnframes()
+                nf, nch = w.getnframes(), w.getnchannels()
                 s = np.array(
-                    struct.unpack(f"<{nf}h", w.readframes(nf)),
+                    struct.unpack(f"<{nf * nch}h", w.readframes(nf))[::nch],
                     dtype=np.int64,
                 )
                 best_lag, best_r = None, None

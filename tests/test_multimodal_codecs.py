@@ -221,3 +221,36 @@ class TestY4mCodec:
         )
         with pytest.raises(Exception):
             y4m_frame_features(docs).collect()
+
+class TestMultiChannelWav:
+    def test_stereo_payloads_analyze_channel_zero(self, spark):
+        """The analysis operators must survive multi-channel WAVs:
+        unpack all interleaved samples, stride to channel 0 (a mono
+        assumption in the unpack crashes the whole Arrow batch)."""
+        import io
+        import struct
+        import wave
+
+        from concurrent_etl_spark.operators.multimodal import (
+            wav_window_features,
+            wav_zcr_features,
+        )
+
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        left = [((i * 37) % 2001) - 1000 for i in range(250)]
+        w.writeframes(
+            b"".join(struct.pack("<hh", s, 0) for s in left)
+        )
+        w.close()
+        df = spark.createDataFrame(
+            [(1, buf.getvalue())], "doc_id bigint, payload binary"
+        )
+        ww = wav_window_features(df).collect()
+        assert sum(r["n_samples"] for r in ww) == 250
+        assert sum(r["sum_sq"] for r in ww) == sum(s * s for s in left)
+        zc = wav_zcr_features(df).collect()
+        assert sum(r["n_samples"] for r in zc) == 250

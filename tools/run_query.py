@@ -49,8 +49,14 @@ def main() -> int:
     df = queries[name](spark, sf_dir)
     if "--explain" in flags:
         df.explain("formatted")
-    df.show(limit, truncate=False)
-    print(f"[{name}] {df.count()} rows at {sf_dir}")
+    # one execution: show() + count() would run the query twice
+    rows = df.limit(limit + 1).collect()
+    shown = rows[:limit]
+    import pandas as pd
+
+    print(pd.DataFrame([r.asDict() for r in shown]).to_string(index=False))
+    more = " (more rows not shown)" if len(rows) > limit else ""
+    print(f"[{name}] showed {len(shown)} rows at {sf_dir}{more}")
     return 0
 
 
