@@ -288,3 +288,73 @@ class TestZorder:
             0 << 1 | 1 << 3 | 1 << 5 | 0 << 7
         )
         assert df.collect()[0]["z"] == expected
+
+
+class TestVersionedSnapshots:
+    def test_time_travel_and_immutability(self, spark, tmp_path):
+        """Each write is a new immutable version; old snapshots stay
+        byte-identical on disk and readable after later writes; the
+        pointer advance is atomic (write-temp + rename)."""
+        import glob
+        import os
+
+        from concurrent_etl_spark.sources.warehouse import (
+            latest_version,
+            read_snapshot,
+            versioned_write,
+        )
+
+        path = str(tmp_path / "tbl")
+        v1 = versioned_write(
+            spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+            path,
+        )
+        files_v1 = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(f"{path}/v=1/*.parquet")
+        }
+        v2 = versioned_write(
+            spark.createDataFrame(
+                [(1, "a"), (2, "B"), (3, "c")], "k int, v string"
+            ),
+            path,
+        )
+        assert (v1, v2) == (1, 2)
+        assert latest_version(path) == 2
+        # time travel: v1 still reads the old rows
+        old = {(r["k"], r["v"]) for r in read_snapshot(spark, path, 1).collect()}
+        assert old == {(1, "a"), (2, "b")}
+        latest = {
+            (r["k"], r["v"]) for r in read_snapshot(spark, path).collect()
+        }
+        assert latest == {(1, "a"), (2, "B"), (3, "c")}
+        # immutability: v1 files untouched by the v2 write
+        assert files_v1 == {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(f"{path}/v=1/*.parquet")
+        }
+
+    def test_snapshot_diff_categories(self, spark, tmp_path):
+        from concurrent_etl_spark.sources.warehouse import (
+            snapshot_diff,
+            versioned_write,
+        )
+
+        path = str(tmp_path / "tbl")
+        versioned_write(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (4, "d")], "k int, v string"
+            ),
+            path,
+        )
+        versioned_write(
+            spark.createDataFrame(
+                [(1, "a"), (2, "B"), (3, "c")], "k int, v string"
+            ),
+            path,
+        )
+        d = {
+            (r["op"], r["k"])
+            for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect()
+        }
+        assert d == {("added", 3), ("removed", 4), ("changed", 2)}
