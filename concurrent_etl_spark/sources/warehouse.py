@@ -274,3 +274,26 @@ def snapshot_diff(
         .select(F.lit("changed").alias("op"), *keys)
     )
     return added.unionByName(removed).unionByName(changed)
+
+
+def vacuum_snapshots(path: str, keep_last: int = 3) -> list[int]:
+    """Retention cleanup: delete snapshot versions older than the
+    newest ``keep_last``, never touching the current pointer's
+    version. Returns the removed version numbers. The time-travel
+    window is exactly the retained set — the same storage/lookback
+    trade a Delta VACUUM makes, minus distributed-lock ceremony
+    (single-writer semantics, like the rest of the layout layer)."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    latest = latest_version(path)
+    versions = sorted(
+        int(m.group(1))
+        for d in _os.listdir(path)
+        if (m := _re.fullmatch(r"v=(\d+)", d))
+    )
+    doomed = [v for v in versions[:-keep_last] if v != latest]
+    for v in doomed:
+        _shutil.rmtree(_os.path.join(path, f"v={v}"))
+    return doomed

@@ -238,3 +238,80 @@ class TestLabelPropagationProperty:
             for r in label_propagation(df, rounds=2).collect()
         }
         assert got == _lpa_reference(edges, rounds=2)
+
+
+class TestRadiusPairsProperty:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(-50, 50),  # coords on a 0.01 lattice so
+                st.integers(-50, 50),  # distances are exact in binary
+            ),
+            min_size=2,
+            max_size=30,
+            unique=True,
+        ),
+        st.sampled_from([0.02, 0.05, 0.11]),
+    )
+    def test_matches_bruteforce(self, spark, pts, radius):
+        """Grid-bucketed radius join == brute-force all-pairs on
+        random point sets: the 3x3 neighborhood must find every pair
+        (a missed neighbor cell is invisible on happy-path data where
+        points cluster away from cell borders — the lattice points
+        sit ON borders deliberately)."""
+        import math
+
+        from concurrent_etl_spark.operators.similarity import (
+            radius_pairs_grid,
+        )
+
+        rows = [
+            (i, x * 0.01, y * 0.01) for i, (x, y) in enumerate(pts)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, x double, y double"
+        )
+        got = {
+            (r["vec_lo"], r["vec_hi"])
+            for r in radius_pairs_grid(df, radius=radius).collect()
+        }
+        exp = set()
+        for i, xi, yi in rows:
+            for j, xj, yj in rows:
+                if i < j and (xi - xj) ** 2 + (yi - yj) ** 2 <= radius**2:
+                    exp.add((i, j))
+        assert got == exp
+
+
+class TestZorderKeyProperty:
+    def test_matches_python_interleave(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from concurrent_etl_spark.sources.warehouse import zorder_key
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1)),
+                min_size=1,
+                max_size=10,
+            )
+        )
+        def check(vals):
+            df = spark.createDataFrame(vals, "x bigint, y bigint").select(
+                "x", "y", zorder_key(["x", "y"], bits=16).alias("z")
+            )
+            for r in df.collect():
+                exp = 0
+                for b in range(16):
+                    exp |= ((r["x"] >> b) & 1) << (2 * b)
+                    exp |= ((r["y"] >> b) & 1) << (2 * b + 1)
+                assert r["z"] == exp
+
+        check()

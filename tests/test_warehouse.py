@@ -358,3 +358,25 @@ class TestVersionedSnapshots:
             for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect()
         }
         assert d == {("added", 3), ("removed", 4), ("changed", 2)}
+
+    def test_vacuum_retains_window_and_latest(self, spark, tmp_path):
+        from concurrent_etl_spark.sources.warehouse import (
+            read_snapshot,
+            vacuum_snapshots,
+            versioned_write,
+        )
+
+        path = str(tmp_path / "tbl")
+        for i in range(5):
+            versioned_write(
+                spark.createDataFrame([(i,)], "k int"), path
+            )
+        removed = vacuum_snapshots(path, keep_last=2)
+        assert removed == [1, 2, 3]
+        # retained window still reads
+        assert read_snapshot(spark, path, 4).collect()[0]["k"] == 3
+        assert read_snapshot(spark, path).collect()[0]["k"] == 4
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            read_snapshot(spark, path, 1).collect()
