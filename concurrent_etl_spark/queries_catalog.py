@@ -952,3 +952,78 @@ def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.ts").alias("last_ts"),
         "n_ops",
     )
+
+
+@query(
+    "snapshot_diff_audit",
+    oracle="""
+    WITH v1 AS (SELECT n_nationkey AS k, n_name AS name FROM nation),
+    v2 AS (
+      SELECT n_nationkey AS k,
+             CASE WHEN n_regionkey < 2 THEN upper(n_name)
+                  ELSE n_name END AS name
+      FROM nation WHERE n_nationkey <> 0
+      UNION ALL SELECT 99 AS k, 'NEWLAND' AS name)
+    SELECT 'added' AS op, k FROM v2
+    WHERE k NOT IN (SELECT k FROM v1)
+    UNION ALL
+    SELECT 'removed' AS op, k FROM v1
+    WHERE k NOT IN (SELECT k FROM v2)
+    UNION ALL
+    SELECT 'changed' AS op, v2.k
+    FROM v2 JOIN v1 ON v1.k = v2.k WHERE v1.name <> v2.name
+    """,
+)
+def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under the oracle gate: two REAL snapshot versions
+    of the nation dimension are written to the versioned layout
+    (immutable ``v=N`` directories + atomic pointer), v2 carrying a
+    deterministic edit script — one key removed, one added, the
+    region-0/1 names uppercased — and ``snapshot_diff`` reads BOTH
+    versions back through time travel to produce the row-level
+    added/removed/changed audit. The oracle recomputes the same diff
+    from the parquet source, so the whole snapshot lifecycle (write,
+    pointer, historical read, diff joins) sits under the correctness
+    harness. Guarded construction-time build, bounded at 25 dim
+    rows, keyed by application id + sf.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.sources.warehouse import (
+        latest_version,
+        snapshot_diff,
+        versioned_write,
+    )
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    path = _os.path.join(_tempfile.gettempdir(), "ces_snap", tag)
+    if latest_version(path) < 2:
+        n = load_table(spark, sf_dir, "nation")
+        v1 = n.select(
+            F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+        )
+        v2 = (
+            n.where(F.col("n_nationkey") != 0)
+            .select(
+                F.col("n_nationkey").alias("k"),
+                F.when(
+                    F.col("n_regionkey") < 2, F.upper("n_name")
+                )
+                .otherwise(F.col("n_name"))
+                .alias("name"),
+            )
+            .unionByName(
+                spark.createDataFrame([(99, "NEWLAND")], "k long, name string")
+            )
+        )
+        versioned_write(v1, path)
+        versioned_write(v2, path)
+    return snapshot_diff(spark, path, 1, 2, ["k"]).select(
+        "op", F.col("k").cast("bigint").alias("k")
+    )
