@@ -53,3 +53,28 @@ class TestDriverContract:
             df = q[n](spark, "/root/testdata/sf0.001")
             bad = [c for c in df.columns if not ident.match(c)]
             assert not bad, f"{n}: non-canonical columns {bad}"
+
+
+class TestSideEffectfulQueryIdempotence:
+    def test_guarded_builds_rerun_identically(self, spark):
+        """Queries with guarded construction-time side effects (xlsx
+        synthesis, Derby load, snapshot writes, bucketed-table build)
+        must return identical results when invoked twice in one
+        session — the second call must hit the existence guard, not
+        re-build or double-append."""
+        import __spark_entry__ as entrymod
+
+        q = entrymod.queries()
+        for name in [
+            "xlsx_source_roundtrip",
+            "jdbc_source_roundtrip",
+            "snapshot_diff_audit",
+            "bucketed_colocated_join",
+        ]:
+            first = sorted(
+                tuple(r) for r in q[name](spark, "/root/testdata/sf0.001").collect()
+            )
+            second = sorted(
+                tuple(r) for r in q[name](spark, "/root/testdata/sf0.001").collect()
+            )
+            assert first == second and first, name
