@@ -1027,3 +1027,49 @@ def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(spark, path, 1, 2, ["k"]).select(
         "op", F.col("k").cast("bigint").alias("k")
     )
+
+
+@query(
+    "variant_semistructured_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(COUNT(json_extract(props, '$.missing')) AS BIGINT)
+             AS n_missing_path
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_semistructured_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` decodes each props payload ONCE into the binary
+    variant encoding, then every downstream path extraction
+    (``try_variant_get``) is a cheap binary probe — vs the
+    string-JSON path (``json_props_extract``) that re-parses the
+    text per extraction. Missing paths yield NULL (counted here to
+    pin that semantic), absent-key behavior and integer typing both
+    matched against DuckDB's json_extract in the oracle. At 100 TB
+    the parse-once property is the difference between one and N
+    text-JSON parses per row for an N-field extraction — and VARIANT
+    columns can be written to parquet and pruned like any other.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("miss"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.count("miss").cast("bigint").alias("n_missing_path"),
+    )
