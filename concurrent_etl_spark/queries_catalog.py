@@ -1073,3 +1073,67 @@ def q_variant_semistructured_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("bigint").alias("max_k"),
         F.count("miss").cast("bigint").alias("n_missing_path"),
     )
+
+
+@query(
+    "json_corrupt_record_capture",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 3 THEN substr(props, 1, 3)
+                  ELSE props END AS payload
+      FROM events),
+    parsed AS (
+      SELECT event_id, payload,
+             CASE WHEN json_valid(payload)
+                  THEN CAST(json_extract(payload, '$.k') AS BIGINT)
+             END AS k,
+             NOT json_valid(payload) AS is_corrupt
+      FROM src)
+    SELECT is_corrupt,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS sum_k
+    FROM parsed GROUP BY 1
+    """,
+)
+def q_json_corrupt_record_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter capture at the parse boundary: a deterministic
+    slice of the JSON payloads is corrupted (truncated — standing in
+    for the malformed rows every real feed carries), then parsed
+    with ``from_json`` in PERMISSIVE mode so bad rows surface as a
+    corrupt-record column instead of failing the job — the
+    row-level quarantine the reference's abort-on-error loop
+    (case_1/NormalETL.py:22-24) cannot express. Good rows aggregate
+    normally; corrupt rows are counted into their own bucket. The
+    oracle reproduces the corruption and the valid/invalid split
+    with json_valid.
+    """
+    from pyspark.sql.types import LongType as _L
+    from pyspark.sql.types import StringType as _S
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 3, F.substring("props", 1, 3)
+        )
+        .otherwise(F.col("props"))
+        .alias("payload"),
+    )
+    schema = _ST([_SF("k", _L()), _SF("_corrupt", _S())])
+    parsed = src.select(
+        F.from_json(
+            "payload",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p")
+    ).select(
+        F.col("p.k").alias("k"),
+        F.col("p._corrupt").isNotNull().alias("is_corrupt"),
+    )
+    return parsed.groupBy("is_corrupt").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.coalesce(F.col("k"), F.lit(0))).cast("bigint").alias("sum_k"),
+    )
