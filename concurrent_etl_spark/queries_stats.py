@@ -157,3 +157,74 @@ def q_corr_family_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_qp"),
         ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope_price_per_qty"),
     )
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), rounded to 9 dp —
+#: fixed public constants so both engines compare against identical
+#: literals (no transcendental evaluation in either engine)
+_BENFORD = {
+    1: 0.301029996, 2: 0.176091259, 3: 0.124938737,
+    4: 0.096910013, 5: 0.079181246, 6: 0.066946790,
+    7: 0.057991947, 8: 0.051152522, 9: 0.045757491,
+}
+
+
+def _benford_case(col: str) -> str:
+    return (
+        "CASE " + " ".join(
+            f"WHEN {col} = {d} THEN CAST({p!r} AS DOUBLE)"
+            for d, p in _BENFORD.items()
+        ) + " END"
+    )
+
+
+@query(
+    "benford_digit_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                  1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / t.total, 9) AS observed,
+           {_benford_case('digit')} AS expected,
+           ROUND(CAST(n AS DOUBLE) / t.total
+                 - {_benford_case('digit')}, 9) AS deviation
+    FROM c, t
+    """,
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts — the
+    classic fabricated-data / unit-mismatch forensic: natural
+    multi-magnitude amounts follow log10(1+1/d); synthetic uniform
+    amounts (like this generator's) deviate hugely, and the audit
+    SHOWS that — the deviation column is the finding, not a bug.
+    Digit extraction goes through DECIMAL(18,2) string form so both
+    engines see identical renderings; expected frequencies are
+    shared public constants (no transcendental evaluation). One
+    9-group aggregation; scale cost is the scan.
+    """
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    total = c.agg(F.sum("n").alias("total"))
+    expected = F.expr(_benford_case("digit"))
+    return c.crossJoin(F.broadcast(total)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("total"), 9).alias(
+            "observed"
+        ),
+        expected.alias("expected"),
+        F.round(
+            F.col("n").cast("double") / F.col("total") - expected, 9
+        ).alias("deviation"),
+    )
