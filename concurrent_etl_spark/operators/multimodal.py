@@ -68,17 +68,65 @@ def synthesize_payloads(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _pil_available() -> bool:
+    try:  # pragma: no cover - depends on environment
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _soundfile_available() -> bool:
+    try:  # pragma: no cover - depends on environment
+        import soundfile  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_image(payload: bytes) -> object:
-    """Real image decode — requires an imaging library (not shipped)."""
+    """Compressed-format image decode (jpeg/webp/...), environment-
+    adaptive: uses PIL when the environment ships it (returns an
+    ``(h, w, mode, pixel_bytes)`` tuple), otherwise raises the
+    documented guard. The container this repo is built in has no
+    imaging lib — the vendored BMP/PNG decoders below prove the same
+    decode architecture on formats stdlib can handle, and this hook
+    upgrades in place on richer clusters (same detect-if-available
+    pattern as sources/excel.py openpyxl)."""
+    if _pil_available():  # pragma: no cover - depends on environment
+        import io
+
+        import PIL.Image
+
+        img = PIL.Image.open(io.BytesIO(bytes(payload)))
+        return (img.height, img.width, img.mode, img.tobytes())
     raise NotImplementedError(
-        "image decode requires PIL/opencv, which this container does not "
-        "ship; byte-level features below keep the pipeline testable"
+        "compressed image decode requires PIL/opencv, which this "
+        "container does not ship; the vendored BMP/PNG codecs and "
+        "byte-level features keep the pipeline testable"
     )
 
 
 def decode_audio(payload: bytes) -> object:
-    """Real audio decode — requires an audio library (not shipped)."""
-    raise NotImplementedError("audio decode requires soundfile/librosa")
+    """Compressed-format audio decode (mp3/flac/...), environment-
+    adaptive: uses soundfile when available (returns
+    ``(sample_rate, n_channels, samples_bytes)``), else raises the
+    documented guard — the vendored WAV decoder covers the
+    architecture in this container."""
+    if _soundfile_available():  # pragma: no cover - depends on environment
+        import io
+
+        import soundfile
+
+        data, rate = soundfile.read(io.BytesIO(bytes(payload)))
+        n_ch = 1 if data.ndim == 1 else data.shape[1]
+        return (int(rate), int(n_ch), data.tobytes())
+    raise NotImplementedError(
+        "compressed audio decode requires soundfile/librosa; the "
+        "vendored WAV codec covers the decode architecture here"
+    )
 
 
 def _feature_batches(

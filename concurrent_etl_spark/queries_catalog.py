@@ -960,7 +960,7 @@ def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v1 AS (SELECT n_nationkey AS k, n_name AS name FROM nation),
     v2 AS (
       SELECT n_nationkey AS k,
-             CASE WHEN n_regionkey < 2 THEN upper(n_name)
+             CASE WHEN n_regionkey < 2 THEN lower(n_name)
                   ELSE n_name END AS name
       FROM nation WHERE n_nationkey <> 0
       UNION ALL SELECT 99 AS k, 'NEWLAND' AS name)
@@ -979,7 +979,10 @@ def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the nation dimension are written to the versioned layout
     (immutable ``v=N`` directories + atomic pointer), v2 carrying a
     deterministic edit script — one key removed, one added, the
-    region-0/1 names uppercased — and ``snapshot_diff`` reads BOTH
+    region-0/1 names lowercased (source names are already uppercase,
+    so the edit genuinely flips bytes and the 'changed' branch of
+    snapshot_diff flows through the driver gate) — and
+    ``snapshot_diff`` reads BOTH
     versions back through time travel to produce the row-level
     added/removed/changed audit. The oracle recomputes the same diff
     from the parquet source, so the whole snapshot lifecycle (write,
@@ -1003,7 +1006,15 @@ def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         app = spark.conf.get("spark.app.id", "app")
     tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
     path = _os.path.join(_tempfile.gettempdir(), "ces_snap", tag)
-    if latest_version(path) < 2:
+    if latest_version(path) != 2:
+        # crash-safe rebuild: a prior run that died between the two
+        # versioned_write calls leaves v=1 behind — resuming would
+        # append v1's content again as v=2 and the diff would be
+        # empty forever. Any state other than the complete 2-version
+        # history is torn down and rebuilt from scratch.
+        import shutil as _shutil
+
+        _shutil.rmtree(path, ignore_errors=True)
         n = load_table(spark, sf_dir, "nation")
         v1 = n.select(
             F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
@@ -1013,7 +1024,7 @@ def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("n_nationkey").alias("k"),
                 F.when(
-                    F.col("n_regionkey") < 2, F.upper("n_name")
+                    F.col("n_regionkey") < 2, F.lower("n_name")
                 )
                 .otherwise(F.col("n_name"))
                 .alias("name"),

@@ -775,7 +775,8 @@ def q_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            COUNT(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
              AS n_distinct_k,
            CAST(MAX(len(json_keys(props))) AS INTEGER) AS max_n_keys

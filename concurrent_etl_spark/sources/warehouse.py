@@ -208,11 +208,19 @@ def versioned_write(df: DataFrame, path: str) -> int:
     path. Returns the new version number.
     """
     import os as _os
+    import shutil as _shutil
 
     _os.makedirs(path, exist_ok=True)
     current = latest_version(path)
     v = current + 1
-    df.write.mode("errorifexists").parquet(_os.path.join(path, f"v={v}"))
+    vdir = _os.path.join(path, f"v={v}")
+    if _os.path.isdir(vdir):
+        # orphan from a crash after the data write but before the
+        # pointer rename: the pointer never advanced, so the dir is
+        # invisible to every reader — safe to clear and retry
+        # (single-writer semantics, like the rest of the layer)
+        _shutil.rmtree(vdir)
+    df.write.mode("errorifexists").parquet(vdir)
     tmp = _os.path.join(path, "._LATEST_tmp")
     with open(tmp, "w") as f:
         f.write(str(v))

@@ -97,11 +97,62 @@ def merge_into_parquet(
         staged.unpersist()
 
 
+def merge_into_snapshot(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE as a snapshot COMMIT: the upsert's result is written as
+    a new immutable ``v=N`` directory and published by the atomic
+    ``_LATEST`` pointer rename — unifying the merge path
+    (``merge_into_parquet``) with the versioned table layout
+    (``sources/warehouse.py``). Properties the directory-swap merge
+    can't give:
+
+      * crash safety — a failure anywhere before the pointer rename
+        leaves the previous version live and complete (no
+        half-overwritten target window);
+      * time travel — every merge is a queryable snapshot;
+        ``read_snapshot(path, v)`` reconstructs the table as of any
+        retained commit, and ``snapshot_diff`` audits what a merge
+        changed;
+      * consistent concurrent reads — readers of v=N-1 are never
+        disturbed by the v=N write.
+
+    Replaying a micro-batch (checkpoint recovery) re-commits the same
+    content as a new version: the pointer advances but the table
+    content is identical — idempotent where it matters, with the
+    replay visible in history rather than silently absorbed.
+    Retention is the operator's dial via ``vacuum_snapshots``.
+
+    Reference parity: the reference delegates MERGE to SQL Server
+    (case_2/Normal.py:285-286); this is the lakehouse form — what
+    Delta/Iceberg's commit protocol provides, minus multi-writer
+    coordination, on plain parquet. Returns the committed version.
+    """
+    from concurrent_etl_spark.sources.warehouse import (
+        latest_version,
+        read_snapshot,
+        versioned_write,
+    )
+
+    staged = batch.dropDuplicates(keys)
+    if latest_version(path) >= 1:
+        current = read_snapshot(spark, path)
+        kept = current.join(staged.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(staged)
+    else:
+        merged = staged
+    return versioned_write(merged, path)
+
+
 def foreach_batch_upsert(
     spark: SparkSession,
     target_dir: str,
     keys: list[str],
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    versioned: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch function: transform -> upsert (T4).
 
@@ -109,11 +160,20 @@ def foreach_batch_upsert(
     merge proc' collapses into one deterministic function call whose
     exactly-once behaviour comes from the checkpoint + idempotent
     merge (re-running a batch re-upserts the same keys).
+
+    With ``versioned=True`` each micro-batch commits through
+    ``merge_into_snapshot`` instead of the directory swap: the target
+    becomes a versioned table whose history is one snapshot per
+    batch — time-travelable, diffable, and crash-safe behind the
+    atomic pointer.
     """
 
     def handle(batch: DataFrame, batch_id: int) -> None:  # noqa: ARG001
         out = transform(batch) if transform is not None else batch
-        merge_into_parquet(spark, target_dir, out, keys)
+        if versioned:
+            merge_into_snapshot(spark, target_dir, out, keys)
+        else:
+            merge_into_parquet(spark, target_dir, out, keys)
 
     return handle
 
@@ -220,6 +280,8 @@ def merge_into_partitioned_parquet(
     per-chunk granularity; partition granularity is what a lake
     needs.
     """
+    import shutil
+
     staged = batch.dropDuplicates(keys).persist()
     try:
         touched = [
@@ -230,20 +292,41 @@ def merge_into_partitioned_parquet(
             not f.startswith("_") for f in os.listdir(target_dir)
         )
         if exists:
-            current = spark.read.parquet(target_dir).where(
-                F.col(partition_col).isin(touched)
+            # hive partition discovery re-infers the partition
+            # column's type from directory names (dates/ints come
+            # back typed) — cast it to the batch's declared type so
+            # the anti-join keys and the union line up without a
+            # silent coercion
+            p_type = dict(batch.dtypes)[partition_col]
+            current = (
+                spark.read.parquet(target_dir)
+                .withColumn(
+                    partition_col, F.col(partition_col).cast(p_type)
+                )
+                .where(F.col(partition_col).isin(touched))
             )
             kept = current.join(staged.select(*keys), keys, "left_anti")
             merged = kept.unionByName(staged)
         else:
             merged = staged
+        # materialize the merged partitions to a staging dir FIRST:
+        # the merged plan lazily reads target_dir, and a dynamic
+        # overwrite that fails mid-commit while its input is the
+        # directory being overwritten can lose the touched
+        # partitions' prior rows. Staging decouples read from
+        # overwrite — the same discipline merge_additive uses.
+        tmp = target_dir.rstrip("/") + "._merge_staging"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)
         (
-            merged.write.format("parquet")
+            spark.read.parquet(tmp)
+            .write.format("parquet")
             .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(target_dir)
         )
+        shutil.rmtree(tmp, ignore_errors=True)
         return sorted(touched)
     finally:
         staged.unpersist()

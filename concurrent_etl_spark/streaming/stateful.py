@@ -81,7 +81,7 @@ SESSIONS_OUTPUT = (
 SESSIONS_STATE = "start_us bigint, end_us bigint, n bigint"
 
 
-def _sessions_fn(gap_us: int):
+def _sessions_fn(gap_us: int, session_tz: str = "UTC"):
     def fn(key, pdfs: Iterable[pd.DataFrame], state):
         """Event-time sessionization with timeout-driven close: while
         a user stays active their session accumulates; when the
@@ -95,8 +95,11 @@ def _sessions_fn(gap_us: int):
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_us * 1000)],
-                    "session_end": [pd.Timestamp(end_us * 1000)],
+                    # tz-aware UTC out: Arrow converts to the session
+                    # timezone itself, so the emitted bounds line up
+                    # with the UTC epochs kept in state under any tz
+                    "session_start": [pd.Timestamp(start_us * 1000, tz="UTC")],
+                    "session_end": [pd.Timestamp(end_us * 1000, tz="UTC")],
                     "n_events": [n],
                 }
             )
@@ -106,7 +109,16 @@ def _sessions_fn(gap_us: int):
         else:
             start_us, end_us, n = None, None, 0
         for pdf in pdfs:
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            # Arrow hands timestamps over rendered in the SESSION
+            # timezone as tz-naive; setTimeoutTimestamp compares
+            # against the UTC-based watermark, so localize to the
+            # session tz and convert to UTC before taking epoch — a
+            # non-UTC spark.sql.session.timeZone would otherwise
+            # close sessions early/late by the tz offset.
+            ts = pdf["ts"]
+            if ts.dt.tz is None:
+                ts = ts.dt.tz_localize(session_tz)
+            ts_us = (ts.dt.tz_convert("UTC").astype("int64") // 1000).tolist()
             if not ts_us:
                 continue
             n += len(ts_us)
@@ -140,12 +152,15 @@ def user_sessions_event_timeout(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    session_tz = events.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
     return (
         events.withWatermark("ts", watermark)
         .select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessions_fn(gap_us),
+            _sessions_fn(gap_us, session_tz),
             outputStructType=SESSIONS_OUTPUT,
             stateStructType=SESSIONS_STATE,
             outputMode="append",

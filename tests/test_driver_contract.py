@@ -32,7 +32,7 @@ class TestDriverContract:
         )
         assert last_pending < first_done or first_done == len(order)
 
-    def test_columns_are_lowercase_identifiers(self):
+    def test_columns_are_lowercase_identifiers(self, spark):
         # the driver sorts columns by name before hashing: exotic
         # column names (spaces, uppercase surprises) break silently
         import re
@@ -40,19 +40,55 @@ class TestDriverContract:
         q = entrymod.queries()
         ident = re.compile(r"^[a-z][a-z0-9_]*$")
         # spot-check a handful registered this round
-        spark = None
         names = [
             "duplicate_span_pairs", "zorder_locality", "zipf_slope_fit",
             "pps_systematic_sample", "jl_random_projection",
             "sequence_pattern_match", "dedup_detector_agreement",
         ]
-        from concurrent_etl_spark.engine import get_spark
-
-        spark = get_spark(app_name="contract-test", master="local[4]")
         for n in names:
             df = q[n](spark, "/root/testdata/sf0.001")
             bad = [c for c in df.columns if not ident.match(c)]
             assert not bad, f"{n}: non-canonical columns {bad}"
+
+
+class TestOracleTypeHygiene:
+    def test_no_hugeint_in_any_oracle_final_projection(self):
+        """DuckDB SUM over integers returns HUGEINT, which the
+        driver's canonicalizer hashes differently from Spark BIGINT
+        even when values match (VERDICT r2's only driver failure,
+        tpch_q12). Bind every oracle lazily — no execution — and
+        assert no final-projection column is HUGEINT/UHUGEINT; the
+        fix at the offending site is CAST(SUM(...) AS BIGINT)."""
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'/root/testdata/sf0.001/{t}.parquet'"
+            )
+        offenders = {}
+        for name, sql in entrymod.oracle_sql().items():
+            try:
+                rel = con.sql(sql)
+            except Exception:  # noqa: BLE001
+                # fixture-path oracles (xlsx/Derby/snapshot round
+                # trips) may reference dirs a query builder writes
+                # at runtime; the runtime gate covers their types
+                continue
+            huge = [
+                c
+                for c, ty in zip(rel.columns, rel.types)
+                if str(ty).upper() in ("HUGEINT", "UHUGEINT")
+            ]
+            if huge:
+                offenders[name] = huge
+        assert not offenders, (
+            f"uncast integer aggregates (HUGEINT) in oracles: {offenders}"
+        )
 
 
 class TestSideEffectfulQueryIdempotence:

@@ -126,6 +126,70 @@ class TestForeachBatchPipeline:
         assert rows == {1: 10, 2: 20}  # in-batch dup collapsed by merge keys
 
 
+    def test_stream_merge_commits_snapshots_with_history(self, spark, tmp_path):
+        """T4 through the unified transactional layer: each
+        micro-batch commits a snapshot version via merge_into_snapshot,
+        so the stream's own history is readable back through
+        read_snapshot and auditable with snapshot_diff."""
+        from concurrent_etl_spark.sources.warehouse import (
+            latest_version,
+            read_snapshot,
+            snapshot_diff,
+        )
+
+        src = tmp_path / "sample"
+        src.mkdir()
+        target = str(tmp_path / "fact_versioned")
+        ckpt = str(tmp_path / "ckpt")
+        _write_csv(src / "b1.csv", ["1,10,1.5", "2,20,2.5"])
+
+        def run():
+            handler = foreach_batch_upsert(
+                spark,
+                target,
+                keys=["id"],
+                transform=lambda df: df.select(
+                    "id", F.col("qty").try_cast("long").alias("qty"), "price"
+                ),
+                versioned=True,
+            )
+            q = (
+                spark.readStream.format("csv")
+                .schema(SCHEMA)
+                .option("header", "true")
+                .load(str(src))
+                .writeStream.foreachBatch(handler)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+
+        run()
+        assert latest_version(target) == 1
+        # second batch: update key 2, insert key 3
+        _write_csv(src / "b2.csv", ["2,99,2.5", "3,30,3.5"])
+        run()
+        assert latest_version(target) == 2
+        # latest reflects the merge...
+        rows = {
+            r["id"]: r["qty"] for r in read_snapshot(spark, target).collect()
+        }
+        assert rows == {1: 10, 2: 99, 3: 30}
+        # ...and v1 is still intact via time travel
+        old = {
+            r["id"]: r["qty"]
+            for r in read_snapshot(spark, target, 1).collect()
+        }
+        assert old == {1: 10, 2: 20}
+        # the commit-level audit sees exactly what batch 2 changed
+        diff = {
+            (r["op"], r["id"])
+            for r in snapshot_diff(spark, target, 1, 2, ["id"]).collect()
+        }
+        assert diff == {("added", 3), ("changed", 2)}
+
+
 class TestStatefulRunningTotals:
     def test_state_survives_across_batches_and_restart(self, spark, tmp_path):
         """applyInPandasWithState: totals accumulate across micro-batches
