@@ -53,6 +53,22 @@ _CHECK_FIRST = [
     # that finding, so they outrank two cohort members for the window
     "xlsx_source_roundtrip",
     "jdbc_source_roundtrip",
+    # r3: the actual readStream->checkpoint->sink path under the
+    # oracle gate (VERDICT r2 item 9) — front so it earns its
+    # driver row the round it lands
+    "stream_etl_roundtrip",
+    # r3: multi-writer commit-log MERGE lifecycle (VERDICT r2
+    # gap 2 — transactional table format)
+    "txn_merge_audit",
+    # r3: raw-text log source + regex parse w/ dead-letter; KL
+    # corpus-drift monitor
+    "weblog_text_parse",
+    "kl_mixture_drift",
+    # r3: format-surface roundtrips + curation/retrieval ops
+    "orc_source_roundtrip",
+    "csv_quirks_roundtrip",
+    "quality_threshold_sweep",
+    "inverted_index_postings",
     # TPC-H cohort (20)
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",

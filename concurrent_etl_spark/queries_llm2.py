@@ -170,12 +170,13 @@ def q_data_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy document scoring: mean bigram log-probability
     under the corpus's own bigram LM — the classic LM-based quality
-    filter (low avg log-prob = unusual/garbled text). Two passes over
-    the exploded bigrams: (1) corpus counts n(w1,w2) and n(w1) —
-    map-side-combinable aggs; (2) join the per-doc bigrams back to
-    the counts and reduce per doc. Per-bigram log-probs are rounded
-    then accumulated as DECIMAL so the partitioned Spark sum and the
-    oracle's sequential sum are bit-identical regardless of order.
+    filter (low avg log-prob = unusual/garbled text). ONE pass over
+    the exploded bigrams into per-doc multiplicities; corpus counts
+    n(w1,w2) and n(w1) and the scoring join all derive from that
+    aggregate. Per-bigram log-probs are rounded then accumulated as
+    DECIMAL (weighted by multiplicity — exact repeated addition) so
+    the partitioned Spark sum and the oracle's sequential sum are
+    bit-identical regardless of order.
     At 100 TB the count tables are corpus-vocabulary-sized (<< data)
     and the join keys are uniform token hashes — no skew salt needed.
     """
@@ -193,16 +194,29 @@ def q_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.w1", "p.w2")
     )
-    c = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    # collapse to per-doc bigram MULTIPLICITIES first: every later
+    # consumer (corpus counts, totals, the scoring join) derives
+    # from db, so the exploded stream is aggregated exactly once
+    # and the join input shrinks from one row per occurrence to one
+    # per distinct (doc, bigram) — the compression grows with doc
+    # length, which is what survives a 100x scale-up. The corpus
+    # count tables are vocabulary-sized (<< data), hence the
+    # explicit broadcasts; the weighted sum m*lp in DECIMAL equals
+    # the oracle's per-occurrence sum exactly (repeated addition).
+    db = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m"))
+    c = db.groupBy("w1", "w2").agg(F.sum("m").alias("n"))
     tot = c.groupBy("w1").agg(F.sum("n").alias("n_w1"))
     lp = F.round(F.log(F.col("n") / F.col("n_w1")), 12).cast("decimal(24,12)")
     return (
-        bg.join(c, ["w1", "w2"])
-        .join(tot, ["w1"])
+        db.join(F.broadcast(c), ["w1", "w2"])
+        .join(F.broadcast(tot), ["w1"])
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum(lp).alias("_slp"),
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            # m as decimal(8,0), not bigint: bigint*decimal(24,12)
+            # needs precision 45 > 38 and Spark trims the SCALE to
+            # fit (silent 6-dp rounding); 8+24+1 = 33 stays exact
+            F.sum(F.col("m").cast("decimal(8,0)") * lp).alias("_slp"),
         )
         .select(
             "doc_id",

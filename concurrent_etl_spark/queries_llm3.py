@@ -1417,3 +1417,206 @@ def q_dedup_impact_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - kept_tokens.cast("double") / F.sum("n_tokens"), 9
         ).alias("token_savings"),
     )
+
+
+@query(
+    "kl_mixture_drift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang,
+             CASE WHEN doc_id % 2 = 0 THEN 'p' ELSE 'q' END AS split,
+             unnest({_tok('lower(text)')}) AS tok
+      FROM documents),
+    c AS (
+      SELECT lang, tok,
+             CAST(SUM(CASE WHEN split = 'p' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cp,
+             CAST(SUM(CASE WHEN split = 'q' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cq
+      FROM tok GROUP BY 1, 2),
+    t AS (
+      SELECT lang, CAST(SUM(cp) AS BIGINT) AS np,
+             CAST(SUM(cq) AS BIGINT) AS nq
+      FROM c GROUP BY 1),
+    shared AS (
+      SELECT c.lang, c.cp, c.cq, t.np, t.nq,
+             CAST(round((c.cp / t.np)
+                        * ln((c.cp * t.nq) / (c.cq * t.np)), 12)
+                  AS DECIMAL(24,12)) AS term
+      FROM c JOIN t USING (lang)
+      WHERE c.cp > 0 AND c.cq > 0)
+    SELECT lang,
+           CAST(MIN(np) AS BIGINT) AS n_tokens_p,
+           CAST(MIN(nq) AS BIGINT) AS n_tokens_q,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_vocab,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS kl_nats,
+           round(CAST(SUM(cp) AS DOUBLE) / MIN(np), 9) AS p_mass_covered
+    FROM shared GROUP BY lang
+    """,
+)
+def q_kl_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift measurement: per-language KL divergence
+    KL(P||Q) between the token distributions of two corpus halves
+    (even doc_ids = yesterday's crawl P, odd = today's Q) — the
+    statistic a data pipeline monitors to catch a source going
+    stale, a scraper breaking, or a mixture shifting between
+    training runs. Computed over the SHARED vocabulary (the standard
+    finite estimate) with the covered P-mass reported alongside so a
+    low-overlap comparison can't masquerade as a low-divergence one.
+
+    Shape at 100 TB: one token-count aggregation (map-side
+    combinable, vocabulary-sized result), per-language totals
+    broadcast back, per-token KL terms rounded to 12 dp and
+    accumulated in DECIMAL — partition-order exact, same bits as the
+    oracle's sequential sum (the bigram_doc_score determinism
+    pattern). No shuffle touches corpus-sized data twice.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, "p").otherwise("q").alias("split"),
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    c = tok.groupBy("lang", "tok").agg(
+        F.sum(F.when(F.col("split") == "p", 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("split") == "q", 1).otherwise(0)).alias("cq"),
+    )
+    t = c.groupBy("lang").agg(
+        F.sum("cp").alias("np"), F.sum("cq").alias("nq")
+    )
+    shared = c.join(F.broadcast(t), "lang").where(
+        (F.col("cp") > 0) & (F.col("cq") > 0)
+    )
+    term = F.round(
+        (F.col("cp") / F.col("np"))
+        * F.log((F.col("cp") * F.col("nq")) / (F.col("cq") * F.col("np"))),
+        12,
+    ).cast("decimal(24,12)")
+    return shared.groupBy("lang").agg(
+        F.min("np").cast("bigint").alias("n_tokens_p"),
+        F.min("nq").cast("bigint").alias("n_tokens_q"),
+        F.count("*").cast("bigint").alias("n_shared_vocab"),
+        F.round(F.sum(term).cast("double"), 6).alias("kl_nats"),
+        F.round(
+            F.sum("cp").cast("double") / F.min("np"), 9
+        ).alias("p_mass_covered"),
+    )
+
+
+@query(
+    "quality_threshold_sweep",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_tok('lower(text)')}) AS n_tokens,
+             CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 0.5 ELSE 0.0 END
+               + CASE WHEN lang = 'en' THEN 0.25 ELSE 0.0 END
+               + CASE WHEN (doc_id % 10) >= 2 THEN 0.25 ELSE 0.0 END
+               AS quality
+      FROM documents),
+    th AS (SELECT unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS threshold)
+    SELECT CAST(threshold AS DOUBLE) AS threshold,
+           CAST(COUNT(CASE WHEN quality >= threshold THEN 1 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(SUM(CASE WHEN quality >= threshold
+                                  THEN n_tokens END), 0)
+                AS BIGINT) AS tokens_kept,
+           round(CAST(COALESCE(SUM(CASE WHEN quality >= threshold
+                                        THEN n_tokens END), 0) AS DOUBLE)
+                 / SUM(n_tokens), 9) AS token_frac
+    FROM s CROSS JOIN th
+    GROUP BY threshold
+    """,
+)
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation threshold calibration: the docs/tokens-retained curve
+    across candidate quality cutoffs — the table an operator reads
+    before choosing a filter threshold (every cutoff trades corpus
+    size against quality; picking one without this curve is
+    guesswork). A deterministic rubric score (length band, language,
+    id-hash stand-in for a heuristic signal) stands in for the model
+    scorer; the sweep itself is the operator under test.
+
+    Shape at 100 TB: the per-doc score pass is one linear scan; the
+    sweep EXPLODES each doc into |thresholds| rows (a literal
+    5-element array, so the blow-up is a constant factor) and
+    reduces to a |thresholds|-row result via map-side-combinable
+    integer partials. No second scan per threshold — the naive
+    loop-over-cutoffs a driver-side implementation would run.
+    """
+    docs = _docs(spark, sf_dir)
+    s = docs.select(
+        "doc_id",
+        F.size(T.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+        (
+            F.when(F.col("n_chars").between(200, 2000), 0.5).otherwise(0.0)
+            + F.when(F.col("lang") == "en", 0.25).otherwise(0.0)
+            + F.when((F.col("doc_id") % 10) >= 2, 0.25).otherwise(0.0)
+        ).alias("quality"),
+    )
+    th = F.array([F.lit(x) for x in (0.0, 0.25, 0.5, 0.75, 1.0)])
+    swept = s.select(
+        "n_tokens", "quality", F.explode(th).alias("threshold")
+    )
+    kept = F.col("quality") >= F.col("threshold")
+    return swept.groupBy("threshold").agg(
+        F.count(F.when(kept, 1)).cast("bigint").alias("n_docs_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.round(
+            F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+            .cast("double")
+            / F.sum("n_tokens"),
+            9,
+        ).alias("token_frac"),
+    )
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_tok('lower(text)')}) AS term
+      FROM documents),
+    post AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2),
+    stats AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS cf,
+             CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+             CAST(MAX(tf) AS BIGINT) AS max_tf
+      FROM post GROUP BY 1)
+    SELECT term, df, cf, first_doc, max_tf
+    FROM stats WHERE df >= 100
+    """,
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the retrieval half of a data pipeline —
+    BM25 retrieval, contamination lookups, and dedup-by-query all
+    start from postings): tokens explode to (term, doc, tf)
+    postings, then per-term dictionary statistics — document
+    frequency, collection frequency, max tf (the BM25 upper-bound
+    pruning statistic), first posting. The df >= 100 gate keeps the
+    driver-checked result head-sized while forcing the full
+    postings build underneath.
+
+    Shape at 100 TB: postings are one shuffle keyed on (term, doc)
+    with map-side combine; the dictionary is a second vocab-sized
+    agg. Both are the map-reduce shape the original web indexes ran;
+    no driver-side dictionary, no collect.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    post = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = post.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("tf").cast("bigint").alias("max_tf"),
+    )
+    return stats.where(F.col("df") >= 100)

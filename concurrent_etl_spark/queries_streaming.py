@@ -115,3 +115,109 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("click_ts"),
     )
     return stream_stream_attribution_join(views, clicks)
+
+
+@query(
+    "stream_etl_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_stream_etl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL streaming path under the correctness gate (not the
+    batch form of a window operator): a deterministic slice of orders
+    is staged as multi-file CSV (the reference's drop-directory,
+    case_2/Normal.py:304-323), discovered by a REAL
+    ``readStream`` file source, cast through the all-string staging
+    transform, and written by an ``availableNow`` checkpointed
+    ``writeStream`` to a parquet sink. The query reads the SINK back
+    and aggregates it; the oracle computes the same rollup straight
+    from the parquet source — so file discovery, schema-on-read,
+    the streaming cast path, checkpointing, and sink commit are all
+    inside the hash comparison. Exactly-once shows up as
+    correctness: any duplicate or dropped file changes n_orders and
+    the decimal-exact revenue.
+
+    Guarded construction-time build keyed by application id + sf
+    (bounded: ~1% of orders). Re-invocation in the same session
+    reuses the committed sink; the checkpoint makes a re-run of the
+    stream a no-op rather than a double-append.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.streaming.file_stream import file_stream_etl
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no gateway
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    base = _os.path.join(_tempfile.gettempdir(), "ces_stream", tag)
+    src, sink, ckpt = (
+        _os.path.join(base, "sample"),
+        _os.path.join(base, "sink"),
+        _os.path.join(base, "ckpt"),
+    )
+    # guard on the CHECKPOINT, not the sink: the parquet streaming
+    # sink tracks its committed files in _spark_metadata (no
+    # _SUCCESS marker), and re-staging the CSVs would mint new part
+    # filenames the file source would treat as new data. A present
+    # checkpoint means the availableNow run already committed.
+    if not _os.path.isdir(ckpt):
+        (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 97 == 0)
+            .select(
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                "o_orderpriority",
+                F.col("o_totalprice").cast("string"),
+            )
+            .coalesce(3)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(src)
+        )
+        schema = StructType(
+            [
+                StructField(c, StringType())
+                for c in (
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderpriority",
+                    "o_totalprice",
+                )
+            ]
+        )
+
+        def _staged_cast(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col("o_orderkey").try_cast("bigint").alias("orderkey"),
+                F.col("o_custkey").try_cast("bigint").alias("custkey"),
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_totalprice").try_cast("double").alias("totalprice"),
+            )
+
+        q = file_stream_etl(
+            spark, src, schema, _staged_cast, sink, ckpt,
+            available_now=True,
+        )
+        q.awaitTermination(300)
+    out = spark.read.parquet(sink)
+    return out.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("custkey").alias("n_customers"),
+        F.sum(F.round("totalprice", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

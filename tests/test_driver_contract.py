@@ -106,6 +106,11 @@ class TestSideEffectfulQueryIdempotence:
             "jdbc_source_roundtrip",
             "snapshot_diff_audit",
             "bucketed_colocated_join",
+            "txn_merge_audit",
+            "stream_etl_roundtrip",
+            "weblog_text_parse",
+            "orc_source_roundtrip",
+            "csv_quirks_roundtrip",
         ]:
             first = sorted(
                 tuple(r) for r in q[name](spark, "/root/testdata/sf0.001").collect()

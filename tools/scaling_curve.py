@@ -35,6 +35,12 @@ SF_DIRS = {
     "0.1": "/root/testdata/sf0.1",
 }
 
+#: queries whose wall time tracks RESULT SIZE, not input size (pair
+#: emitters): record rows-out alongside seconds so the curve shows
+#: sec/row staying flat while rows grow — the boundedness argument
+#: is output-proportionality, not sublinearity
+ROWS_OUT = {"duplicate_span_pairs"}
+
 
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "02"
@@ -68,6 +74,16 @@ def main() -> None:
                 round(times["0.1"] / times["0.01"], 2),
             ],
         }
+        if name in ROWS_OUT:
+            rows = {}
+            for sf, sf_dir in SF_DIRS.items():
+                spark.catalog.clearCache()
+                rows[sf] = fn(spark, sf_dir).count()
+            out[name]["rows_out"] = rows
+            out[name]["usec_per_row"] = {
+                sf: round(times[sf] / max(rows[sf], 1) * 1e6, 1)
+                for sf in rows
+            }
 
     path = f"/root/repo/SCALING_r{tag}.json"
     with open(path, "w") as f:
