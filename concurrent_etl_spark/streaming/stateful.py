@@ -167,3 +167,152 @@ def user_sessions_event_timeout(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+DEDUP_OUTPUT = "event_id bigint, user_id bigint, value double"
+
+
+def _twsp_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf in the Python
+    workers (its state-server protocol is protobuf-encoded); this
+    container does not ship it. Same detect-if-available pattern as
+    the PIL/soundfile codec hooks — the API path activates unchanged
+    on environments that have it."""
+    try:  # pragma: no cover - depends on environment
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def dedupe_events_ttl(
+    events: DataFrame, ttl_minutes: int | None = 60
+) -> DataFrame:
+    """Cross-batch streaming deduplication with TTL-bounded state,
+    on Spark 4's ``transformWithStateInPandas`` — the successor API
+    to ``applyInPandasWithState`` (typed state handles, composable
+    ValueState/ListState/MapState, per-state TTL) and the third
+    point on the engine's custom-state surface (§2.9). Requires
+    google.protobuf in the workers (``_twsp_available``); the
+    functionally-equivalent ``dedupe_events_state`` below runs the
+    same semantics on the prior-generation API everywhere.
+
+    Semantics: the FIRST occurrence of each event_id passes, every
+    replay within the TTL window is dropped — the at-least-once →
+    exactly-once adapter in front of any non-idempotent sink (the
+    reference's done-set, case_2/Normal.py:304-323, is this exact
+    operator at file granularity, unbounded). ``dropDuplicates`` on
+    a stream keeps state forever (or needs a watermark column);
+    here the ValueState carries its own TTL, so state size tracks
+    the ttl-window's distinct-key cardinality — the knob that makes
+    a 100 TB/day feed's dedup state a bounded RocksDB footprint
+    instead of an unbounded one. ``ttl_minutes=None`` disables
+    expiry (exact dedup, unbounded state — caller's choice).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        BooleanType,
+        StructField,
+        StructType,
+    )
+
+    ttl_ms = None if ttl_minutes is None else ttl_minutes * 60_000
+
+    class DedupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType([StructField("seen", BooleanType())])
+            self._seen = handle.getValueState("seen", schema, ttl_ms)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._seen.exists():
+                # replay of a key already emitted inside the TTL
+                # window: drop every row
+                for _ in rows:
+                    pass
+                return
+            first = None
+            for pdf in rows:
+                if len(pdf) and first is None:
+                    first = pdf.iloc[[0]][["event_id", "user_id", "value"]]
+            if first is not None:
+                self._seen.update((True,))
+                yield first
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("event_id", "user_id", "value")
+        .groupBy("event_id")
+        .transformWithStateInPandas(
+            DedupProcessor(),
+            outputStructType=DEDUP_OUTPUT,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
+DEDUP_STATE = "seen boolean"
+
+
+def dedupe_events_state(
+    events: DataFrame, ttl_minutes: int | None = 60
+) -> DataFrame:
+    """The same TTL-bounded streaming dedup on the prior-generation
+    ``applyInPandasWithState`` API (no extra worker deps): first
+    occurrence per event_id is emitted, cross-batch replays are
+    swallowed by the checkpointed per-key flag, and a processing-time
+    timeout evicts idle keys so state size tracks the TTL window's
+    distinct-key cardinality, not history. The at-least-once →
+    exactly-once adapter in front of a non-idempotent sink; the
+    reference's done-set (case_2/Normal.py:304-323) is this operator
+    at file granularity with no eviction.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ttl_ms = None if ttl_minutes is None else ttl_minutes * 60_000
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            # TTL expiry: evict the flag; the key can be emitted
+            # again if it ever reappears (bounded-state trade)
+            state.remove()
+            return
+        already = state.exists
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]][["event_id", "user_id", "value"]]
+        if not already:
+            state.update((True,))
+        if ttl_ms is not None:
+            # after update() so state exists (the API precondition);
+            # re-arming on replays makes the TTL idle-based
+            state.setTimeoutDuration(ttl_ms)
+        if not already and first is not None:
+            yield first
+
+    return (
+        events.select("event_id", "user_id", "value")
+        .groupBy("event_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=DEDUP_OUTPUT,
+            stateStructType=DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )
