@@ -69,6 +69,7 @@ _CHECK_FIRST = [
     "csv_quirks_roundtrip",
     "quality_threshold_sweep",
     "inverted_index_postings",
+    "pyds_txn_source_roundtrip",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

@@ -69,6 +69,9 @@ def get_spark(
         # --- python boundary: always Arrow ---------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # custom Python DataSources (sources/pyds.py) may accept
+        # predicates at the scan; off by default in Spark 4
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- deterministic session timezone for date/ts functions ----
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark

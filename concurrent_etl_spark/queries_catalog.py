@@ -1432,3 +1432,55 @@ def q_csv_quirks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         nullValue="\\N",
         inferSchema=False,
     ).schema("doc_id bigint, tricky string, quoted string, missing string").csv(d)
+
+
+@query(
+    "pyds_txn_source_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS k,
+           n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS region
+    FROM nation WHERE n_regionkey >= 2
+    """,
+)
+def q_pyds_txn_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's EXTENSION surface under the gate: the nation
+    dimension is committed to a transaction-log table and read back
+    through the registered custom Python DataSource
+    (``format("ces_txn")``, sources/pyds.py) with a predicate the
+    source accepts via ``pushFilters`` and evaluates inside its
+    pyarrow scan. The oracle applies the same predicate to the
+    parquet source — so the commit-log resolution, file-partitioned
+    Arrow scan, filter pushdown, AND Spark's residual re-application
+    are all inside the hash comparison. Guarded construction-time
+    build keyed by application id + sf.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.sources import pyds
+    from concurrent_etl_spark.sources.txn import txn_commit, txn_latest
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    path = _os.path.join(_tempfile.gettempdir(), "ces_pyds", tag)
+    if txn_latest(path) < 1:
+        txn_commit(
+            load_table(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").cast("bigint").alias("k"),
+                F.col("n_name").alias("name"),
+                F.col("n_regionkey").cast("bigint").alias("region"),
+            ),
+            path,
+        )
+    pyds.register(spark)
+    return (
+        spark.read.format("ces_txn")
+        .option("path", path)
+        .load()
+        .where(F.col("region") >= 2)
+    )

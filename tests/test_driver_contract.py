@@ -111,6 +111,7 @@ class TestSideEffectfulQueryIdempotence:
             "weblog_text_parse",
             "orc_source_roundtrip",
             "csv_quirks_roundtrip",
+            "pyds_txn_source_roundtrip",
         ]:
             first = sorted(
                 tuple(r) for r in q[name](spark, "/root/testdata/sf0.001").collect()

@@ -1,0 +1,127 @@
+"""Custom Python DataSource (sources/pyds.py): batch reads with
+filter pushdown and time travel, plus the change-feed stream."""
+
+from __future__ import annotations
+
+import pytest
+
+from concurrent_etl_spark.sources import pyds
+from concurrent_etl_spark.sources.txn import txn_commit, txn_merge
+
+
+def _table(spark, tmp_path):
+    p = str(tmp_path / "t")
+    txn_commit(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, name string, score double",
+        ),
+        p,
+    )
+    return p
+
+
+class TestBatchReader:
+    def test_roundtrip_matches_direct_read(self, spark, tmp_path):
+        p = _table(spark, tmp_path)
+        pyds.register(spark)
+        out = spark.read.format("ces_txn").option("path", p).load()
+        assert {(r["k"], r["name"]) for r in out.collect()} == {
+            (1, "a"),
+            (2, "b"),
+            (3, "c"),
+        }
+        assert dict(out.dtypes) == {
+            "k": "bigint",
+            "name": "string",
+            "score": "double",
+        }
+
+    def test_time_travel_option(self, spark, tmp_path):
+        p = _table(spark, tmp_path)
+        txn_merge(
+            spark,
+            p,
+            spark.createDataFrame([(2, "B", 99.0)], "k long, name string, score double"),
+            ["k"],
+        )
+        pyds.register(spark)
+        latest = spark.read.format("ces_txn").option("path", p).load()
+        v1 = (
+            spark.read.format("ces_txn")
+            .option("path", p)
+            .option("version", "1")
+            .load()
+        )
+        assert {r["name"] for r in latest.collect()} == {"a", "B", "c"}
+        assert {r["name"] for r in v1.collect()} == {"a", "b", "c"}
+
+    def test_filters_push_down_and_results_stay_correct(self, spark, tmp_path):
+        p = _table(spark, tmp_path)
+        pyds.register(spark)
+        out = (
+            spark.read.format("ces_txn")
+            .option("path", p)
+            .load()
+            .where("k > 1 AND name = 'b'")
+        )
+        import os
+
+        rows = out.collect()
+        assert [(r["k"], r["name"]) for r in rows] == [(2, "b")]
+        # the scan report records what the planned scan accepted
+        # (planning runs in its own worker; the report file is the
+        # cross-process audit trail)
+        report = open(os.path.join(p, "_scan_report")).read()
+        assert "GreaterThan" in report and "EqualTo" in report, report
+
+    def test_empty_table_raises(self, spark, tmp_path):
+        pyds.register(spark)
+        with pytest.raises(Exception, match="no committed version"):
+            spark.read.format("ces_txn").option(
+                "path", str(tmp_path / "none")
+            ).load()
+
+
+class TestChangeFeedStream:
+    def test_versions_arrive_as_batches_exactly_once(self, spark, tmp_path):
+        """Each commit is an offset: the first availableNow run
+        delivers v1, a second run after another commit delivers ONLY
+        v2 (checkpointed offset, no replay of v1)."""
+        p = _table(spark, tmp_path)
+        pyds.register(spark)
+        sink = str(tmp_path / "feed")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            q = (
+                spark.readStream.format("ces_txn")
+                .option("path", p)
+                .option("changefeed", "true")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        first = spark.read.parquet(sink)
+        assert {r["_commit_version"] for r in first.collect()} == {1}
+        assert first.count() == 3
+        txn_merge(
+            spark,
+            p,
+            spark.createDataFrame(
+                [(4, "d", 40.0)], "k long, name string, score double"
+            ),
+            ["k"],
+        )
+        run()
+        out = spark.read.parquet(sink)
+        # v2 snapshot (4 rows) arrived once; v1 not replayed
+        assert out.count() == 3 + 4
+        assert {r["_commit_version"] for r in out.collect()} == {1, 2}
