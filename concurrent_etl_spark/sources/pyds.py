@@ -39,6 +39,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -48,10 +49,16 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
-from concurrent_etl_spark.sources.txn import _data_dir_of, txn_latest
+from concurrent_etl_spark.sources.txn import (
+    _data_dir_of,
+    _log_dir,
+    _unique_suffix,
+    txn_latest,
+)
 
 
 class _FilePartition(InputPartition):
@@ -228,7 +235,96 @@ class TxnTableDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> TxnChangeFeedStreamReader:
         return TxnChangeFeedStreamReader(self.options["path"])
 
+    def writer(self, schema: StructType, overwrite: bool):
+        if not overwrite:
+            raise ValueError(
+                "ces_txn commits immutable snapshot versions: use "
+                "mode('overwrite') for a new version, txn_merge for "
+                "read-modify-write"
+            )
+        os.makedirs(_log_dir(self.options["path"]), exist_ok=True)
+        return TxnTableWriter(self.options["path"], schema)
+
 
 def register(spark) -> None:
     """Idempotent registration of the ces_txn format on a session."""
     spark.dataSource.register(TxnTableDataSource)
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, file_path: str, n_rows: int):
+        self.file_path = file_path
+        self.n_rows = n_rows
+
+
+class TxnTableWriter(DataSourceWriter):
+    """Distributed TRANSACTIONAL write through the connector: each
+    task streams its rows into one parquet file inside an anonymous
+    staged data directory (Arrow writer, file-per-task — the same
+    physical layout any distributed sink produces), and the final
+    ``commit`` publishes the directory as the next version with the
+    commit-log CAS. Two-phase semantics for free: a failed/aborted
+    write leaves only an unreferenced orphan (``txn_vacuum`` GC),
+    never a torn table — and ``abort`` proactively removes it.
+
+    Snapshot (overwrite) semantics only: a log-structured table's
+    data dirs are immutable, so "append" would require a read-modify
+    -write cycle — that is ``txn_merge``'s job, by design.
+    """
+
+    def __init__(self, path: str, schema: StructType):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._path = path
+        self._dirname = f"d-{_unique_suffix()}"
+        self._arrow_schema = to_arrow_schema(schema)
+        os.makedirs(os.path.join(path, self._dirname), exist_ok=True)
+
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.taskcontext import TaskContext
+
+        tid = TaskContext.get().partitionId()
+        fpath = os.path.join(
+            self._path, self._dirname, f"part-{tid:05d}.parquet"
+        )
+        rows = [tuple(r) for r in iterator]
+        cols = list(zip(*rows)) if rows else [[] for _ in self._arrow_schema]
+        table = pa.Table.from_arrays(
+            [
+                pa.array(c, type=f.type)
+                for c, f in zip(cols, self._arrow_schema)
+            ],
+            schema=self._arrow_schema,
+        )
+        pq.write_table(table, fpath)
+        return _FileCommit(fpath, len(rows))
+
+    def commit(self, messages) -> None:
+        import time as _time
+
+        for _ in range(20):
+            v = txn_latest(self._path) + 1
+            try:
+                fd = os.open(
+                    os.path.join(_log_dir(self._path), str(v)),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                _time.sleep(0.02)
+                continue
+            try:
+                os.write(fd, self._dirname.encode())
+            finally:
+                os.close(fd)
+            return
+        raise RuntimeError(f"lost 20 commit races on {self._path}")
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self._path, self._dirname), ignore_errors=True
+        )

@@ -125,3 +125,46 @@ class TestChangeFeedStream:
         # v2 snapshot (4 rows) arrived once; v1 not replayed
         assert out.count() == 3 + 4
         assert {r["_commit_version"] for r in out.collect()} == {1, 2}
+
+
+class TestTransactionalWriter:
+    def test_distributed_write_commits_one_version(self, spark, tmp_path):
+        """df.write.format('ces_txn'): tasks stage parquet files into
+        an anonymous dir, commit publishes it as the next version via
+        the log CAS — readable back through the same source."""
+        p = str(tmp_path / "t")
+        pyds.register(spark)
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(10)], "k long, name string"
+        ).repartition(3)
+        df.write.format("ces_txn").option("path", p).mode("overwrite").save()
+        from concurrent_etl_spark.sources.txn import txn_latest, txn_read
+
+        assert txn_latest(p) == 1
+        out = txn_read(spark, p)
+        assert out.count() == 10
+        # a second write is a second version, first intact
+        df.limit(2).write.format("ces_txn").option("path", p).mode(
+            "overwrite"
+        ).save()
+        assert txn_latest(p) == 2
+        assert txn_read(spark, p).count() == 2
+        assert txn_read(spark, p, 1).count() == 10
+        # and the connector's reader sees the same history
+        v1 = (
+            spark.read.format("ces_txn")
+            .option("path", p)
+            .option("version", "1")
+            .load()
+        )
+        assert v1.count() == 10
+
+    def test_append_mode_rejected(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        pyds.register(spark)
+        df = spark.createDataFrame([(1, "a")], "k long, name string")
+        df.write.format("ces_txn").option("path", p).mode("overwrite").save()
+        with pytest.raises(Exception, match="snapshot|overwrite|merge"):
+            df.write.format("ces_txn").option("path", p).mode(
+                "append"
+            ).save()
