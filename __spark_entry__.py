@@ -70,6 +70,9 @@ _CHECK_FIRST = [
     "quality_threshold_sweep",
     "inverted_index_postings",
     "pyds_txn_source_roundtrip",
+    "bm25_retrieval_topk",
+    "bfs_bipartite_hops",
+    "partitioned_merge_audit",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

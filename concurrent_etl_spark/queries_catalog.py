@@ -1484,3 +1484,79 @@ def q_pyds_txn_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .where(F.col("region") >= 2)
     )
+
+
+@query(
+    "partitioned_merge_audit",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(
+                 CASE WHEN o_orderstatus = 'P' AND o_orderkey % 10 = 0
+                      THEN o_totalprice + 1000.0 ELSE o_totalprice END,
+                 2) AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_partitioned_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE under the gate: orders land as a
+    hive-partitioned table (one directory per order status), then a
+    delta batch repricing every 10th 'P'-status order merges through
+    ``merge_into_partitioned_parquet`` — which rewrites ONLY the 'P'
+    partition (dynamic partition overwrite after an anti-join
+    against the delta's keys, staged before the swap). The query
+    aggregates the merged table per partition; the oracle recomputes
+    the expected post-merge state from the source — so key matching,
+    the partition-pruned rewrite, and the untouched partitions'
+    integrity are all inside the hash. The scale contract this pins:
+    a delta that touches one partition costs one partition's
+    rewrite, never the table's.
+
+    Guarded construction-time build keyed by application id + sf;
+    any partial state rebuilds from scratch.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.streaming.file_stream import (
+        merge_into_partitioned_parquet,
+    )
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    d = _os.path.join(_tempfile.gettempdir(), "ces_pmerge", tag)
+    marker = _os.path.join(d, "_MERGED")
+    if not _os.path.exists(marker):
+        _shutil.rmtree(d, ignore_errors=True)
+        base = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        (
+            base.write.mode("overwrite")
+            .partitionBy("status")
+            .parquet(d)
+        )
+        delta = base.where(
+            (F.col("status") == "P") & (F.col("orderkey") % 10 == 0)
+        ).withColumn("totalprice", F.col("totalprice") + 1000.0)
+        touched = merge_into_partitioned_parquet(
+            spark, d, delta, keys=["orderkey"], partition_col="status"
+        )
+        assert touched == ["P"], touched
+        with open(marker, "w") as fh:
+            fh.write(",".join(touched))
+    merged = spark.read.parquet(d)
+    return merged.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round("totalprice", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )

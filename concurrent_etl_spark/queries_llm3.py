@@ -1620,3 +1620,109 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tf").cast("bigint").alias("max_tf"),
     )
     return stats.where(F.col("df") >= 100)
+
+
+@query(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_tok('lower(text)')} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+      WHERE term IN ('query', 'stream', 'merge')
+      GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl)),
+               12) AS DECIMAL(24,12)) AS contrib
+      FROM tf JOIN df USING (term)
+              JOIN dl USING (doc_id)
+              CROSS JOIN g),
+    agg AS (
+      SELECT doc_id, SUM(contrib) AS score_dec,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      FROM scored GROUP BY 1)
+    SELECT doc_id, n_terms_hit,
+           round(CAST(score_dec AS DOUBLE), 6) AS bm25
+    FROM agg
+    ORDER BY score_dec DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene's non-negative
+    idf) for a 3-term query over the corpus — the scoring half of the
+    inverted index (``inverted_index_postings``), and the standard
+    first-stage retriever in data-pipeline search, contamination
+    triage, and RAG preprocessing.
+
+    Shape at 100 TB: the query-term filter lands BEFORE the tf
+    aggregation, so only postings of the 3 requested terms ever
+    shuffle (query-sized, not corpus-sized); doc lengths ride the
+    same tokenize pass; N/avgdl is one scalar broadcast; top-k is
+    sort+limit (TakeOrdered — no global window). Per-term
+    contributions round to 12 dp into DECIMAL so the partitioned sum
+    is bit-identical to the oracle's; ordering uses the exact
+    decimal score with doc_id as the total tiebreak.
+    """
+    terms = ["query", "stream", "merge"]
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    g = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+                ),
+                12,
+            )
+            .cast("decimal(24,12)")
+            .alias("contrib"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("contrib").alias("score_dec"),
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+    )
+    return (
+        agg.orderBy(F.col("score_dec").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "n_terms_hit",
+            F.round(F.col("score_dec").cast("double"), 6).alias("bm25"),
+        )
+    )

@@ -143,3 +143,79 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = edges.agg(F.count("*").alias("n_edges"))
     return tri.crossJoin(F.broadcast(n_edges))
+
+
+@query(
+    "bfs_bipartite_hops",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    c0 AS (SELECT DISTINCT c FROM e WHERE c <= 5),
+    s1 AS (SELECT DISTINCT s FROM e WHERE c IN (SELECT c FROM c0)),
+    c2 AS (SELECT DISTINCT c FROM e
+           WHERE s IN (SELECT s FROM s1)
+             AND c NOT IN (SELECT c FROM c0)),
+    s3 AS (SELECT DISTINCT s FROM e
+           WHERE c IN (SELECT c FROM c2)
+             AND s NOT IN (SELECT s FROM s1))
+    SELECT 'c' AS node_type, c AS node_id, CAST(0 AS INTEGER) AS dist FROM c0
+    UNION ALL
+    SELECT 's', s, CAST(1 AS INTEGER) FROM s1
+    UNION ALL
+    SELECT 'c', c, CAST(2 AS INTEGER) FROM c2
+    UNION ALL
+    SELECT 's', s, CAST(3 AS INTEGER) FROM s3
+    """,
+)
+def q_bfs_bipartite_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability with exact minimum-hop labels over
+    the customer-supplier bipartite graph (who supplies whom,
+    transitively) — the bounded-round iterative-join family next to
+    pagerank (fixed damped iterations) and label propagation
+    (convergent rounds): BFS frontiers with per-level dedup against
+    the visited set.
+
+    Shape at 100 TB: each round is one equi-join of the FRONTIER
+    (shrinking) against the edge list keyed on the frontier's side,
+    plus an anti-join against visited — never edge x edge. Frontier
+    and visited sets are node-cardinality-bounded; rounds chain
+    linearly and each is a checkpointable unit on a real cluster.
+    The oracle unrolls the same three levels as set algebra.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+    )
+    e = o.join(li, "ok").select("c", "s").distinct()
+    c0 = e.select("c").where(F.col("c") <= 5).distinct()
+    s1 = (
+        e.join(F.broadcast(c0), "c")
+        .select("s")
+        .distinct()
+    )
+    c2 = (
+        e.join(F.broadcast(s1), "s")
+        .select("c")
+        .distinct()
+        .join(c0, "c", "left_anti")
+    )
+    s3 = (
+        e.join(F.broadcast(c2), "c")
+        .select("s")
+        .distinct()
+        .join(s1, "s", "left_anti")
+    )
+    lvl = lambda df, t, d: df.select(  # noqa: E731
+        F.lit(t).alias("node_type"),
+        F.col(t).alias("node_id"),
+        F.lit(d).cast("int").alias("dist"),
+    )
+    return (
+        lvl(c0, "c", 0)
+        .unionByName(lvl(s1, "s", 1))
+        .unionByName(lvl(c2, "c", 2))
+        .unionByName(lvl(s3, "s", 3))
+    )

@@ -112,6 +112,7 @@ class TestSideEffectfulQueryIdempotence:
             "orc_source_roundtrip",
             "csv_quirks_roundtrip",
             "pyds_txn_source_roundtrip",
+            "partitioned_merge_audit",
         ]:
             first = sorted(
                 tuple(r) for r in q[name](spark, "/root/testdata/sf0.001").collect()
