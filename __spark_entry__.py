@@ -73,6 +73,8 @@ _CHECK_FIRST = [
     "bm25_retrieval_topk",
     "bfs_bipartite_hops",
     "partitioned_merge_audit",
+    "hll_partial_merge_bounded",
+    "compaction_audit",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

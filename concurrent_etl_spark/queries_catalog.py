@@ -1560,3 +1560,65 @@ def q_partitioned_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@query(
+    "compaction_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total,
+           TRUE AS compacted_to_few_files
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction under the gate: a deliberately
+    over-fragmented table (40 tiny files — the residue streaming
+    micro-batches leave) is rewritten by ``compact_small_files``
+    into byte-budgeted files via an atomic staging swap, and the
+    query asserts IN the result that (a) every row and the
+    decimal-exact total survived and (b) the file count actually
+    collapsed. At 100 TB compaction is the difference between scans
+    dominated by per-file open/footer overhead and scans dominated
+    by bytes — and it must be a lossless, reader-safe background
+    op, which is exactly what the hash pins. Guarded build keyed by
+    application id + sf.
+    """
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.sources.warehouse import compact_small_files
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    d = _os.path.join(_tempfile.gettempdir(), "ces_compact", tag)
+    marker = _os.path.join(d, "_COMPACTED")
+    if not _os.path.exists(marker):
+        _shutil.rmtree(d, ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 7 == 0)
+            .select("o_orderkey", "o_totalprice", "o_orderstatus")
+            .repartition(40)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        n_after = compact_small_files(spark, d)
+        with open(marker, "w") as fh:
+            fh.write(str(n_after))
+    n_files = len(_glob.glob(_os.path.join(d, "*.parquet")))
+    out = spark.read.parquet(d)
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.lit(n_files <= 4).alias("compacted_to_few_files"),
+    )

@@ -228,3 +228,56 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("total") - expected, 9
         ).alias("deviation"),
     )
+
+
+@query(
+    "hll_partial_merge_bounded",
+    oracle="""
+    WITH halves AS (
+      SELECT o_orderstatus AS status, o_custkey,
+             o_orderkey % 2 AS half
+      FROM orders),
+    exact AS (
+      SELECT status,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM halves GROUP BY status)
+    SELECT status, n_exact, TRUE AS merged_within_5pct
+    FROM exact
+    """,
+)
+def q_hll_partial_merge_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE-sketch law under the gate: per-status HLL
+    sketches (DataSketches ``hll_sketch_agg``) are built on two
+    DISJOINT halves of orders, union-merged with ``hll_union``, and
+    the merged estimate must land within 5% of the exact distinct
+    count — asserted IN the result, so a drifting merge fails the
+    hash. Mergeability is the property that makes 100 TB distinct
+    counting a map-side-combinable aggregation plus a tiny partial
+    merge (and lets stored per-day sketch partials answer any-range
+    cardinality without rescanning history) — the same merge law
+    ``incremental_agg_merge`` pins for sums, extended to the
+    sketch family (KMV/CMS/HLL).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        "o_custkey",
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    parts = o.groupBy("status", "half").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = parts.groupBy("status").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_merged")
+    )
+    exact = o.groupBy("status").agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    return exact.join(merged, "status").select(
+        "status",
+        "n_exact",
+        (
+            F.abs(F.col("n_merged") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 0.05
+        ).alias("merged_within_5pct"),
+    )

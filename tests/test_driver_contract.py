@@ -113,6 +113,7 @@ class TestSideEffectfulQueryIdempotence:
             "csv_quirks_roundtrip",
             "pyds_txn_source_roundtrip",
             "partitioned_merge_audit",
+            "compaction_audit",
         ]:
             first = sorted(
                 tuple(r) for r in q[name](spark, "/root/testdata/sf0.001").collect()
