@@ -75,6 +75,8 @@ _CHECK_FIRST = [
     "partitioned_merge_audit",
     "hll_partial_merge_bounded",
     "compaction_audit",
+    "multimodal_features_arrow",
+    "chunk_columns_udtf_analyze",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

@@ -1079,3 +1079,46 @@ def bmp_box_downsample_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(gen, BOX_SCHEMA)
+
+
+ARROW_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_md5", StringType()),
+        StructField("prefix_hex", StringType()),
+    ]
+)
+
+
+def _arrow_feature_batches(batches):
+    """RecordBatch-level feature extraction: the mapInArrow form of
+    the byte 'decoder' — payload buffers are touched as Arrow binary
+    scalars, never copied into pandas objects (one indirection fewer
+    than mapInPandas; the right boundary when the Python work is
+    byte-wise rather than columnar-numeric)."""
+    import pyarrow as pa
+
+    for batch in batches:
+        doc_id = batch.column("doc_id")
+        modality = batch.column("modality")
+        payloads = [
+            b"" if v is None else v.as_py()
+            for v in batch.column("payload")
+        ]
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc_id,
+                modality,
+                pa.array([len(b) for b in payloads], type=pa.int64()),
+                pa.array([hashlib.md5(b).hexdigest() for b in payloads]),
+                pa.array([b[:8].hex() for b in payloads]),
+            ],
+            names=["doc_id", "modality", "n_bytes", "payload_md5", "prefix_hex"],
+        )
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """mapInArrow feature extraction over (doc_id, payload, modality)."""
+    return media.mapInArrow(_arrow_feature_batches, ARROW_FEATURE_SCHEMA)

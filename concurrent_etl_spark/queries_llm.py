@@ -959,3 +959,33 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count("*").alias("n")
     )
+
+
+@query(
+    "multimodal_features_arrow",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           lower(substr(hex(encode(text)), 1, 16)) AS prefix_hex
+    FROM documents
+    """,
+)
+def q_multimodal_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow point on the Python-boundary surface (§2.9,
+    next to pandas_udf / applyInPandas / mapInPandas / UDTF /
+    applyInPandasWithState): the same binary-payload feature pass as
+    ``multimodal_features``, but at RecordBatch granularity — Arrow
+    buffers in, Arrow arrays out, no pandas materialization. The
+    right boundary when per-payload work is byte-wise (codecs,
+    hashing, framing): one fewer copy per batch than mapInPandas,
+    identical distribution properties (batch-local, zero shuffle).
+    The oracle recomputes length/md5/prefix straight from the source
+    bytes, so the Arrow path's byte fidelity is inside the hash.
+    """
+    return M.extract_features_arrow(
+        M.synthesize_payloads(_docs(spark, sf_dir))
+    )

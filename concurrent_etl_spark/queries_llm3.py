@@ -1726,3 +1726,67 @@ def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_dec").cast("double"), 6).alias("bm25"),
         )
     )
+
+
+@query(
+    "chunk_columns_udtf_analyze",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text, CAST(floor(length(text) / 3) AS INTEGER) AS w
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id,
+           substr(text, 1, w) AS chunk_1,
+           substr(text, w + 1, w) AS chunk_2,
+           substr(text, 2 * w + 1, length(text)) AS chunk_3
+    FROM s
+    """,
+)
+def q_chunk_columns_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — the ``analyze()`` half of the UDTF
+    surface (§2.9; ``chunk_documents_udtf`` covers the static-schema
+    half): the function's OUTPUT SCHEMA is computed at plan time
+    from a literal argument (n=3 → columns chunk_1..chunk_3), the
+    mechanism behind schema-producing table functions like
+    read_files or variant_explode. ``eval`` splits each document
+    into n equal character chunks (last takes the remainder);
+    character (not byte) arithmetic so the oracle's substr
+    reproduces it exactly on multibyte text. Arrow-batched like
+    every UDTF; row-local, zero shuffle.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import StringType, StructType
+
+    class FixedChunks:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value < 1:
+                raise ValueError("n must be a positive integer literal")
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"chunk_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            if text is None:
+                yield tuple(None for _ in range(n))
+                return
+            w = len(text) // n
+            parts = [
+                text[i * w : (i + 1) * w] if i < n - 1 else text[(n - 1) * w :]
+                for i in range(n)
+            ]
+            yield tuple(parts)
+
+    spark.udtf.register("ces_fixed_chunks", udtf(FixedChunks))
+    from concurrent_etl_spark.engine import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, fc.*
+        FROM documents d,
+             LATERAL ces_fixed_chunks(d.text, 3) fc
+        WHERE d.doc_id < 200
+        """
+    )
