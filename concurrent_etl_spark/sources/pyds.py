@@ -39,6 +39,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -245,6 +246,9 @@ class TxnTableDataSource(DataSource):
         os.makedirs(_log_dir(self.options["path"]), exist_ok=True)
         return TxnTableWriter(self.options["path"], schema)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return TxnStreamWriter(self.options["path"], schema)
+
 
 def register(spark) -> None:
     """Idempotent registration of the ces_txn format on a session."""
@@ -328,3 +332,108 @@ class TxnTableWriter(DataSourceWriter):
         shutil.rmtree(
             os.path.join(self._path, self._dirname), ignore_errors=True
         )
+
+
+class TxnStreamWriter(DataSourceStreamWriter):
+    """Streaming sink INTO the commit-log table: every micro-batch
+    commits one table version with APPEND semantics — the new
+    snapshot is the previous one (files carried forward as
+    hardlinks, the manifest trick) plus the batch — the write-side
+    mirror of the change-feed reader, closing the loop (stream in,
+    transactional versions out, history queryable mid-stream).
+
+    Exactly-once versions under checkpoint replay: tasks stage files
+    under ``_staging`` and ``commit`` records the batch id in
+    ``_batches/<id>`` BEFORE claiming the version; a replayed batch
+    finds its marker, discards its re-staged files, and commits
+    nothing — so a crash/restart never yields a duplicate version of
+    the same input batch. ``abort`` removes the staged files.
+    """
+
+    def __init__(self, path: str, schema: StructType):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._path = path
+        self._arrow_schema = to_arrow_schema(schema)
+        os.makedirs(os.path.join(path, "_staging"), exist_ok=True)
+        os.makedirs(os.path.join(path, "_batches"), exist_ok=True)
+        os.makedirs(_log_dir(path), exist_ok=True)
+
+    def write(self, iterator) -> _FileCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fpath = os.path.join(
+            self._path, "_staging", f"f-{_unique_suffix()}.parquet"
+        )
+        rows = [tuple(r) for r in iterator]
+        cols = list(zip(*rows)) if rows else [[] for _ in self._arrow_schema]
+        table = pa.Table.from_arrays(
+            [
+                pa.array(c, type=f.type)
+                for c, f in zip(cols, self._arrow_schema)
+            ],
+            schema=self._arrow_schema,
+        )
+        pq.write_table(table, fpath)
+        return _FileCommit(fpath, len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        import time as _time
+
+        staged = [m.file_path for m in messages if m is not None]
+        marker = os.path.join(self._path, "_batches", str(batchId))
+        if os.path.exists(marker):
+            # checkpoint replay of an already-committed batch: the
+            # version exists; drop the re-staged duplicates
+            for f in staged:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            return
+        dirname = f"d-{_unique_suffix()}"
+        ddir = os.path.join(self._path, dirname)
+        os.makedirs(ddir)
+        for f in staged:
+            os.rename(f, os.path.join(ddir, os.path.basename(f)))
+        # APPEND semantics: the new version's snapshot is the previous
+        # snapshot plus this batch. Prior files are HARDLINKED, not
+        # copied — exactly how a manifest-based table format carries
+        # unchanged files forward (zero data movement, and vacuum of
+        # an old version never corrupts a newer one: links share
+        # immutable inodes, directories stay independent)
+        prev = txn_latest(self._path)
+        if prev >= 1:
+            pdir = _data_dir_of(self._path, prev)
+            for f in os.listdir(pdir):
+                if f.endswith(".parquet"):
+                    os.link(
+                        os.path.join(pdir, f), os.path.join(ddir, f)
+                    )
+        for _ in range(20):
+            v = txn_latest(self._path) + 1
+            try:
+                fd = os.open(
+                    os.path.join(_log_dir(self._path), str(v)),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+            except FileExistsError:
+                _time.sleep(0.02)
+                continue
+            try:
+                os.write(fd, dirname.encode())
+            finally:
+                os.close(fd)
+            with open(marker, "w") as fh:
+                fh.write(str(v))
+            return
+        raise RuntimeError(f"lost 20 commit races on {self._path}")
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.file_path)
+                except OSError:
+                    pass

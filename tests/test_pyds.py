@@ -168,3 +168,53 @@ class TestTransactionalWriter:
             df.write.format("ces_txn").option("path", p).mode(
                 "append"
             ).save()
+
+
+class TestStreamWriter:
+    def test_each_batch_commits_one_version_exactly_once(
+        self, spark, tmp_path
+    ):
+        """writeStream.format('ces_txn'): one committed version per
+        micro-batch; a restarted query (same checkpoint) does not
+        duplicate versions for already-committed batches."""
+        from concurrent_etl_spark.sources.txn import txn_latest, txn_read
+
+        p = str(tmp_path / "t")
+        pyds.register(spark)
+        src = tmp_path / "src"
+        src.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        (src / "b1.csv").write_text("k,name\n1,a\n2,b\n")
+
+        def run():
+            q = (
+                spark.readStream.format("csv")
+                .schema("k long, name string")
+                .option("header", "true")
+                .load(str(src))
+                .writeStream.format("ces_txn")
+                .option("path", p)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        assert txn_latest(p) == 1
+        assert txn_read(spark, p).count() == 2
+        # second wave -> second version; first untouched
+        (src / "b2.csv").write_text("k,name\n3,c\n")
+        run()
+        assert txn_latest(p) == 2
+        # append semantics: v2 = full table (v1's files carried
+        # forward as hardlinks + the new batch); v1 still time-travels
+        assert txn_read(spark, p, 2).count() == 3
+        assert {r["name"] for r in txn_read(spark, p).collect()} == {
+            "a", "b", "c",
+        }
+        assert txn_read(spark, p, 1).count() == 2
+        # re-run with nothing new: no phantom version
+        run()
+        assert txn_latest(p) == 2
