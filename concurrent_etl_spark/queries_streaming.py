@@ -221,3 +221,45 @@ def q_stream_etl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "attribution_left_outer",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events WHERE event_type = 'click')
+    SELECT v.user_id, v.view_ts, c.click_ts, v.view_id, c.click_id
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+               AND c.click_ts > v.view_ts
+               AND c.click_ts <= v.view_ts + INTERVAL 1 HOUR
+    """,
+)
+def q_attribution_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer attribution — the conversion-rate DENOMINATOR: every
+    view emits, unmatched views carry NULL click columns (inner-join
+    attribution can't tell 'no click' from 'not yet'). Batch form of
+    ``stream_stream_attribution_left_outer``; on the stream the null
+    row waits for the click watermark to prove no match can still
+    arrive — the case where watermarks are a correctness requirement
+    (Spark rejects an un-watermarked outer stream-stream join), not
+    a state-size optimization. Streaming e2e in
+    tests/test_streaming.py.
+    """
+    from concurrent_etl_spark.streaming.windows import (
+        stream_stream_attribution_left_outer,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return stream_stream_attribution_left_outer(views, clicks)

@@ -88,6 +88,49 @@ def stream_stream_attribution_join(
     ~ events inside (watermark + attribution window) per key — a
     function of rates, not of stream length.
     """
+    return _attribution_join(
+        views, clicks, "inner", key, view_ts, click_ts,
+        attribution_window, watermark,
+    )
+
+
+def stream_stream_attribution_left_outer(
+    views: DataFrame,
+    clicks: DataFrame,
+    *,
+    key: str = "user_id",
+    view_ts: str = "view_ts",
+    click_ts: str = "click_ts",
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The OUTER half of attribution: every view emits — matched
+    views with their click, UNMATCHED views with NULL click columns.
+    On a stream the null row for an unmatched view can only be
+    emitted once the click-side watermark proves no match can still
+    arrive (view_ts + window < watermark) — which is exactly why the
+    time-bound + both-side watermarks are mandatory for outer
+    stream-stream joins (Spark rejects the query otherwise), not
+    just a state-size optimization as in the inner case. The
+    conversion-rate denominator lives in this operator: inner-join
+    attribution alone cannot distinguish 'no click' from 'not yet'.
+    """
+    return _attribution_join(
+        views, clicks, "left_outer", key, view_ts, click_ts,
+        attribution_window, watermark,
+    )
+
+
+def _attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    how: str,
+    key: str,
+    view_ts: str,
+    click_ts: str,
+    attribution_window: str,
+    watermark: str,
+) -> DataFrame:
     v = views.withWatermark(view_ts, watermark) if views.isStreaming else views
     c = clicks.withWatermark(click_ts, watermark) if clicks.isStreaming else clicks
     cond = (
@@ -95,7 +138,7 @@ def stream_stream_attribution_join(
         & (c[click_ts] > v[view_ts])
         & (c[click_ts] <= F.expr(f"{view_ts} + INTERVAL {attribution_window}"))
     )
-    return v.join(c, cond, "inner").select(
+    return v.join(c, cond, how).select(
         v[key].alias("user_id"),
         v[view_ts].alias("view_ts"),
         c[click_ts].alias("click_ts"),

@@ -682,3 +682,76 @@ class TestStreamingDedupTTLState:
         from concurrent_etl_spark.streaming.stateful import _twsp_available
 
         assert _twsp_available() is False
+
+
+class TestStreamStreamLeftOuterJoin:
+    def test_unmatched_view_emits_null_after_watermark(self, spark, tmp_path):
+        """Outer stream-stream join: the unmatched view's NULL row may
+        only emit once the click watermark proves no match can still
+        arrive — driven here by a later click batch that advances the
+        watermark past view_ts + window."""
+        import datetime as dt
+
+        from concurrent_etl_spark.streaming.windows import (
+            stream_stream_attribution_left_outer,
+        )
+
+        t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+        def ts(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        # u1's view gets a click inside the window; u2's view never
+        # does. The GLOBAL watermark is min(view side, click side),
+        # so BOTH sides carry a far-future event (+600) — otherwise
+        # the unadvanced side pins the watermark and no null can
+        # ever emit. View 103 (+600) itself stays unmatched but its
+        # own eviction point (+660) is beyond the final watermark.
+        views = [(1, 100, ts(0)), (2, 102, ts(0)), (3, 103, ts(600))]
+        clicks = [(1, 900, ts(30)), (4, 999, ts(600))]
+        vdf = spark.createDataFrame(views, ["user_id", "view_id", "view_ts"])
+        cdf = spark.createDataFrame(clicks, ["user_id", "click_id", "click_ts"])
+        vpath, cpath = str(tmp_path / "views"), str(tmp_path / "clicks")
+        vdf.write.parquet(vpath)
+        cdf.write.parquet(cpath)
+
+        out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run():
+            sv = spark.readStream.schema(vdf.schema).parquet(vpath)
+            sc = spark.readStream.schema(cdf.schema).parquet(cpath)
+            q = (
+                stream_stream_attribution_left_outer(sv, sc)
+                .writeStream.format("parquet")
+                .option("path", out_path)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        # null emission happens in a LATER micro-batch than the one
+        # that advanced the watermark: feed one more click batch and
+        # resume from the checkpoint so the state-eviction pass runs
+        spark.createDataFrame(
+            [(4, 998, ts(700))], ["user_id", "click_id", "click_ts"]
+        ).write.mode("append").parquet(cpath)
+        run()
+
+        got = {
+            (r.user_id, r.view_id, r.click_id)
+            for r in spark.read.parquet(out_path).collect()
+        }
+        batch = {
+            (r.user_id, r.view_id, r.click_id)
+            for r in stream_stream_attribution_left_outer(vdf, cdf).collect()
+        }
+        # batch form: every unmatched view nulls immediately
+        assert batch == {(1, 100, 900), (2, 102, None), (3, 103, None)}
+        # stream form: 102's null emitted once the watermark passed
+        # its eviction point; 103's is correctly HELD (watermark has
+        # not yet proven no click can arrive for it) — the difference
+        # between outer-join completeness and streaming's only-when-
+        # provable emission
+        assert got == {(1, 100, 900), (2, 102, None)}
