@@ -1,0 +1,336 @@
+"""LLM training-data pipeline queries, tranche 4: sequence packing,
+deterministic shard manifests, unigram-LM quality scoring.
+
+Beyond-the-reference surface (the reference at `/root/reference` has
+no tokenizer or packing layer at all — its transform step is column
+casts and substring slices, case_2/Normal.py:177-201). These are the
+last-mile ops of a pretraining pipeline: after dedup + curation, the
+surviving documents are scored, sharded deterministically, and packed
+into fixed-size context windows for the trainer.
+
+Determinism rules follow queries_llm.py: integer/decimal-exact
+accumulation, ``round(ln(x), 12)`` cast to DECIMAL before any sum,
+md5 fingerprints over canonically-ordered strings, explicit ordering
+keys everywhere. Each query pairs the Spark implementation with a
+DuckDB oracle reproducing the identical pipeline.
+
+Scale notes (100 TB): every op here shards by ``doc_id % K`` —
+packing and manifest construction are embarrassingly parallel across
+shards (one shuffle to co-locate a shard, sequential only *within*
+a shard, which is exactly the contract a trainer's data loader
+needs: shard files are independent, docs within a shard are
+ordered). The unigram LM is a vocabulary-sized broadcast model.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.operators import text as T
+from concurrent_etl_spark.queries_llm import _docs, _tok
+
+#: context-window capacity (tokens) for both packers; small enough
+#: that the sf0.01 gate exercises many bins per shard, large enough
+#: that docs (~25 whitespace tokens) pack ~20-deep.
+_PACK_CAPACITY = 512
+#: shard fan-out for the packers/manifest. At 100 TB this is the
+#: number of independent trainer shards (thousands); 8 keeps the
+#: sf0.01 gate's per-shard sequences long enough to be interesting.
+_N_SHARDS = 8
+
+
+# ---------------------------------------------------------------------------
+# fixed-boundary sequence packing (pure window SQL)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sequence_pack_fixed",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id % {_N_SHARDS} AS shard, doc_id,
+             len({_tok('text')}) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT shard, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM d)
+    SELECT CAST(shard AS BIGINT) AS shard, doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(run - n_tok AS BIGINT) AS start_off,
+           CAST((run - n_tok) // {_PACK_CAPACITY} AS BIGINT) AS first_pack,
+           CAST((run - 1) // {_PACK_CAPACITY} AS BIGINT) AS last_pack,
+           CASE WHEN (run - 1) // {_PACK_CAPACITY}
+                     > (run - n_tok) // {_PACK_CAPACITY}
+                THEN 1 ELSE 0 END AS straddles
+    FROM c
+    """,
+)
+def q_sequence_pack_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-boundary sequence packing — the 'concatenate the shard's
+    token stream, cut every C tokens' layout used by most pretraining
+    loaders. Per document: its byte offset in the shard's token
+    stream (window cumsum), the first/last context window it lands
+    in, and whether it straddles a window boundary (the fraction of
+    straddlers is the loss-masking overhead the trainer pays).
+
+    Pure integer window arithmetic: one hash shuffle to co-locate
+    shards, one running sum per shard (no global window — the
+    partition key is the shard), everything JVM-side codegen. At
+    100 TB the shard count is the parallelism knob; each shard's
+    cumsum is an independent sorted scan.
+    """
+    docs = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cap = F.lit(_PACK_CAPACITY)
+    d = docs.select(
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    ).withColumn("run", F.sum("n_tok").over(w))
+    start = F.col("run") - F.col("n_tok")
+    first_pack = (start / cap).cast("bigint")
+    last_pack = ((F.col("run") - 1) / cap).cast("bigint")
+    return d.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "doc_id",
+        "n_tok",
+        start.cast("bigint").alias("start_off"),
+        first_pack.alias("first_pack"),
+        last_pack.alias("last_pack"),
+        F.when(last_pack > first_pack, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("straddles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy next-fit bin packing (applyInPandas; oracle = recursive CTE)
+# ---------------------------------------------------------------------------
+
+def _greedy_pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sequential next-fit fold over ONE shard (already co-located):
+    place each doc in the current bin unless it would overflow
+    capacity, else open a new bin. A doc larger than the capacity
+    gets a bin of its own (placed, overflows, next doc opens fresh).
+    """
+    pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    bin_ids = []
+    bin_id, fill = 0, 0
+    for n in pdf["n_tok"]:
+        if fill + n > _PACK_CAPACITY and fill > 0:
+            bin_id += 1
+            fill = 0
+        bin_ids.append(bin_id)
+        fill += int(n)
+    pdf["bin_id"] = pd.Series(bin_ids, dtype="int64")
+    return pdf[["shard", "bin_id", "doc_id", "n_tok"]]
+
+
+@query(
+    "greedy_pack_bins",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id % {_N_SHARDS} AS shard, doc_id,
+             len({_tok('text')}) AS n_tok,
+             row_number() OVER (PARTITION BY doc_id % {_N_SHARDS}
+                                ORDER BY doc_id) AS rn
+      FROM documents),
+    r AS (
+      SELECT shard, doc_id, rn, n_tok, 0 AS bin_id, n_tok AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.shard, d.doc_id, d.rn, d.n_tok,
+             CASE WHEN r.fill + d.n_tok > {_PACK_CAPACITY}
+                  THEN r.bin_id + 1 ELSE r.bin_id END,
+             CASE WHEN r.fill + d.n_tok > {_PACK_CAPACITY}
+                  THEN d.n_tok ELSE r.fill + d.n_tok END
+      FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM r GROUP BY shard, bin_id
+    """,
+)
+def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit bin packing — the 'no document crosses a
+    context boundary' packing mode (each bin is one training sequence;
+    bins are padded, so the packer's fill ratio is the padding-waste
+    metric). The fold is inherently sequential *within* a shard and
+    embarrassingly parallel *across* shards, so the Spark shape is
+    ``groupBy(shard).applyInPandas(fold)`` — one shuffle to co-locate
+    each shard, then a linear Arrow-batched pass; at 100 TB the shard
+    count (thousands) is the parallelism, and no shard's token stream
+    ever needs to fit anywhere but one task.
+
+    The oracle reproduces the same fold as a DuckDB recursive CTE
+    stepping all shards in lockstep (depth = max docs/shard), proving
+    the Python fold against a pure-SQL sequential recurrence.
+    """
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        (F.col("doc_id") % _N_SHARDS).cast("bigint").alias("shard"),
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+    )
+    packed = d.groupBy("shard").applyInPandas(
+        _greedy_pack,
+        schema="shard bigint, bin_id bigint, doc_id bigint, n_tok bigint",
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic shard manifest
+# ---------------------------------------------------------------------------
+
+@query(
+    "shard_manifest_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id % {_N_SHARDS} AS shard, doc_id,
+             len({_tok('text')}) AS n_tok, n_chars
+      FROM documents)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id)) AS content_fingerprint
+    FROM d GROUP BY shard
+    """,
+)
+def q_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard manifest — the audit artifact a training
+    job publishes next to its shard files: per shard, the doc/token/
+    byte totals plus an order-sensitive md5 fingerprint of the
+    member doc_ids (so a re-run, a backfill, or a second writer can
+    prove byte-identical shard membership without re-reading data).
+
+    One hash shuffle on the shard key; the fingerprint uses
+    ``sort_array(collect_list(...))`` — bounded per shard by
+    construction (shard count is chosen so shards are file-sized),
+    the same WindowGroupLimit-style boundedness argument the sketch
+    queries document.
+    """
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        (F.col("doc_id") % _N_SHARDS).cast("bigint").alias("shard"),
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        "n_chars",
+    )
+    return d.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_bytes"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("content_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality scoring (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+@query(
+    "unigram_logprob_quality",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_tok('lower(text)')}) AS t FROM documents),
+    vocab AS (
+      SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             COUNT(*) AS v FROM vocab),
+    lp AS (
+      SELECT vocab.t,
+             CAST(round(ln((vocab.c + 1.0) / (tot.n + tot.v)), 12)
+                  AS DECIMAL(24,12)) AS lp
+      FROM vocab, tot),
+    scored AS (
+      SELECT tok.doc_id, COUNT(*) AS n_tok,
+             CAST(SUM(lp.lp) AS DECIMAL(38,12)) AS sum_lp
+      FROM tok JOIN lp ON tok.t = lp.t
+      GROUP BY tok.doc_id)
+    SELECT doc_id, n_tok,
+           CAST(-(CAST(sum_lp AS DOUBLE)) / n_tok AS DOUBLE)
+             AS mean_neg_logprob
+    FROM scored
+    """,
+)
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy — the classic cheap quality filter
+    (docs whose mean token surprisal under a corpus-fitted unigram
+    model is anomalously high are boilerplate/garbled; anomalously
+    low are repetitive). Model: add-one-smoothed unigram
+    p(t) = (c_t + 1) / (N + V) fitted on the corpus itself; score =
+    -mean log p over the doc's tokens.
+
+    Determinism: per-token log-probs are rounded to 12 decimals and
+    summed as DECIMAL (order-insensitive exact), so Spark's partial
+    aggregation and the oracle's sequential sum agree bit-for-bit;
+    the final mean is one exact IEEE divide. Scale shape: the model
+    is vocabulary-sized (broadcast join), the scan is linear —
+    token explode, one groupBy(token) for the model, one
+    broadcast-join + groupBy(doc) for the scores.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("t"),
+    )
+    vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").cast("bigint").alias("n"), F.count("*").alias("v")
+    )
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.round(
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))), 12
+        )
+        .cast("decimal(24,12)")
+        .alias("lp"),
+    )
+    scored = (
+        tok.join(F.broadcast(lp), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("lp").cast("decimal(38,12)").alias("sum_lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tok",
+        (-(F.col("sum_lp").cast("double")) / F.col("n_tok"))
+        .cast("double")
+        .alias("mean_neg_logprob"),
+    )

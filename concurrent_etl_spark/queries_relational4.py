@@ -1267,3 +1267,73 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     # convention) — an eager unpersist here would fire at plan-build
     # time and silently disable the caching it means to clean up
     return out
+
+
+# ---------------------------------------------------------------------------
+# recursive CTE: hierarchy expansion (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+_HIERARCHY_SQL = """
+WITH RECURSIVE tree (s_suppkey, depth, path, cum_acctbal) AS (
+  SELECT s_suppkey, 0, CAST(s_suppkey AS STRING),
+         CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DECIMAL(18,2))
+  FROM supplier WHERE s_suppkey = 0
+  UNION ALL
+  SELECT c.s_suppkey, t.depth + 1,
+         CONCAT(t.path, '->', CAST(c.s_suppkey AS STRING)),
+         CAST(t.cum_acctbal + CAST(c.s_acctbal AS DECIMAL(18,2))
+              AS DECIMAL(18,2))
+  FROM supplier c JOIN tree t
+    ON (c.s_suppkey - 1) DIV 2 = t.s_suppkey AND c.s_suppkey >= 1
+)
+SELECT s_suppkey, CAST(depth AS INT) AS depth, path,
+       CAST(cum_acctbal AS DOUBLE) AS cum_acctbal
+FROM tree
+"""
+
+
+@query(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE tree (s_suppkey, depth, path, cum_acctbal) AS (
+      SELECT s_suppkey, 0, CAST(s_suppkey AS VARCHAR),
+             CAST(s_acctbal AS DECIMAL(18,2))
+      FROM supplier WHERE s_suppkey = 0
+      UNION ALL
+      SELECT c.s_suppkey, t.depth + 1,
+             t.path || '->' || CAST(c.s_suppkey AS VARCHAR),
+             CAST(t.cum_acctbal + CAST(c.s_acctbal AS DECIMAL(18,2))
+                  AS DECIMAL(18,2))
+      FROM supplier c JOIN tree t
+        ON (c.s_suppkey - 1) // 2 = t.s_suppkey AND c.s_suppkey >= 1
+    )
+    SELECT s_suppkey, CAST(depth AS INTEGER) AS depth, path,
+           CAST(cum_acctbal AS DOUBLE) AS cum_acctbal
+    FROM tree
+    """,
+)
+def q_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the SQL front-end (Spark 4 ``WITH
+    RECURSIVE``, SPARK-24497): expand an implicit binary-heap
+    hierarchy over the supplier dimension (parent(k) = (k-1) div 2,
+    root 0) into root-to-node paths with depth and a decimal-exact
+    running account-balance along each path.
+
+    This is the org-chart / bill-of-materials query shape — the one
+    relational idiom the DataFrame API cannot express without a
+    driver-side loop; the recursive front-end keeps the iteration
+    inside Catalyst (each step is a planned self-join, unioned to
+    fixpoint). Depth is log2(|supplier|) so the recursion is shallow
+    at ANY scale — 100 TB changes the per-step join width, not the
+    number of steps; each step is a broadcast-able equi-join on the
+    parent key. Oracle: the identical recursion in DuckDB; decimal
+    accumulation keeps path sums bit-exact across engines.
+
+    Reference parity: none — the reference has no recursive or
+    hierarchical query surface at all; this is engine-surface parity
+    with ANSI SQL:1999, not with the reference.
+    """
+    from concurrent_etl_spark.engine import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_HIERARCHY_SQL)

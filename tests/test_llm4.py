@@ -1,0 +1,159 @@
+"""Tests for the tranche-4 LLM-pipeline queries (sequence packing,
+shard manifests, unigram-LM scoring) and the recursive SQL surface."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from concurrent_etl_spark import queries_llm4 as Q4
+from concurrent_etl_spark.queries_llm4 import _N_SHARDS, _PACK_CAPACITY
+from concurrent_etl_spark.queries_relational4 import q_recursive_cte_hierarchy
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(spark):
+    """(doc_id, n_tok) for every document, via the same tokenizer."""
+    from pyspark.sql import functions as F
+
+    from concurrent_etl_spark.operators import text as T
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.size(T.tokens(F.col("text"))).alias("n_tok"))
+        .collect()
+    )
+    return {r["doc_id"]: r["n_tok"] for r in rows}
+
+
+class TestSequencePackFixed:
+    def test_offsets_tile_the_shard_stream(self, spark, doc_tokens):
+        rows = Q4.q_sequence_pack_fixed(spark, SF_DIR).collect()
+        assert len(rows) == len(doc_tokens)
+        by_shard: dict[int, list] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, rs in by_shard.items():
+            rs.sort(key=lambda r: r["doc_id"])
+            off = 0
+            for r in rs:
+                assert r["doc_id"] % _N_SHARDS == shard
+                assert r["start_off"] == off, "gapless concatenation"
+                assert r["n_tok"] == doc_tokens[r["doc_id"]]
+                assert r["first_pack"] == off // _PACK_CAPACITY
+                end = off + r["n_tok"] - 1
+                assert r["last_pack"] == end // _PACK_CAPACITY
+                assert r["straddles"] == int(r["last_pack"] > r["first_pack"])
+                off = end + 1
+
+    def test_straddlers_exist_at_this_capacity(self, spark):
+        # with ~25-token docs and C=512 roughly 1/20 of docs straddle;
+        # zero straddlers would mean the query degenerated
+        rows = Q4.q_sequence_pack_fixed(spark, SF_DIR).collect()
+        assert sum(r["straddles"] for r in rows) > 0
+
+
+class TestGreedyPackBins:
+    def test_matches_brute_force_fold(self, spark, doc_tokens):
+        got = {
+            (r["shard"], r["bin_id"]): (
+                r["n_docs"],
+                r["n_tokens"],
+                r["first_doc"],
+                r["last_doc"],
+            )
+            for r in Q4.q_greedy_pack_bins(spark, SF_DIR).collect()
+        }
+        # brute-force the same next-fit fold in plain python
+        want: dict[tuple, list] = {}
+        for shard in range(_N_SHARDS):
+            docs = sorted(d for d in doc_tokens if d % _N_SHARDS == shard)
+            bin_id, fill = 0, 0
+            for d in docs:
+                n = doc_tokens[d]
+                if fill + n > _PACK_CAPACITY and fill > 0:
+                    bin_id, fill = bin_id + 1, 0
+                key = (shard, bin_id)
+                agg = want.setdefault(key, [0, 0, d, d])
+                agg[0] += 1
+                agg[1] += n
+                agg[3] = d
+                fill += n
+        assert got == {k: tuple(v) for k, v in want.items()}
+
+    def test_no_bin_overflows_unless_single_doc(self, spark):
+        for r in Q4.q_greedy_pack_bins(spark, SF_DIR).collect():
+            assert r["n_tokens"] <= _PACK_CAPACITY or r["n_docs"] == 1
+
+
+class TestShardManifest:
+    def test_totals_and_fingerprint_partition_invariant(self, spark):
+        import hashlib
+
+        rows = Q4.q_shard_manifest_audit(spark, SF_DIR).collect()
+        assert len(rows) == _N_SHARDS
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+        assert sum(r["n_docs"] for r in rows) == len(ids)
+        for r in rows:
+            members = sorted(i for i in ids if i % _N_SHARDS == r["shard"])
+            want = hashlib.md5(
+                ",".join(str(i) for i in members).encode()
+            ).hexdigest()
+            assert r["content_fingerprint"] == want
+            assert r["min_doc_id"] == members[0]
+            assert r["max_doc_id"] == members[-1]
+
+
+class TestUnigramLogprob:
+    def test_scores_are_smoothed_surprisals(self, spark):
+        rows = Q4.q_unigram_logprob_quality(spark, SF_DIR).collect()
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert len(rows) == docs
+        for r in rows:
+            assert r["mean_neg_logprob"] > 0.0
+            assert r["n_tok"] >= 1
+
+    def test_rare_token_docs_score_higher(self, spark):
+        # the doc containing the corpus's rarest tokens must score
+        # above the doc built from the most common ones
+        from pyspark.sql import functions as F
+
+        from concurrent_etl_spark.operators import text as T
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        tok = docs.select(
+            "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("t")
+        )
+        counts = {
+            r["t"]: r["c"]
+            for r in tok.groupBy("t").agg(F.count("*").alias("c")).collect()
+        }
+        per_doc = {}
+        for r in tok.collect():
+            per_doc.setdefault(r["doc_id"], []).append(counts[r["t"]])
+        mean_count = {d: sum(v) / len(v) for d, v in per_doc.items()}
+        rarest = min(mean_count, key=mean_count.get)
+        commonest = max(mean_count, key=mean_count.get)
+        scores = {
+            r["doc_id"]: r["mean_neg_logprob"]
+            for r in Q4.q_unigram_logprob_quality(spark, SF_DIR).collect()
+        }
+        assert scores[rarest] > scores[commonest]
+
+
+class TestRecursiveHierarchy:
+    def test_heap_depths_and_paths(self, spark):
+        rows = q_recursive_cte_hierarchy(spark, SF_DIR).collect()
+        n = spark.read.parquet(f"{SF_DIR}/supplier.parquet").count()
+        assert len(rows) == n, "every supplier reachable from the root"
+        for r in rows:
+            k = r["s_suppkey"]
+            assert r["depth"] == (int(math.log2(k + 1)) if k else 0)
+            hops = [int(h) for h in r["path"].split("->")]
+            assert hops[0] == 0 and hops[-1] == k
+            for parent, child in zip(hops, hops[1:]):
+                assert (child - 1) // 2 == parent
