@@ -86,6 +86,8 @@ _CHECK_FIRST = [
     "shard_manifest_audit",
     "unigram_logprob_quality",
     "recursive_cte_hierarchy",
+    "max_concurrency_sweep",
+    "interval_islands_merge",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

@@ -211,3 +211,192 @@ def q_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) >= 2.5, 1).otherwise(0).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interval analytics: sweep-line concurrency + gaps-and-islands merge
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic interval length for the events table:
+#: 1..600 s keyed on event_id (the fixture has point events only; a
+#: real deployment carries its own end column and drops this line).
+_DUR_US = "(1 + event_id % 600) * 1000000"
+
+
+@query(
+    "max_concurrency_sweep",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type,
+             CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + {_DUR_US} AS e_us,
+             event_id
+      FROM events),
+    pts AS (
+      SELECT event_type, day, s_us AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT event_type, day, e_us AS t, -1 AS delta, event_id FROM iv),
+    run AS (
+      SELECT event_type, day,
+             CAST(SUM(delta) OVER (PARTITION BY event_type, day
+                                   ORDER BY t, delta, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS open_now
+      FROM pts)
+    SELECT event_type, day,
+           MAX(open_now) AS max_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM run GROUP BY event_type, day
+    """,
+)
+def q_max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum concurrency — the 'peak simultaneous
+    sessions' operator (capacity planning, license counting, ad
+    break overlap). Each interval contributes a +1 at its start and
+    a -1 at its (exclusive) end; the running sum over the merged
+    endpoint stream is the number of open intervals, and its max per
+    cohort is the answer. Ordering ``(t, delta, ...)`` puts the -1
+    before the +1 at equal timestamps, giving exact [start, end)
+    semantics; the max is invariant to tie permutations beyond that.
+
+    Cohort = (event_type, start-day), which is also the partition
+    key of the window — never a global window. At 100 TB the day
+    dimension is what keeps every sweep partition bounded (one
+    cohort's endpoints per task); a deployment needing cross-day
+    concurrency adds boundary-clipped interval fragments per day,
+    which changes only the interval-generation select.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + (1 + F.col("event_id") % 600) * 1_000_000)
+        .alias("e_us"),
+        "event_id",
+    )
+    pts = iv.select(
+        "event_type", "day", F.col("s_us").alias("t"),
+        F.lit(1).alias("delta"), "event_id",
+    ).unionByName(
+        iv.select(
+            "event_type", "day", F.col("e_us").alias("t"),
+            F.lit(-1).alias("delta"), "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select(
+        "event_type", "day",
+        F.sum("delta").over(w).cast("bigint").alias("open_now"),
+    )
+    return run.groupBy("event_type", "day").agg(
+        F.max("open_now").alias("max_concurrent"),
+        (F.count("*") / 2).cast("bigint").alias("n_intervals"),
+    )
+
+
+@query(
+    "interval_islands_merge",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + {_DUR_US} AS e_us
+      FROM events),
+    flagged AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN MAX(e_us) OVER (PARTITION BY user_id
+                                       ORDER BY s_us, e_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) IS NULL
+                       OR s_us > MAX(e_us) OVER (PARTITION BY user_id
+                                       ORDER BY s_us, e_us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island,
+             event_id
+      FROM iv),
+    isl AS (
+      SELECT user_id, s_us, e_us,
+             CAST(SUM(new_island) OVER (PARTITION BY user_id
+                                        ORDER BY s_us, e_us, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS island_id
+      FROM flagged),
+    merged AS (
+      SELECT user_id, island_id,
+             MIN(s_us) AS island_s, MAX(e_us) AS island_e
+      FROM isl GROUP BY user_id, island_id)
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           CAST(SUM(island_e - island_s) AS BIGINT) AS covered_us,
+           CAST(MAX(island_e - island_s) AS BIGINT) AS longest_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_islands_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging: per user, overlapping or
+    touching [start, end) intervals coalesce into maximal covered
+    'islands' (union of intervals), reported as island count, total
+    covered time, and longest island — the utilization/uptime
+    operator (distinct from ``sessionize_gap_cumsum``, which
+    clusters POINT events by inter-event gap; here the inputs carry
+    duration and the union is exact).
+
+    Classic two-window idiom: a running MAX of prior interval ends
+    detects island starts (an interval whose start exceeds every
+    prior end opens a new island), a running SUM of those flags
+    numbers the islands. Both windows partition on user_id — no
+    global window, fully parallel across users; integer microsecond
+    arithmetic end-to-end.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + (1 + F.col("event_id") % 600) * 1_000_000)
+        .alias("e_us"),
+    )
+    order = ["s_us", "e_us", "event_id"]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max("e_us").over(w_prev)
+    flagged = iv.select(
+        "user_id", "s_us", "e_us", "event_id",
+        F.when(prev_end.isNull() | (F.col("s_us") > prev_end), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    isl = flagged.select(
+        "user_id", "s_us", "e_us",
+        F.sum("new_island").over(w_run).cast("bigint").alias("island_id"),
+    )
+    merged = isl.groupBy("user_id", "island_id").agg(
+        F.min("s_us").alias("island_s"), F.max("e_us").alias("island_e")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("island_e") - F.col("island_s"))
+        .cast("bigint")
+        .alias("covered_us"),
+        F.max(F.col("island_e") - F.col("island_s"))
+        .cast("bigint")
+        .alias("longest_us"),
+    )

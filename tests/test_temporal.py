@@ -204,3 +204,76 @@ class TestEwma:
             hist.append(r["value"])
             window = hist[-10:]
             assert min(window) - 1e-9 <= r["ewma"] <= max(window) + 1e-9
+
+
+class TestIntervalAnalytics:
+    """Brute-force verification of the sweep-line and island ops."""
+
+    def _intervals(self, spark):
+        from concurrent_etl_spark.engine import load_table
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        rows = ev.select(
+            "event_id", "user_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.unix_micros("ts").alias("s"),
+        ).collect()
+        return [
+            (
+                r["event_id"], r["user_id"], r["event_type"], r["day"],
+                r["s"], r["s"] + (1 + r["event_id"] % 600) * 1_000_000,
+            )
+            for r in rows
+        ]
+
+    def test_max_concurrency_matches_brute_force(self, spark):
+        from concurrent_etl_spark.queries_temporal import (
+            q_max_concurrency_sweep,
+        )
+
+        ivs = self._intervals(spark)
+        got = {
+            (r["event_type"], r["day"]): (r["max_concurrent"], r["n_intervals"])
+            for r in q_max_concurrency_sweep(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        cohorts = {}
+        for _, _, typ, day, s, e in ivs:
+            cohorts.setdefault((typ, day), []).append((s, e))
+        for key, members in cohorts.items():
+            # sweep: -1 strictly before +1 at equal t ([s, e) exact)
+            pts = sorted(
+                [(s, 1) for s, _ in members] + [(e, -1) for _, e in members]
+            )
+            best = cur = 0
+            for _, d in pts:
+                cur += d
+                best = max(best, cur)
+            assert got[key] == (best, len(members))
+
+    def test_islands_match_brute_force_union(self, spark):
+        from concurrent_etl_spark.queries_temporal import (
+            q_interval_islands_merge,
+        )
+
+        ivs = self._intervals(spark)
+        got = {
+            r["user_id"]: (r["n_islands"], r["covered_us"], r["longest_us"])
+            for r in q_interval_islands_merge(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        by_user = {}
+        for _, uid, _, _, s, e in ivs:
+            by_user.setdefault(uid, []).append((s, e))
+        for uid, members in by_user.items():
+            merged = []
+            for s, e in sorted(members):
+                if merged and s <= merged[-1][1]:  # touching merges
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+            lens = [e - s for s, e in merged]
+            assert got[uid] == (len(merged), sum(lens), max(lens))
