@@ -88,6 +88,7 @@ _CHECK_FIRST = [
     "recursive_cte_hierarchy",
     "max_concurrency_sweep",
     "interval_islands_merge",
+    "llm_pipeline_end2end",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

@@ -52,12 +52,17 @@ def main() -> None:
     # codegen compilation, and parquet footer caches are per-plan, so
     # warming one query leaves the others paying compilation inside
     # their timed reps (measured ~2x on the first query in the list)
-    for name in HEADLINE:
-        if name in queries:
-            spark.catalog.clearCache()
-            queries[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+    # two passes: deep iterative plans (pagerank's unrolled message
+    # passing) measured 4.3-5.3s on their first post-warmup rep vs
+    # 3.4s steady-state — one warmup leaves C2 compilation inside the
+    # timed reps; the second pass costs ~15s once and removes it
+    for _ in range(2):
+        for name in HEADLINE:
+            if name in queries:
+                spark.catalog.clearCache()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -334,3 +334,102 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_neg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# composite: the whole training-data pipeline as ONE declarative plan
+# ---------------------------------------------------------------------------
+
+@query(
+    "llm_pipeline_end2end",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             md5(array_to_string({_tok('lower(text)')}, ' ')) AS h,
+             len({_tok('text')}) AS n_tok,
+             len(list_distinct({_tok('lower(text)')})) AS n_uniq
+      FROM documents),
+    kept AS (
+      SELECT doc_id, n_tok FROM (
+        SELECT doc_id, n_tok, n_uniq,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM hashed)
+      WHERE rn = 1
+        AND n_tok >= 10
+        AND n_uniq * 10 >= n_tok * 3),
+    sharded AS (
+      SELECT doc_id % {_N_SHARDS} AS shard, doc_id, n_tok FROM kept)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST((SUM(n_tok) + {_PACK_CAPACITY} - 1) // {_PACK_CAPACITY}
+                AS BIGINT) AS n_packs,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id)) AS keep_fingerprint
+    FROM sharded GROUP BY shard
+    """,
+)
+def q_llm_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative DAG — exact
+    dedup (canonical-token md5, min-doc_id winner), quality gate
+    (length floor + a 30% distinct-token diversity floor, both in
+    exact integer arithmetic), deterministic sharding, and
+    fixed-capacity pack accounting with a per-shard keep-set
+    fingerprint. This is the composition claim behind the whole
+    catalog: every stage is a building block proven separately
+    (dedup_exact, quality_threshold_sweep, shard_manifest_audit,
+    sequence_pack_fixed), and because each stage is declarative the
+    composite is a single Catalyst plan — the dedup window, the
+    filter, and the shard agg fuse into one pipeline with exactly
+    two shuffles (hash groupBy, shard groupBy); no materialization
+    boundaries between stages, which is what makes the end-to-end
+    run at 100 TB cost what its slowest stage costs rather than the
+    sum of per-stage write-outs.
+
+    Reference parity: the reference's pipeline is also a composed
+    chain (read -> transform -> dims -> load, case_1/NormalETL.py),
+    but materialized stepwise through pandas frames; here
+    composition is free plan fusion.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.lower(F.col("text")))
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", toks)).alias("h"),
+        F.size(T.tokens(F.col("text"))).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    kept = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.col("rn") == 1)
+            & (F.col("n_tok") >= 10)
+            & (F.col("n_uniq") * 10 >= F.col("n_tok") * 3)
+        )
+        .select("doc_id", "n_tok")
+    )
+    sharded = kept.select(
+        (F.col("doc_id") % _N_SHARDS).cast("bigint").alias("shard"),
+        "doc_id",
+        "n_tok",
+    )
+    cap = F.lit(_PACK_CAPACITY)
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.floor((F.sum("n_tok") + cap - 1) / cap)
+        .cast("bigint")
+        .alias("n_packs"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("keep_fingerprint"),
+    )

@@ -157,3 +157,49 @@ class TestRecursiveHierarchy:
             assert hops[0] == 0 and hops[-1] == k
             for parent, child in zip(hops, hops[1:]):
                 assert (child - 1) // 2 == parent
+
+
+class TestPipelineEnd2End:
+    def test_stage_accounting_matches_components(self, spark):
+        """The composite must agree with its component queries: the
+        kept set is dedup-exact winners passing the quality gate, and
+        per-shard totals are consistent with the manifest shapes."""
+        from pyspark.sql import functions as F
+
+        from concurrent_etl_spark.operators import text as T
+
+        rows = Q4.q_llm_pipeline_end2end(spark, SF_DIR).collect()
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        toks = T.tokens(F.lower(F.col("text")))
+        hashed = docs.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", toks)).alias("h"),
+            F.size(T.tokens(F.col("text"))).alias("n_tok"),
+            F.size(F.array_distinct(toks)).alias("n_uniq"),
+        ).collect()
+        winners = {}
+        for r in hashed:
+            if r["h"] not in winners or r["doc_id"] < winners[r["h"]]["doc_id"]:
+                winners[r["h"]] = r
+        kept = [
+            r
+            for r in winners.values()
+            if r["n_tok"] >= 10 and r["n_uniq"] * 10 >= r["n_tok"] * 3
+        ]
+        assert kept, "gate must keep something at this SF"
+        by_shard = {}
+        for r in kept:
+            by_shard.setdefault(r["doc_id"] % 8, []).append(r)
+        got = {r["shard"]: r for r in rows}
+        assert set(got) == set(by_shard)
+        for shard, members in by_shard.items():
+            toks_total = sum(m["n_tok"] for m in members)
+            assert got[shard]["n_docs"] == len(members)
+            assert got[shard]["n_tokens"] == toks_total
+            assert got[shard]["n_packs"] == -(-toks_total // 512)
+
+    def test_pipeline_drops_duplicates(self, spark):
+        rows = Q4.q_llm_pipeline_end2end(spark, SF_DIR).collect()
+        n_kept = sum(r["n_docs"] for r in rows)
+        n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert n_kept < n_docs, "fixture contains exact duplicates"

@@ -27,6 +27,12 @@ QUERIES = [
     "ann_topk_cosine",
     "duplicate_span_pairs",
     "label_propagation_communities",
+    # round-3 tranche-4 heavies: the sequential-within-shard packer
+    # (Arrow fold), the broadcast-model scorer, and the sweep-line
+    # windows — each a different 100 TB shape worth a measured curve
+    "greedy_pack_bins",
+    "unigram_logprob_quality",
+    "max_concurrency_sweep",
 ]
 
 SF_DIRS = {
