@@ -89,6 +89,8 @@ _CHECK_FIRST = [
     "max_concurrency_sweep",
     "interval_islands_merge",
     "llm_pipeline_end2end",
+    "bitwise_agg_family",
+    "text_normalize_dedup",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

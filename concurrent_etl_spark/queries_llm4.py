@@ -433,3 +433,63 @@ def q_llm_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("keep_fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text canonicalization ahead of dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_normalize_dedup",
+    oracle="""
+    WITH n AS (
+      SELECT source,
+             md5(text) AS raw_h,
+             md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   '\\s+', ' ', 'g'))) AS norm_h
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT raw_h) AS distinct_raw,
+           COUNT(DISTINCT norm_h) AS distinct_norm,
+           CAST(COUNT(DISTINCT raw_h) - COUNT(DISTINCT norm_h) AS BIGINT)
+             AS dups_surfaced_by_norm
+    FROM n GROUP BY source
+    """,
+)
+def q_text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization ahead of dedup — the normalization pass
+    every exact-dedup stage runs first (lowercase, strip punctuation
+    to spaces, collapse whitespace, trim), measured by what it buys:
+    per source, the number of additional duplicate groups surfaced
+    by hashing the NORMALIZED text vs the raw bytes. Canon uses only
+    cross-engine-identical primitives (lower / POSIX-class
+    regexp_replace / trim); both hashes are md5 over UTF-8.
+
+    Per-row regex work in codegen + one distinct-agg shuffle per
+    source; at 100 TB the normalization is free (fused into the
+    scan) and the distinct counts become sketch partials
+    (approx_count_distinct) without changing the canon itself.
+    """
+    docs = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    n = docs.select(
+        "source",
+        F.md5(F.col("text")).alias("raw_h"),
+        F.md5(norm).alias("norm_h"),
+    )
+    return n.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("raw_h").alias("distinct_raw"),
+        F.countDistinct("norm_h").alias("distinct_norm"),
+        (F.countDistinct("raw_h") - F.countDistinct("norm_h"))
+        .cast("bigint")
+        .alias("dups_surfaced_by_norm"),
+    )

@@ -1337,3 +1337,34 @@ def q_recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_HIERARCHY_SQL)
+
+
+@query(
+    "bitwise_agg_family",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+           CAST(bit_count(bit_xor(o_orderkey)) AS INTEGER) AS xor_popcount,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_bitwise_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family — bit_and / bit_or / bit_xor plus a
+    popcount of the XOR digest. All three are associative and
+    commutative, so they partial-aggregate map-side like SUM (the
+    XOR aggregate doubles as a cheap order-invariant set digest:
+    replaying a partition twice flips it, which is how it's used in
+    shuffle-integrity checks). One scan, one low-cardinality
+    shuffle; pure codegen long arithmetic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").cast("bigint").alias("key_and"),
+        F.bit_or("o_orderkey").cast("bigint").alias("key_or"),
+        F.bit_xor("o_orderkey").cast("bigint").alias("key_xor"),
+        F.bit_count(F.bit_xor("o_orderkey")).cast("int").alias("xor_popcount"),
+        F.count("*").alias("n"),
+    )

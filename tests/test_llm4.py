@@ -203,3 +203,18 @@ class TestPipelineEnd2End:
         n_kept = sum(r["n_docs"] for r in rows)
         n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
         assert n_kept < n_docs, "fixture contains exact duplicates"
+
+
+class TestTextNormalizeDedup:
+    def test_norm_never_splits_raw_groups(self, spark):
+        rows = Q4.q_text_normalize_dedup(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            # normalization is a function of the raw text, so it can
+            # only MERGE hash groups, never split them
+            assert r["distinct_norm"] <= r["distinct_raw"]
+            assert r["distinct_raw"] <= r["n_docs"]
+            assert (
+                r["dups_surfaced_by_norm"]
+                == r["distinct_raw"] - r["distinct_norm"]
+            )

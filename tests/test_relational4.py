@@ -220,3 +220,38 @@ class TestMapFunctionsFamily:
             assert r["keys_sorted"] == "brand,name,size"
             assert r["brand_up"] == src["p_brand"].upper()
             assert r["size_plus_price"] == float(src["p_size"]) + src["p_retailprice"]
+
+
+class TestBitwiseAggFamily:
+    def test_algebraic_identities(self, spark):
+        from concurrent_etl_spark.queries_relational4 import (
+            q_bitwise_agg_family,
+        )
+
+        rows = q_bitwise_agg_family(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            # AND result is a submask of OR result
+            assert r["key_and"] & r["key_or"] == r["key_and"]
+            assert bin(r["key_xor"]).count("1") == r["xor_popcount"]
+
+    def test_xor_digest_matches_python_fold(self, spark):
+        from functools import reduce
+
+        from concurrent_etl_spark.engine import load_table
+        from concurrent_etl_spark.queries_relational4 import (
+            q_bitwise_agg_family,
+        )
+
+        o = load_table(spark, "/root/testdata/sf0.001", "orders")
+        keys = {}
+        for r in o.select("o_orderpriority", "o_orderkey").collect():
+            keys.setdefault(r["o_orderpriority"], []).append(r["o_orderkey"])
+        got = {
+            r["o_orderpriority"]: r["key_xor"]
+            for r in q_bitwise_agg_family(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        for p, ks in keys.items():
+            assert got[p] == reduce(lambda a, b: a ^ b, ks)
