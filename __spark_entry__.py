@@ -91,6 +91,7 @@ _CHECK_FIRST = [
     "llm_pipeline_end2end",
     "bitwise_agg_family",
     "text_normalize_dedup",
+    "stream_window_watermark_roundtrip",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

@@ -263,3 +263,132 @@ def q_attribution_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("click_ts"),
     )
     return stream_stream_attribution_left_outer(views, clicks)
+
+
+@query(
+    "stream_window_watermark_roundtrip",
+    oracle="""
+    WITH s AS (SELECT * FROM events WHERE event_id % 13 = 0),
+    wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM s),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(round(value, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS value_sum
+      FROM s GROUP BY 1, 2)
+    SELECT agg.* FROM agg, wm
+    WHERE agg.window_start + INTERVAL 1 HOUR <= wm.w
+    """,
+)
+def q_stream_window_watermark_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked event-time window aggregation through the ACTUAL
+    streaming engine, with the watermark's emission contract inside
+    the value hash: a deterministic slice of events is staged as
+    multi-file JSON lines, consumed by ``readStream`` with a
+    30-minute watermark, aggregated into 1-hour tumbling windows in
+    APPEND mode, and committed by an ``availableNow`` checkpointed
+    run to a parquet sink. Append mode only ever emits a window once
+    the watermark passes its end — so the trailing windows (those
+    ending inside the last 30 minutes of event time) are correctly
+    ABSENT from the sink, and the oracle reproduces exactly that:
+    batch rollup filtered to ``window_end <= max(ts) - 30min``.
+
+    What's being proven is the part batch checks can't see: state
+    eviction timing, the no-data final micro-batch that flushes
+    closed windows, and sink exactly-once — any early/late emission
+    or replay changes the row set or the decimal-exact sums. The
+    emitted set is invariant to file batching because the watermark
+    is a monotone function of the global max event time.
+
+    Guarded construction-time build keyed by application id + sf
+    (bounded: ~8% of events), same checkpoint-guard discipline as
+    ``stream_etl_roundtrip``.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no gateway
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}|wmwin".encode()).hexdigest()[:12]
+    base = _os.path.join(_tempfile.gettempdir(), "ces_stream_wm", tag)
+    src, sink, ckpt = (
+        _os.path.join(base, "sample"),
+        _os.path.join(base, "sink"),
+        _os.path.join(base, "ckpt"),
+    )
+    if not _os.path.isdir(ckpt):
+        (
+            load_table(spark, sf_dir, "events")
+            .where(F.col("event_id") % 13 == 0)
+            .select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("ts_raw"),
+                "event_type",
+                "value",
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .json(src)
+        )
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts_raw", StringType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+            ]
+        )
+        stream = (
+            spark.readStream.format("json")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .load(src)
+            .select(
+                F.to_timestamp(
+                    "ts_raw", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ).alias("ts"),
+                "event_type",
+                "value",
+            )
+            .withWatermark("ts", "30 minutes")
+        )
+        agg = stream.groupBy(
+            F.window("ts", "1 hour"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        ).select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.read.parquet(sink).select(
+        "window_start", "event_type", "n_events", "value_sum"
+    )

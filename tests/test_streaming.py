@@ -755,3 +755,47 @@ class TestStreamStreamLeftOuterJoin:
         # between outer-join completeness and streaming's only-when-
         # provable emission
         assert got == {(1, 100, 900), (2, 102, None)}
+
+
+class TestWatermarkWindowRoundtrip:
+    def test_trailing_windows_held_back_by_watermark(self, spark):
+        """Append mode must NOT emit windows the watermark hasn't
+        passed: the sink's max window must end at or before
+        max(event_ts) - 30min, and at least one trailing window of
+        source data must be absent from the sink."""
+        from pyspark.sql import functions as F
+
+        from concurrent_etl_spark.engine import load_table
+        from concurrent_etl_spark.queries_streaming import (
+            q_stream_window_watermark_roundtrip,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = q_stream_window_watermark_roundtrip(spark, sf)
+        ev = load_table(spark, sf, "events").where(
+            F.col("event_id") % 13 == 0
+        )
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        import datetime as dt
+
+        wm = max_ts - dt.timedelta(minutes=30)
+        emitted = out.collect()
+        assert emitted
+        for r in emitted:
+            assert r["window_start"] + dt.timedelta(hours=1) <= wm
+        # the source has events after the last emitted window
+        last_emitted_end = max(
+            r["window_start"] for r in emitted
+        ) + dt.timedelta(hours=1)
+        n_after = ev.where(F.col("ts") >= F.lit(last_emitted_end)).count()
+        assert n_after > 0, "fixture must exercise the held-back tail"
+
+    def test_rerun_reuses_committed_sink(self, spark):
+        from concurrent_etl_spark.queries_streaming import (
+            q_stream_window_watermark_roundtrip,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        a = q_stream_window_watermark_roundtrip(spark, sf).count()
+        b = q_stream_window_watermark_roundtrip(spark, sf).count()
+        assert a == b, "checkpoint guard must make re-invocation a no-op"
