@@ -1622,3 +1622,100 @@ def q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
         F.lit(n_files <= 4).alias("compacted_to_few_files"),
     )
+
+
+@query(
+    "xml_source_roundtrip",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS suppkey,
+           s_name || ' <tag> & "q"' AS tricky,
+           'city_' || CAST(s_nationkey AS VARCHAR) AS city,
+           CAST(s_suppkey % 100 AS BIGINT) AS zip
+    FROM supplier
+    """,
+)
+def q_xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML as a first-class source/sink under the gate (Spark 4's
+    built-in XML data source): the supplier dimension is written as
+    real XML documents — values carrying markup metacharacters
+    (``<tag>``, ``&``, quotes) that MUST entity-escape to survive,
+    plus a NESTED address element — then read back with an explicit
+    schema through the XML reader and flattened. The oracle
+    reconstructs every value from the parquet source, so one
+    mis-escaped or mis-nested value fails the hash. Completes the
+    format surface next to parquet/ORC/CSV-quirks/JSON/xlsx/text/
+    JDBC/binary: schema-on-read over tree-shaped documents.
+
+    Scale shape: XML is the one format here that (like quirky CSV)
+    cannot split inside a file — rowTag framing needs the document
+    tree — so parallelism is the FILE count (this build writes
+    multiple parts; a 100 TB feed arrives as many documents). One
+    linear parse pass, no shuffle.
+
+    Guarded construction-time build keyed by application id + sf.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    d = _os.path.join(_tempfile.gettempdir(), "ces_xml", tag)
+    if not _os.path.exists(_os.path.join(d, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "supplier")
+            .select(
+                F.col("s_suppkey").cast("bigint").alias("suppkey"),
+                F.concat(F.col("s_name"), F.lit(' <tag> & "q"')).alias(
+                    "tricky"
+                ),
+                F.struct(
+                    F.concat(F.lit("city_"), F.col("s_nationkey").cast("string"))
+                    .alias("city"),
+                    (F.col("s_suppkey") % 100).cast("bigint").alias("zip"),
+                ).alias("addr"),
+            )
+            .repartition(3)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "suppliers")
+            .option("rowTag", "supplier")
+            .save(d)
+        )
+    schema = StructType(
+        [
+            StructField("suppkey", LongType()),
+            StructField("tricky", StringType()),
+            StructField(
+                "addr",
+                StructType(
+                    [
+                        StructField("city", StringType()),
+                        StructField("zip", LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(schema)
+        .load(d)
+        .select(
+            "suppkey",
+            "tricky",
+            F.col("addr.city").alias("city"),
+            F.col("addr.zip").alias("zip"),
+        )
+    )
