@@ -93,6 +93,7 @@ _CHECK_FIRST = [
     "text_normalize_dedup",
     "stream_window_watermark_roundtrip",
     "xml_source_roundtrip",
+    "avro_source_roundtrip",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

@@ -1719,3 +1719,111 @@ def q_xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("addr.zip").alias("zip"),
         )
     )
+
+
+@query(
+    "avro_source_roundtrip",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS suppkey,
+           s_name AS name,
+           s_acctbal AS acctbal,
+           s_suppkey % 2 = 0 AS even_flag,
+           CASE WHEN s_suppkey % 7 = 0 THEN NULL
+                ELSE 'ph_' || CAST(s_suppkey AS VARCHAR) END AS phone
+    FROM supplier
+    """,
+)
+def q_avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro as a first-class source under the gate, through the
+    VENDORED zero-dependency container codec (``sources/avro.py`` —
+    the external spark-avro module is not deployed here, and the
+    format is a public spec): the supplier dimension is written as
+    genuine deflate-compressed Avro object-container files — zigzag
+    varints (negative-capable longs), length-prefixed UTF-8, IEEE
+    doubles byte-exact, booleans, and a nullable ``["null","string"]``
+    union column — split across three files and multiple blocks, then
+    read back DISTRIBUTED (binaryFile -> one decode task per file ->
+    Arrow batches). The oracle reconstructs every value from the
+    parquet source, so one mis-decoded varint, union branch, or
+    dropped block fails the hash. Same adapter architecture the xlsx
+    source proves (sources/excel.py): Spark owns listing/scheduling/
+    retries, Python owns only the byte decode.
+
+    Guarded construction-time build keyed by application id + sf
+    (bounded: dimension-sized).
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from concurrent_etl_spark.sources.avro import read_avro_dir, write_avro
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    d = _os.path.join(_tempfile.gettempdir(), "ces_avro", tag)
+    done = _os.path.join(d, "_DONE")
+    if not _os.path.exists(done):
+        _os.makedirs(d, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_name", "s_acctbal")
+            .collect()
+        )
+        schema = {
+            "type": "record",
+            "name": "supplier",
+            "fields": [
+                {"name": "suppkey", "type": "long"},
+                {"name": "name", "type": "string"},
+                {"name": "acctbal", "type": "double"},
+                {"name": "even_flag", "type": "boolean"},
+                {"name": "phone", "type": ["null", "string"]},
+            ],
+        }
+        for part in range(3):
+            recs = [
+                {
+                    "suppkey": r["s_suppkey"],
+                    "name": r["s_name"],
+                    "acctbal": r["s_acctbal"],
+                    "even_flag": r["s_suppkey"] % 2 == 0,
+                    "phone": (
+                        None
+                        if r["s_suppkey"] % 7 == 0
+                        else f"ph_{r['s_suppkey']}"
+                    ),
+                }
+                for r in rows
+                if r["s_suppkey"] % 3 == part
+            ]
+            write_avro(
+                _os.path.join(d, f"part-{part}.avro"),
+                schema,
+                recs,
+                codec="deflate",
+                block_records=16,
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+    out_schema = StructType(
+        [
+            StructField("suppkey", LongType()),
+            StructField("name", StringType()),
+            StructField("acctbal", DoubleType()),
+            StructField("even_flag", BooleanType()),
+            StructField("phone", StringType()),
+        ]
+    )
+    return read_avro_dir(spark, _os.path.join(d, "*.avro"), out_schema)
