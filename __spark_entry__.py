@@ -94,6 +94,7 @@ _CHECK_FIRST = [
     "stream_window_watermark_roundtrip",
     "xml_source_roundtrip",
     "avro_source_roundtrip",
+    "parquet_zonemap_audit",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

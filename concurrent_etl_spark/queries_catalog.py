@@ -1827,3 +1827,124 @@ def q_avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return read_avro_dir(spark, _os.path.join(d, "*.avro"), out_schema)
+
+
+@query(
+    "parquet_zonemap_audit",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderkey % 5 = 0)
+    SELECT CAST((rn - 1) // 4096 AS INTEGER) AS rg_id,
+           COUNT(*) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CASE WHEN MAX(o_orderkey) < 20000 OR MIN(o_orderkey) >= 40000
+                THEN 1 ELSE 0 END AS skippable_for_probe
+    FROM s GROUP BY 1
+    """,
+)
+def q_parquet_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonemap (row-group statistics) audit — the observability half
+    of data skipping: a fixture parquet is written key-SORTED with a
+    fixed 4096-row row-group size, and the query reads the ACTUAL
+    footer metadata back (binaryFile -> pyarrow footer parse per
+    file, distributed — the bytes scanned are the footer, not the
+    data pages) to report each row group's min/max zonemap and
+    whether a probe predicate (``key in [20000, 40000)``) could skip
+    it. The oracle recomputes the zonemaps the layout PROMISES
+    (row_number over the sorted key, grouped in 4096s), so the hash
+    pins the end-to-end contract: sorted write + sized groups =>
+    footers that prune exactly the predicted groups. This is the
+    audit a lake job runs to decide whether a table needs
+    re-clustering (zorder_locality's 1-D cousin, measured from real
+    footers instead of data).
+
+    Fixture build is construction-time-guarded and bounded (a ~20%
+    key slice, driver-staged once per app+sf through pyarrow for
+    exact row-group sizing); the AUDIT path itself is the
+    distributed operator — at 100 TB it reads footers of every file
+    in parallel, bytes proportional to file count not data size.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    d = _os.path.join(_tempfile.gettempdir(), "ces_zonemap", tag)
+    fpath = _os.path.join(d, "orders_sorted.parquet")
+    if not _os.path.exists(fpath):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(d, exist_ok=True)
+        pdf = (
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 5 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .toPandas()
+        )
+        _pq.write_table(
+            _pa.Table.from_pandas(pdf, preserve_index=False),
+            fpath + ".tmp",
+            row_group_size=4096,
+        )
+        _os.replace(fpath + ".tmp", fpath)
+
+    out_schema = StructType(
+        [
+            StructField("rg_id", IntegerType()),
+            StructField("n_rows", LongType()),
+            StructField("min_key", LongType()),
+            StructField("max_key", LongType()),
+            StructField("skippable_for_probe", IntegerType()),
+        ]
+    )
+
+    def read_footers(
+        batches: _Iterator[_pd.DataFrame],
+    ) -> _Iterator[_pd.DataFrame]:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                pf = _pq.ParquetFile(_pa.BufferReader(bytes(row["content"])))
+                md = pf.metadata
+                names = pf.schema_arrow.names
+                ci = names.index("o_orderkey")
+                recs = []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    lo, hi = int(st.min), int(st.max)
+                    recs.append(
+                        {
+                            "rg_id": rg,
+                            "n_rows": md.row_group(rg).num_rows,
+                            "min_key": lo,
+                            "max_key": hi,
+                            "skippable_for_probe": int(
+                                hi < 20000 or lo >= 40000
+                            ),
+                        }
+                    )
+                yield _pd.DataFrame(recs)
+
+    binary = spark.read.format("binaryFile").load(fpath).select("content")
+    return binary.mapInPandas(read_footers, out_schema)
