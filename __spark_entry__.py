@@ -95,6 +95,7 @@ _CHECK_FIRST = [
     "xml_source_roundtrip",
     "avro_source_roundtrip",
     "parquet_zonemap_audit",
+    "prefix_filter_jaccard_join",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

@@ -493,3 +493,158 @@ def q_text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dups_surfaced_by_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join via prefix filtering (ppjoin-style)
+# ---------------------------------------------------------------------------
+
+_JACCARD_T_PCT = 90  # threshold as integer percent: exact arithmetic
+
+
+@query(
+    "prefix_filter_jaccard_join",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_tok('lower(text)')})) AS t
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    df AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
+    ranked AS (
+      SELECT tok.doc_id, tok.t,
+             row_number() OVER (PARTITION BY tok.doc_id
+                                ORDER BY df.df, tok.t) AS pos
+      FROM tok JOIN df ON tok.t = df.t),
+    prefix AS (
+      SELECT r.doc_id, r.t
+      FROM ranked r JOIN sizes s ON r.doc_id = s.doc_id
+      WHERE r.pos <= s.sz - CAST(ceil(s.sz * {_JACCARD_T_PCT} / 100.0)
+                                 AS BIGINT) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.t = b.t AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.t = ta.t
+      GROUP BY c.doc_a, c.doc_b),
+    pairs AS (
+      SELECT v.doc_a, v.doc_b, v.inter,
+             sa.sz + sb.sz - v.inter AS un
+      FROM verified v
+      JOIN sizes sa ON sa.doc_id = v.doc_a
+      JOIN sizes sb ON sb.doc_id = v.doc_b
+      WHERE v.inter * 100 >= (sa.sz + sb.sz - v.inter)
+                             * {_JACCARD_T_PCT}),
+    sym AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr, inter, un FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS nbr, inter, un FROM pairs)
+    SELECT doc_id,
+           COUNT(*) AS n_neighbors,
+           CAST(MAX(inter * 1000 // un) AS BIGINT) AS max_jaccard_pm,
+           CAST(MIN(nbr) AS BIGINT) AS min_neighbor
+    FROM sym GROUP BY doc_id
+    """,
+)
+def q_prefix_filter_jaccard_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin family) — the deterministic complement to the
+    probabilistic near-dup detectors (minhash/simhash LSH): every
+    pair with token-set Jaccard >= 0.9 is found, no false negatives,
+    no banding to tune. The pigeonhole: sort each doc's distinct
+    tokens rarest-first (global document frequency, token tiebreak);
+    two sets can only reach threshold t if they share a token within
+    each other's first ``|x| - ceil(t*|x|) + 1`` tokens — so only
+    PREFIX tokens join, and rare-first ordering keeps hot tokens out
+    of prefixes (join keys are exactly the shortest postings lists).
+    Candidates verify by exact intersection with integer threshold
+    arithmetic (``inter*100 >= union*90``); per-doc output keeps the
+    result doc-bounded even on this deliberately self-similar
+    fixture corpus (the pair set itself is output-driven — same
+    contract as duplicate_span_pairs): neighbor count, max Jaccard
+    in exact integer permille, smallest neighbor id.
+
+    Scale shape: prefix-join fan-out is sum over prefix tokens of
+    postings^2 (the PPJoin bound); verification touches candidate
+    pairs only; everything shuffles on token or doc keys.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.tokens(F.lower(F.col("text"))))).alias(
+            "t"
+        ),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df = tok.groupBy("t").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "t")
+    ranked = (
+        tok.join(F.broadcast(df), "t")
+        .select("doc_id", "t", F.row_number().over(w).alias("pos"))
+    )
+    prefix = (
+        ranked.join(F.broadcast(sizes), "doc_id")
+        .where(
+            F.col("pos")
+            <= F.col("sz")
+            - F.ceil(F.col("sz") * _JACCARD_T_PCT / 100.0).cast("bigint")
+            + 1
+        )
+        .select("doc_id", "t")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "t")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "t")
+    cand = (
+        a.join(b, "t")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "t")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "t")
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "t"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")
+    )
+    pairs = (
+        verified.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "un", F.col("size_a") + F.col("size_b") - F.col("inter")
+        )
+        .where(F.col("inter") * 100 >= F.col("un") * _JACCARD_T_PCT)
+        .select("doc_a", "doc_b", "inter", "un")
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("nbr"),
+        "inter",
+        "un",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("nbr"),
+            "inter",
+            "un",
+        )
+    )
+    return sym.groupBy("doc_id").agg(
+        F.count("*").alias("n_neighbors"),
+        F.max(F.floor(F.col("inter") * 1000 / F.col("un")))
+        .cast("bigint")
+        .alias("max_jaccard_pm"),
+        F.min("nbr").cast("bigint").alias("min_neighbor"),
+    )

@@ -218,3 +218,50 @@ class TestTextNormalizeDedup:
                 r["dups_surfaced_by_norm"]
                 == r["distinct_raw"] - r["distinct_norm"]
             )
+
+
+class TestPrefixFilterJaccard:
+    def test_no_false_negatives_vs_brute_force(self, spark):
+        """Prefix filtering must find EVERY pair at/above threshold —
+        the completeness guarantee LSH can't give. Brute-force all
+        pairs over the real corpus and compare the per-doc rollup."""
+        from pyspark.sql import functions as F
+
+        from concurrent_etl_spark.operators import text as T
+        from concurrent_etl_spark.queries_llm4 import (
+            _JACCARD_T_PCT,
+            q_prefix_filter_jaccard_join,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        rows = docs.select(
+            "doc_id",
+            F.array_distinct(T.tokens(F.lower(F.col("text")))).alias("s"),
+        ).collect()
+        sets = {r["doc_id"]: frozenset(r["s"]) for r in rows}
+        ids = sorted(sets)
+        per_doc: dict[int, list] = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sets[a] & sets[b])
+                un = len(sets[a]) + len(sets[b]) - inter
+                if inter * 100 >= un * _JACCARD_T_PCT:
+                    per_doc.setdefault(a, []).append((b, inter * 1000 // un))
+                    per_doc.setdefault(b, []).append((a, inter * 1000 // un))
+        got = {
+            r["doc_id"]: (
+                r["n_neighbors"],
+                r["max_jaccard_pm"],
+                r["min_neighbor"],
+            )
+            for r in q_prefix_filter_jaccard_join(spark, SF_DIR).collect()
+        }
+        want = {
+            d: (
+                len(nbrs),
+                max(j for _, j in nbrs),
+                min(n for n, _ in nbrs),
+            )
+            for d, nbrs in per_doc.items()
+        }
+        assert got == want
