@@ -1948,3 +1948,96 @@ def q_parquet_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     binary = spark.read.format("binaryFile").load(fpath).select("content")
     return binary.mapInPandas(read_footers, out_schema)
+
+
+def _dpp_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hive-partitioned orders fixture (partition column =
+    o_orderpriority), guarded construction-time build."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    d = _os.path.join(_tempfile.gettempdir(), "ces_dpp", tag)
+    if not _os.path.exists(_os.path.join(d, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "o_orderpriority",
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(d)
+        )
+    return d
+
+
+@query(
+    "dynamic_partition_pruning_audit",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT o_orderpriority AS priority,
+             CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2')
+                  THEN 'hot' ELSE 'cold' END AS urgency
+      FROM orders)
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN dim ON o.o_orderpriority = dim.priority
+    WHERE dim.urgency = 'hot'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_dynamic_partition_pruning_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition pruning through a join, under the gate: the fact
+    side is a REAL hive-partitioned table (orders partitioned by
+    priority) and the dim side carries a derived filter (urgency
+    class computed from the priority string, kept 'hot'). Catalyst
+    prunes the fact scan BOTH ways — constraint propagation pushes
+    the inferred ``substring(priority,1,1) IN ('1','2')`` through
+    the equi-join as a STATIC partition filter, and a
+    ``dynamicpruning`` subquery is planted besides (the dim executes
+    first; its surviving join keys filter the fact's partition
+    listing at runtime — the mechanism that survives when the dim
+    filter is NOT expressible over the join key, e.g. a selective
+    date-dim predicate). 3 of the 5 fact partitions are never read.
+    At 100 TB this is THE difference between full-fact scans and
+    selected-partition scans for star joins. The oracle computes the
+    same join unpartitioned; both pruning expressions are asserted
+    on the physical plan in tests/test_scale_behaviors.py.
+    """
+    fact = spark.read.parquet(_dpp_fixture(spark, sf_dir))
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+        .withColumn(
+            "urgency",
+            F.when(
+                F.substring("priority", 1, 1).isin("1", "2"), F.lit("hot")
+            ).otherwise(F.lit("cold")),
+        )
+    )
+    joined = fact.join(
+        F.broadcast(dim.where(F.col("urgency") == "hot")),
+        fact.o_orderpriority == F.col("priority"),
+    )
+    return joined.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

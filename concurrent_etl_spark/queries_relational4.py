@@ -1368,3 +1368,52 @@ def q_bitwise_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.bit_xor("o_orderkey")).cast("int").alias("xor_popcount"),
         F.count("*").alias("n"),
     )
+
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+   AND l_shipdate < TIMESTAMP '1997-01-01'
+|> JOIN orders ON l_orderkey = o_orderkey
+|> EXTEND CAST(round(l_extendedprice * (1 - l_discount), 6)
+               AS DECIMAL(18,6)) AS net
+|> AGGREGATE CAST(SUM(net) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS qty
+   GROUP BY o_orderstatus, l_returnflag
+|> SELECT o_orderstatus AS orderstatus, l_returnflag AS returnflag,
+          revenue, n_lines, qty
+"""
+
+
+@query(
+    "pipe_syntax_rollup",
+    oracle="""
+    SELECT o.o_orderstatus AS orderstatus, l.l_returnflag AS returnflag,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY o.o_orderstatus, l.l_returnflag
+    """,
+)
+def q_pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SPARK-49555): the same filter ->
+    join -> extend -> aggregate rollup the DataFrame API chains,
+    expressed as the `|>` pipeline the SQL front-end now parses —
+    the third query-authoring surface next to classic ANSI
+    (sql_interface_weekly_share) and WITH RECURSIVE
+    (recursive_cte_hierarchy). Catalyst compiles pipe stages to the
+    identical plan classic SQL gets (the parser desugars each stage;
+    pushdown/broadcast/partial-agg properties all carry over), so
+    this is front-end parity with zero execution cost — proven by
+    hashing against the classic-SQL oracle with decimal-exact sums.
+    """
+    from concurrent_etl_spark.engine import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_PIPE_SQL)

@@ -112,3 +112,37 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestDynamicPartitionPruning:
+    def test_fact_scan_is_partition_pruned_both_ways(self, spark):
+        """The partitioned fact scan must carry BOTH the statically
+        inferred partition predicate (constraint propagation through
+        the equi-join) and a dynamicpruning subquery expression."""
+        from concurrent_etl_spark.queries_catalog import (
+            q_dynamic_partition_pruning_audit,
+        )
+
+        df = q_dynamic_partition_pruning_audit(
+            spark, "/root/testdata/sf0.001"
+        )
+        plan = df._jdf.queryExecution().toString()
+        scan_lines = [
+            line for line in plan.splitlines() if "PartitionFilters" in line
+        ]
+        assert scan_lines, "expected a partitioned FileScan"
+        assert "dynamicpruning" in plan
+        assert any("substring" in line for line in scan_lines), (
+            "inferred static partition predicate missing from scan"
+        )
+
+    def test_result_covers_only_hot_partitions(self, spark):
+        from concurrent_etl_spark.queries_catalog import (
+            q_dynamic_partition_pruning_audit,
+        )
+
+        rows = q_dynamic_partition_pruning_audit(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert {r["priority"][:1] for r in rows} <= {"1", "2"}
+        assert all(r["n_orders"] > 0 for r in rows)
