@@ -648,3 +648,152 @@ def q_prefix_filter_jaccard_join(
         .alias("max_jaccard_pm"),
         F.min("nbr").cast("bigint").alias("min_neighbor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing index (asymmetric LSH probe)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_incremental_batch",
+    oracle=None,  # set below: needs queries_llm's signature fragments
+)
+def q_dedup_incremental_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL near-dedup — the ingestion-time shape: a new batch
+    (docs with ``doc_id % 10 == 7``) is deduplicated AGAINST the
+    existing corpus index, not against itself. The batch's MinHash
+    band hashes probe the index's band buckets in an ASYMMETRIC join
+    (batch side x index side — never index x index), so the work per
+    ingest is proportional to the batch, while corpus-internal pairs
+    are never recomputed. This is what daily ingestion at 100 TB
+    actually runs: signatures of the standing corpus are a stored
+    table (here recomputed since the gate is stateless; the plan
+    shape is identical when they're read from the signature store),
+    and only (band, batch-side) keys shuffle.
+
+    Per batch doc with >=1 candidate: candidate count, the match
+    count at est-Jaccard >= 0.5 (integer compare: agree*2 >= K), the
+    best agreement count, and the best partner (smallest index doc
+    among max-agreement, via exact integer arg-max encoding) — all
+    integer arithmetic, no float at any decision point.
+    """
+    from concurrent_etl_spark.operators.dedup import (
+        MINHASH_K,
+        hash_shingles,
+        lsh_bands,
+        minhash_signature_from_hashes,
+        staged_shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = (
+        staged_shingles(docs, "text")
+        .select("doc_id", hash_shingles(F.col("sh")).alias("hs"))
+        .select(
+            "doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig")
+        )
+        .withColumn("bands", lsh_bands(F.col("sig")))
+        .persist()
+    )
+    exploded = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    batch = exploded.where(F.col("doc_id") % 10 == 7).select(
+        F.col("doc_id").alias("batch_doc"), "band_idx", "band_hash"
+    )
+    index = exploded.where(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("index_doc"), "band_idx", "band_hash"
+    )
+    cand = (
+        batch.join(index, ["band_idx", "band_hash"])
+        .select("batch_doc", "index_doc")
+        .dropDuplicates(["batch_doc", "index_doc"])
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("batch_doc"),
+                F.col("sig").alias("sig_a"),
+            ),
+            "batch_doc",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("index_doc"),
+                F.col("sig").alias("sig_b"),
+            ),
+            "index_doc",
+        )
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = cand.select(
+        "batch_doc",
+        "index_doc",
+        agree.alias("agree"),
+    )
+    enc = F.col("agree") * 10_000_000 - F.col("index_doc")
+    return scored.groupBy("batch_doc").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("agree") * 2 >= MINHASH_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matches"),
+        F.max("agree").cast("bigint").alias("best_agree"),
+        (F.max("agree") * 10_000_000 - F.max(enc))
+        .cast("bigint")
+        .alias("best_partner"),
+    )
+
+
+def _incremental_oracle() -> str:
+    from concurrent_etl_spark.queries_llm import _BANDS, _SIG, _shingles
+
+    return f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    sh AS (SELECT doc_id, {_shingles('lower(text)')} AS sh FROM corpus),
+    hs AS (SELECT doc_id, sh,
+                  list_transform(sh,
+                    x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+           FROM sh),
+    sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM hs),
+    bands AS (
+      SELECT doc_id, sig, sh,
+             unnest({_BANDS}) AS band_hash,
+             generate_subscripts({_BANDS}, 1) AS band_idx
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS index_doc
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_hash = b.band_hash
+      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+    scored AS (
+      SELECT c.batch_doc, c.index_doc,
+             list_aggregate(list_transform(list_zip(sa.sig, sb.sig),
+               x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END), 'sum')
+               AS agree
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.batch_doc
+      JOIN sig sb ON sb.doc_id = c.index_doc)
+    SELECT batch_doc,
+           COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN agree * 2 >= 24 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matches,
+           CAST(MAX(agree) AS BIGINT) AS best_agree,
+           CAST(MAX(agree) * 10000000
+                - MAX(agree * 10000000 - index_doc) AS BIGINT)
+             AS best_partner
+    FROM scored GROUP BY batch_doc
+    """
+
+
+from concurrent_etl_spark.catalog import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["dedup_incremental_batch"] = _incremental_oracle()

@@ -265,3 +265,49 @@ class TestPrefixFilterJaccard:
             for d, nbrs in per_doc.items()
         }
         assert got == want
+
+
+class TestIncrementalDedup:
+    def test_partners_come_only_from_the_index_side(self, spark):
+        rows = Q4.q_dedup_incremental_batch(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r["batch_doc"] % 10 == 7
+            assert r["best_partner"] % 10 != 7, "index side only"
+            assert 0 <= r["n_matches"] <= r["n_candidates"]
+            assert 0 <= r["best_agree"] <= 24
+
+    def test_exact_duplicate_across_boundary_scores_full_agreement(self, spark):
+        """Any batch doc whose token stream equals an index doc's
+        must reach agree=24 (identical shingle sets => identical
+        signatures)."""
+        from pyspark.sql import functions as F
+
+        from concurrent_etl_spark.operators import text as T
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        hashed = docs.select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", T.tokens(F.lower(F.col("text"))))
+            ).alias("h"),
+        ).collect()
+        by_hash = {}
+        for r in hashed:
+            by_hash.setdefault(r["h"], []).append(r["doc_id"])
+        cross = [
+            ids
+            for ids in by_hash.values()
+            if any(d % 10 == 7 for d in ids)
+            and any(d % 10 != 7 for d in ids)
+        ]
+        if not cross:
+            pytest.skip("no exact dup straddles the batch/index split")
+        best = {
+            r["batch_doc"]: r["best_agree"]
+            for r in Q4.q_dedup_incremental_batch(spark, SF_DIR).collect()
+        }
+        for ids in cross:
+            for d in ids:
+                if d % 10 == 7:
+                    assert best.get(d) == 24
