@@ -99,6 +99,7 @@ _CHECK_FIRST = [
     "pipe_syntax_rollup",
     "dynamic_partition_pruning_audit",
     "dedup_incremental_batch",
+    "cogroup_asof_merge",
     # r2 tranche the judge called out by name (most novel code
     # first): span dedup + detector eval, the remaining codecs —
     # pinned so they cannot fall out of the 50-row driver window

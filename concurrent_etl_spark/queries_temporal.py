@@ -400,3 +400,93 @@ def q_interval_islands_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("longest_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cogrouped-map as-of merge (the cogroup().applyInPandas API surface)
+# ---------------------------------------------------------------------------
+
+def _asof_merge_cogroup(left: "pd.DataFrame", right: "pd.DataFrame"):
+    """Per-user pandas as-of merge: latest click at or before each
+    purchase, ties broken toward the highest event_id (clicks sorted
+    (ts, event_id); merge_asof backward takes the last qualifying
+    row). Runs on ONE user's cogrouped slices."""
+    import pandas as pd
+
+    if left.empty:
+        return pd.DataFrame(
+            columns=[
+                "user_id", "event_id", "ts", "prior_event_id", "prior_ts",
+            ]
+        )
+    left = left.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    if right.empty:
+        out = left[["user_id", "event_id", "ts"]].copy()
+        out["prior_event_id"] = pd.array([None] * len(out), dtype="Int64")
+        out["prior_ts"] = pd.NaT
+        return out
+    right = (
+        right.sort_values(["ts", "event_id"])
+        .rename(columns={"event_id": "prior_event_id", "ts": "prior_ts"})
+        .reset_index(drop=True)[["prior_ts", "prior_event_id"]]
+    )
+    merged = pd.merge_asof(
+        left[["user_id", "event_id", "ts"]],
+        right,
+        left_on="ts",
+        right_on="prior_ts",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    merged["prior_event_id"] = merged["prior_event_id"].astype("Int64")
+    return merged[["user_id", "event_id", "ts", "prior_event_id", "prior_ts"]]
+
+
+@query(
+    "cogroup_asof_merge",
+    oracle="""
+    SELECT l.user_id, l.event_id, l.ts, p.prior_event_id, p.prior_ts
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'purchase') l
+    LEFT JOIN LATERAL (
+      SELECT r.event_id AS prior_event_id, r.ts AS prior_ts
+      FROM events r
+      WHERE r.event_type = 'click' AND r.user_id = l.user_id
+        AND r.ts <= l.ts
+      ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) p ON true
+    """,
+)
+def q_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COGROUPED-map Python boundary (``groupby(k).cogroup(
+    other.groupby(k)).applyInPandas``) — the last of Spark's Arrow
+    batch APIs next to pandas_udf / applyInPandas / mapInPandas /
+    mapInArrow / UDTF / applyInPandasWithState, exercised on the
+    workload it exists for: both sides shuffle ONCE on the group
+    key, then each user's purchase and click slices arrive TOGETHER
+    in one pandas call where a sequential ``merge_asof`` runs — the
+    shape for per-key logic that needs both inputs at once and is
+    awkward as a join (here it IS expressible relationally, which is
+    what makes it oracle-checkable: same answer as the
+    ``asof_join_prior_click`` union-scan and the oracle's LATERAL).
+
+    Scale: parallelism = user count, memory = one user's events per
+    task; ties broken identically to the relational form (ts, then
+    event_id, backward)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            _asof_merge_cogroup,
+            schema=(
+                "user_id bigint, event_id bigint, ts timestamp, "
+                "prior_event_id bigint, prior_ts timestamp"
+            ),
+        )
+    )

@@ -277,3 +277,32 @@ class TestIntervalAnalytics:
                     merged.append((s, e))
             lens = [e - s for s, e in merged]
             assert got[uid] == (len(merged), sum(lens), max(lens))
+
+
+class TestCogroupAsofMerge:
+    def test_matches_relational_asof_operator(self, spark):
+        """The cogrouped pandas merge must agree row-for-row with the
+        union-scan asof_join operator on the same inputs."""
+        from pyspark.sql import functions as F
+
+        from concurrent_etl_spark.queries_temporal import (
+            q_asof_join,
+            q_cogroup_asof_merge,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        pandas_side = {
+            (r["user_id"], r["event_id"]): (
+                r["prior_event_id"],
+                r["prior_ts"],
+            )
+            for r in q_cogroup_asof_merge(spark, sf).collect()
+        }
+        relational = {
+            (r["user_id"], r["event_id"]): (
+                r["prior_event_id"],
+                r["prior_ts"],
+            )
+            for r in q_asof_join(spark, sf).collect()
+        }
+        assert pandas_side == relational
