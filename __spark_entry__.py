@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from concurrent_etl_spark import catalog
 from concurrent_etl_spark import queries_analytics  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_catalog  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_clustering  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_llm  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_llm2  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_llm3  # noqa: F401 — registers queries
