@@ -30,6 +30,7 @@ from concurrent_etl_spark import queries_stats  # noqa: F401 — registers queri
 from concurrent_etl_spark import queries_streaming  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_temporal  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_tpch  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_training  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_tpch2  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_tpch3  # noqa: F401 — registers queries
 from concurrent_etl_spark.engine import DEFAULT_SF_DIR, load_tables
