@@ -281,3 +281,75 @@ def q_hll_partial_merge_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("merged_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped-aggregate pandas UDAF — the custom-aggregator point of §2.9
+# ---------------------------------------------------------------------------
+
+@query(
+    "grouped_agg_pandas_udaf",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM customer),
+    med AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents
+      FROM c GROUP BY c_nationkey),
+    mad AS (
+      SELECT c.c_nationkey,
+             CAST(quantile_disc(abs(c.cents - m.median_cents), 0.5)
+                  AS BIGINT) AS mad_cents
+      FROM c JOIN med m USING (c_nationkey)
+      GROUP BY c.c_nationkey)
+    SELECT CAST(med.c_nationkey AS BIGINT) AS nationkey,
+           med.n_customers, med.median_cents, mad.mad_cents
+    FROM med JOIN mad ON med.c_nationkey = mad.c_nationkey
+    """,
+)
+def q_grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregators via GROUPED_AGG pandas UDFs — the last §2.9
+    Python-boundary form (scalar pandas_udf, applyInPandas,
+    mapInPandas, mapInArrow, UDTF, applyInPandasWithState, and
+    cogrouped-map are all already exercised elsewhere): per-nation
+    LOWER MEDIAN of customer balances (in exact integer cents) and
+    the median absolute deviation around it — MAD is a genuinely
+    UDAF-shaped statistic (a nested median no built-in aggregate
+    expresses).
+
+    Determinism: the lower-median convention (element at sorted
+    index (n-1)//2) is tie- and order-exact — no interpolated
+    averages, no float accumulation; DuckDB's quantile_disc(0.5)
+    implements the identical pick.
+
+    Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
+    aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the
+    row count is also a UDAF here. Scale: Arrow-batched per-group
+    reduction — one shuffle on the group key, each group's series
+    folded vectorized in a single Python worker pass; groups are
+    nation-sized (bounded), so no per-key skew concern.
+    """
+    from concurrent_etl_spark.functions.udafs import (
+        lower_median,
+        mad_lower,
+        n_rows,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        cust.select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            cents.alias("cents"),
+        )
+        .groupBy("nationkey")
+        .agg(
+            n_rows(F.col("cents")).alias("n_customers"),
+            lower_median(F.col("cents")).alias("median_cents"),
+            mad_lower(F.col("cents")).alias("mad_cents"),
+        )
+    )

@@ -33,6 +33,11 @@ QUERIES = [
     "greedy_pack_bins",
     "unigram_logprob_quality",
     "max_concurrency_sweep",
+    # round-3 final tranche: the two iterative bounded-collect loops
+    # (k-means assignment scans, GD's 1-row-per-iteration reduces) —
+    # both should track input size linearly
+    "kmeans_embedding_clusters",
+    "gd_quality_classifier",
 ]
 
 SF_DIRS = {
