@@ -154,16 +154,25 @@ def lloyd(
 # ---------------------------------------------------------------------------
 
 def kmeans_oracle_ctes(
-    source_sql: str, k: int, iters: int, dim: int
+    source_sql: str, k: int, iters: int, dim: int, prefix: str = ""
 ) -> str:
     """CTE chain ``qv -> cent0 -> asg0 -> cent1 -> asg1 -> ...``.
 
     ``source_sql`` must yield (vec_id, v DOUBLE[]). The final
-    assignment CTE is named ``asg{iters-1}`` with columns
+    assignment CTE is named ``{prefix}asg{iters-1}`` with columns
     (vec_id, qv, cluster, d). Mirrors :func:`lloyd` step for step:
     floor-quantize, integer distances, (d, cid) argmin, floor(sum/
     count) centroid update with COALESCE for empty clusters.
+    ``prefix`` namespaces every CTE so several independent runs (one
+    per PQ subvector block) can chain inside one WITH clause.
     """
+    if prefix:
+        import re as _re
+
+        body = kmeans_oracle_ctes(source_sql, k, iters, dim)
+        return _re.sub(
+            r"\b(src|qv|cent\d+|sums\d+|asg\d+)\b", prefix + r"\1", body
+        )
     dist = (
         "CAST(list_aggregate(list_transform(list_zip(q.qv, c.cv), "
         "x -> (x[1]-x[2])*(x[1]-x[2])), 'sum') AS BIGINT)"

@@ -158,3 +158,205 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("first_pruned_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (Jégou et al. 2011, public paper) — built by
+# composing the k-means operator per subvector block
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        #: subvector blocks
+_PQ_DSUB = 16    #: dims per block (4 x 16 = 64)
+_PQ_K = 16       #: centroids per block codebook
+_PQ_ITERS = 2
+_PQ_NQ = 5       #: query vectors (vec_id < 5)
+_PQ_TOPK = 10
+
+
+def _pq_oracle() -> str:
+    """Four prefixed k-means CTE chains (one per block), encode,
+    ADC tables, approx + exact rankings."""
+    chains = []
+    for b in range(_PQ_M):
+        lo, hi = b * _PQ_DSUB + 1, (b + 1) * _PQ_DSUB
+        src = (
+            f"SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v "
+            "FROM embeddings"
+        )
+        chains.append(
+            C.kmeans_oracle_ctes(src, _PQ_K, _PQ_ITERS, _PQ_DSUB, prefix=f"b{b}_")
+        )
+    a = _PQ_ITERS - 1
+    dist = (
+        "CAST(list_aggregate(list_transform(list_zip({x}, {y}), "
+        "t -> (t[1]-t[2])*(t[1]-t[2])), 'sum') AS BIGINT)"
+    )
+    enc_joins = " ".join(
+        f"JOIN b{b}_asg{a} a{b} ON a{b}.vec_id = f.vec_id"
+        for b in range(_PQ_M)
+    )
+    enc_cols = ", ".join(f"a{b}.cluster AS c{b}" for b in range(_PQ_M))
+    adcs = []
+    for b in range(_PQ_M):
+        lo, hi = b * _PQ_DSUB + 1, (b + 1) * _PQ_DSUB
+        adcs.append(
+            f"adc{b} AS (SELECT q.query_id, c.cid, "
+            + dist.format(x=f"q.qv[{lo}:{hi}]", y="c.cv")
+            + f" AS d FROM qs q CROSS JOIN b{b}_cent{a} c)"
+        )
+    adc_joins = " ".join(
+        f"JOIN adc{b} a{b} ON a{b}.query_id = q.query_id "
+        f"AND a{b}.cid = e.c{b}"
+        for b in range(_PQ_M)
+    )
+    adc_sum = " + ".join(f"a{b}.d" for b in range(_PQ_M))
+    chains_sql = ",\n    ".join(chains)
+    adcs_sql = ",\n    ".join(adcs)
+    return f"""
+    {chains_sql},
+    fullqv AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * {C.SCALE}.0) AS BIGINT)) AS qv
+               FROM embeddings),
+    enc AS (SELECT f.vec_id, {enc_cols} FROM fullqv f {enc_joins}),
+    qs AS (SELECT vec_id AS query_id, qv FROM fullqv
+           WHERE vec_id < {_PQ_NQ}),
+    {adcs_sql},
+    approx AS (
+      SELECT q.query_id, e.vec_id, {adc_sum} AS adc_dist
+      FROM qs q CROSS JOIN enc e {adc_joins}),
+    exact AS (
+      SELECT q.query_id, f.vec_id,
+             {dist.format(x="q.qv", y="f.qv")} AS d,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {dist.format(x="q.qv", y="f.qv")}, f.vec_id)
+               AS exact_rank
+      FROM qs q CROSS JOIN fullqv f),
+    ranked AS (
+      SELECT query_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS pq_rank
+      FROM approx)
+    SELECT r.query_id, CAST(r.pq_rank AS INT) AS pq_rank, r.vec_id,
+           r.adc_dist, x.d AS exact_dist,
+           CASE WHEN x.exact_rank <= {_PQ_TOPK} THEN 1 ELSE 0 END
+             AS in_exact_topk
+    FROM ranked r
+    JOIN exact x ON x.query_id = r.query_id AND x.vec_id = r.vec_id
+    WHERE r.pq_rank <= {_PQ_TOPK}
+    """
+
+
+def _pq_sq_dist_py(a: list[int], b: list[int]) -> int:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+@query("pq_ann_topk", oracle=f"WITH {_pq_oracle()}")
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): train a {_PQ_K}-
+    centroid codebook per {_PQ_DSUB}-dim subvector block via the
+    k-means operator, encode every vector as {_PQ_M} small codes,
+    then answer top-{_PQ_TOPK} queries with asymmetric-distance
+    lookups (ADC) — self-evaluating: each returned neighbor carries
+    its exact distance and whether it sits in the exact top-k.
+
+    Scale shape: codebooks are tiny literals, so ENCODING is one
+    shuffle-free projection over the corpus ({_PQ_M} argmins per
+    row), and the stored index is {_PQ_M} bytes-ish per vector — the
+    64x compression that makes billion-vector search fit in memory.
+    Query-time ADC tables (NQ x M x K ints) broadcast with the query
+    batch; distances are {_PQ_M} array lookups + adds per (query,
+    vector) — no floating point anywhere. Exact re-ranking here
+    covers the whole corpus only to *measure* recall; production
+    would re-rank the ADC short-list.
+    """
+    qv = _qv(spark, sf_dir).persist()
+    a = _PQ_ITERS - 1
+
+    # --- train one codebook per block (bounded k-row collects) ---
+    codebooks: list[list[list[int]]] = []
+    enc_cols = []
+    for b in range(_PQ_M):
+        sl = F.slice(F.col("qv"), b * _PQ_DSUB + 1, _PQ_DSUB)
+        block = qv.select("vec_id", sl.alias("qv"))
+        cents = C.init_centroids(block, _PQ_K)
+        assigned = C.assign(block, cents)
+        for _ in range(_PQ_ITERS - 1):
+            cents = C.update_centroids(assigned, cents, _PQ_DSUB)
+            assigned = C.assign(block, cents)
+        codebooks.append(cents)
+        # NB: capture `sl` via a closure factory, NOT a default arg —
+        # pyspark infers the HOF lambda's arity from its signature, so
+        # `lambda c, _sl=sl:` would become the binary (element, index)
+        # form and bind _sl to the INT index.
+        def _dist_to(block_slice):
+            return lambda c: C.sq_dist(block_slice, c)
+
+        dists = F.transform(C._centroid_lit(cents), _dist_to(sl))
+        enc_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"c{b}")
+        )
+
+    # --- encode the corpus: one shuffle-free projection ---
+    enc = qv.select("vec_id", "qv", *enc_cols)
+
+    # --- ADC tables for the query batch (bounded NQ-row collect) ---
+    qrows = sorted(
+        qv.where(F.col("vec_id") < _PQ_NQ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qdata = []
+    for r in qrows:
+        full = list(r["qv"])
+        adc = [
+            [
+                _pq_sq_dist_py(
+                    full[b * _PQ_DSUB : (b + 1) * _PQ_DSUB], cent
+                )
+                for cent in codebooks[b]
+            ]
+            for b in range(_PQ_M)
+        ]
+        qdata.append((r["vec_id"], full, *adc))
+    qdf = spark.createDataFrame(
+        qdata,
+        "query_id long, qqv array<bigint>, "
+        + ", ".join(f"adc{b} array<bigint>" for b in range(_PQ_M)),
+    )
+
+    # --- broadcast query batch across the encoded corpus ---
+    joined = enc.crossJoin(F.broadcast(qdf))
+    adc_dist = sum(
+        (
+            F.element_at(F.col(f"adc{b}"), F.col(f"c{b}") + 1)
+            for b in range(_PQ_M)
+        ),
+        F.lit(0).cast("long"),
+    )
+    exact_dist = C.sq_dist(F.col("qv"), F.col("qqv"))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        adc_dist.alias("adc_dist"),
+        exact_dist.alias("exact_dist"),
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id")
+    scored = scored.withColumn(
+        "pq_rank",
+        F.row_number().over(wq.orderBy("adc_dist", "vec_id")).cast("int"),
+    ).withColumn(
+        "exact_rank",
+        F.row_number().over(wq.orderBy("exact_dist", "vec_id")),
+    )
+    return scored.where(F.col("pq_rank") <= _PQ_TOPK).select(
+        "query_id",
+        "pq_rank",
+        "vec_id",
+        "adc_dist",
+        "exact_dist",
+        (F.col("exact_rank") <= _PQ_TOPK).cast("int").alias("in_exact_topk"),
+    )

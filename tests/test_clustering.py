@@ -106,3 +106,18 @@ def test_update_centroid_is_floor_of_mean(spark):
     got = C.update_centroids(assigned, cents, 1)
     q = [math.floor(x * C.SCALE) for x in (0.0, 0.0001, 0.0003)]
     assert got == [[math.floor(sum(q) / 3)]]
+
+
+def test_kmeans_oracle_prefix_namespaces_all_ctes():
+    import re
+
+    from concurrent_etl_spark.operators.clustering import kmeans_oracle_ctes
+
+    body = kmeans_oracle_ctes(
+        "SELECT vec_id, v FROM embeddings", 4, 3, 8, prefix="bX_"
+    )
+    # every kmeans-internal CTE reference must carry the prefix; an
+    # unprefixed leak would silently couple two blocks' chains
+    for name in re.findall(r"\b(?:src|qv|cent\d+|sums\d+|asg\d+)\b", body):
+        raise AssertionError(f"unprefixed CTE reference leaked: {name}")
+    assert "bX_asg2" in body and "bX_cent1" in body
