@@ -173,6 +173,15 @@ _CHECK_FIRST = [
     "skew_diagnostics",
     "bucketed_colocated_join",
     "cms_frequency_sketch",
+    # r3 final tranche (clustering / training / PQ / UDAF): behind
+    # every judge-called-out name above — they queue deterministically
+    # for the next driver window once those earn their rows
+    "kmeans_embedding_clusters",
+    "semantic_dedup_prune",
+    "pq_ann_topk",
+    "gd_quality_classifier",
+    "global_id_assignment",
+    "grouped_agg_pandas_udaf",
 ]
 
 def _driver_verified() -> set[str]:
