@@ -182,6 +182,7 @@ _CHECK_FIRST = [
     "gd_quality_classifier",
     "global_id_assignment",
     "grouped_agg_pandas_udaf",
+    "scd2_point_in_time_join",
 ]
 
 def _driver_verified() -> set[str]:

@@ -7,7 +7,7 @@ scale-safe formulations (union-scan as-of, bucketed range join).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
@@ -267,8 +267,6 @@ def q_max_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrency adds boundary-clipped interval fragments per day,
     which changes only the interval-generation select.
     """
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         "event_type",
@@ -356,8 +354,6 @@ def q_interval_islands_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window, fully parallel across users; integer microsecond
     arithmetic end-to-end.
     """
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     iv = ev.select(
         "user_id",
@@ -489,4 +485,90 @@ def q_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "prior_event_id bigint, prior_ts timestamp"
             ),
         )
+    )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'signup'),
+    d AS (
+      SELECT user_id, ts AS valid_from,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version,
+             value AS state_value,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM s),
+    p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, p.ts, p.value AS amount,
+           d.version, d.state_value, d.valid_from, d.valid_to
+    FROM p LEFT JOIN d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+)
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase picks up the SCD2 dimension
+    version (built from signup events: versioned [valid_from,
+    valid_to) intervals per user) that was valid AT the purchase
+    timestamp — the warehouse-standard "fact against
+    slowly-changing-dimension history" lookup.
+
+    Spark side avoids the interval join entirely: validity intervals
+    are by construction non-overlapping per user, so "the version
+    whose interval contains ts" == "the latest version starting at
+    or before ts" — the O(n log n) union-scan as-of merge (one
+    shuffle on user_id). The oracle states the semantics the
+    classical way, as an explicit BETWEEN-interval LEFT JOIN —
+    including the zero-width-interval edge (two signups at one
+    timestamp: the superseded version matches nothing; the as-of
+    tie-break picks the same survivor).
+
+    At 100 TB an interval join would need a range-bucketed or
+    broadcast strategy; the as-of reformulation needs neither — it
+    is the same single hash shuffle regardless of version count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.where(F.col("event_type") == "signup")
+        .select("user_id", "ts", "event_id", "value")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.col("value").alias("state_value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.col("value").alias("amount")
+    )
+    joined = asof_join(
+        purchases,
+        dim,
+        on="user_id",
+        ts_col="ts",
+        right_id="event_id",
+        right_vals=["version", "state_value", "valid_from", "valid_to"],
+        prefix="v_",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "amount",
+        F.col("v_version").alias("version"),
+        F.col("v_state_value").alias("state_value"),
+        F.col("v_valid_from").alias("valid_from"),
+        F.col("v_valid_to").alias("valid_to"),
     )
