@@ -183,6 +183,7 @@ _CHECK_FIRST = [
     "global_id_assignment",
     "grouped_agg_pandas_udaf",
     "scd2_point_in_time_join",
+    "gdpr_erasure_audit",
 ]
 
 def _driver_verified() -> set[str]:

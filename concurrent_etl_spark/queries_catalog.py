@@ -2041,3 +2041,79 @@ def q_dynamic_partition_pruning_audit(
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "gdpr_erasure_audit",
+    oracle="""
+    WITH e AS (SELECT user_id FROM events)
+    SELECT CAST(1 AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN user_id = 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_subject_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e
+    UNION ALL
+    SELECT CAST(2 AS INT),
+           CAST(COUNT(*) - SUM(CASE WHEN user_id = 7 THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(COUNT(DISTINCT CASE WHEN user_id <> 7 THEN user_id END)
+                AS BIGINT)
+    FROM e
+    """,
+)
+def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the snapshot layer: v1 holds the
+    events table, v2 is the erasure rewrite with data subject
+    user_id=7 removed; the audit reads BOTH snapshots back through
+    time travel and reports per-version row/subject/user counts —
+    v1 proves the history retains the pre-erasure state (for the
+    legally-mandated audit trail), v2 proves the current version
+    carries zero subject rows.
+
+    Same crash-safe rebuild rule as ``snapshot_diff_audit``: any
+    on-disk state other than the complete 2-version history is torn
+    down and rebuilt. Scale shape: the erasure rewrite is one
+    filtered scan (at 100 TB it would be partition-scoped — rewrite
+    only partitions containing the subject, found via the zonemap /
+    partition index — under the same atomic version pointer).
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.sources.warehouse import (
+        latest_version,
+        read_snapshot,
+        versioned_write,
+    )
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"gdpr|{app}|{sf_dir}".encode()).hexdigest()[:12]
+    path = _os.path.join(_tempfile.gettempdir(), "ces_gdpr", tag)
+    if latest_version(path) != 2:
+        _shutil.rmtree(path, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        versioned_write(ev, path)
+        versioned_write(ev.where(F.col("user_id") != 7), path)
+    audits = []
+    for v in (1, 2):
+        snap = read_snapshot(spark, path, version=v)
+        audits.append(
+            snap.agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    (F.col("user_id") == 7).cast("long")
+                ).alias("n_subject_rows"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+        )
+    return audits[0].unionByName(audits[1])
