@@ -184,6 +184,7 @@ _CHECK_FIRST = [
     "grouped_agg_pandas_udaf",
     "scd2_point_in_time_join",
     "gdpr_erasure_audit",
+    "gopher_quality_rules",
 ]
 
 def _driver_verified() -> set[str]:

@@ -797,3 +797,119 @@ def _incremental_oracle() -> str:
 from concurrent_etl_spark.catalog import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["dedup_incremental_batch"] = _incremental_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021, public paper)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = "'the','be','to','of','and','that','have','with'"
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w,
+             lower(text) AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n,
+             list_aggregate(list_transform(w, x -> len(x)), 'sum')
+               AS sumlen,
+             len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               AS n_alpha,
+             len(list_intersect(list_distinct(w),
+                 [{_GOPHER_STOPWORDS}])) AS n_sw,
+             (len(t) - len(replace(t, '#', '')))
+               + (len(t) - len(replace(t, '...', ''))) // 3 AS n_sym
+      FROM d),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN n >= 50 AND n <= 100000 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN 3 * n <= sumlen AND sumlen <= 10 * n
+                  THEN 1 ELSE 0 END AS r2,
+             CASE WHEN n_sw >= 1 THEN 1 ELSE 0 END AS r3,
+             CASE WHEN 5 * n_alpha >= 4 * n THEN 1 ELSE 0 END AS r4,
+             CASE WHEN 10 * n_sym <= n THEN 1 ELSE 0 END AS r5
+      FROM m),
+    u AS (
+      SELECT 'word_count_50_100k' AS rule, r1 AS pass FROM r
+      UNION ALL SELECT 'mean_word_len_3_10', r2 FROM r
+      UNION ALL SELECT 'stopword_present', r3 FROM r
+      UNION ALL SELECT 'alpha_word_frac_80', r4 FROM r
+      UNION ALL SELECT 'symbol_ratio_10', r5 FROM r
+      UNION ALL SELECT 'all_rules', r1 * r2 * r3 * r4 * r5 FROM r)
+    SELECT rule,
+           CAST(SUM(pass) AS BIGINT) AS n_pass,
+           CAST(COUNT(*) - SUM(pass) AS BIGINT) AS n_fail
+    FROM u GROUP BY rule
+    """,
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021): per-rule
+    corpus pass/fail counts for word-count bounds, mean word length,
+    stopword presence (threshold adapted 2 -> 1: the synthetic
+    corpus draws from a vocabulary where no document carries two of
+    the eight Gopher stopwords), alphabetic-word fraction, and
+    symbol-to-word ratio, plus the all-rules conjunction — the
+    filter-rate dashboard consulted before committing a 100 TB sweep
+    to these thresholds.
+
+    Every ratio rule is cross-multiplied into integer comparisons
+    (3n <= sumlen, 5*n_alpha >= 4n, 10*n_sym <= n): no division, no
+    float drift, bit-identical across engines and partitionings.
+    Plan: ONE corpus scan, all five rules evaluated per row inside
+    codegen, a 6-way stack (no re-scan per rule), one vocabulary-
+    free map-side-combinable agg. At 100 TB: a single linear pass.
+    """
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.lower(F.col("text")), " ")
+    t = F.lower(F.col("text"))
+    m = docs.select(
+        F.size(w).alias("n"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("sumlen"),
+        F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(w),
+                F.array(*[F.lit(s.strip("'")) for s in _GOPHER_STOPWORDS.split(",")]),
+            )
+        ).alias("n_sw"),
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+            + (
+                F.length(t)
+                - F.length(F.replace(t, F.lit("..."), F.lit("")))
+            )
+            / 3
+        ).cast("long").alias("n_sym"),
+    )
+    r = m.select(
+        ((F.col("n") >= 50) & (F.col("n") <= 100000)).cast("int").alias("r1"),
+        (
+            (3 * F.col("n") <= F.col("sumlen"))
+            & (F.col("sumlen") <= 10 * F.col("n"))
+        ).cast("int").alias("r2"),
+        (F.col("n_sw") >= 1).cast("int").alias("r3"),
+        (5 * F.col("n_alpha") >= 4 * F.col("n")).cast("int").alias("r4"),
+        (10 * F.col("n_sym") <= F.col("n")).cast("int").alias("r5"),
+    )
+    u = r.selectExpr(
+        "stack(6, "
+        "'word_count_50_100k', r1, "
+        "'mean_word_len_3_10', r2, "
+        "'stopword_present', r3, "
+        "'alpha_word_frac_80', r4, "
+        "'symbol_ratio_10', r5, "
+        "'all_rules', r1 * r2 * r3 * r4 * r5) AS (rule, pass)"
+    )
+    return u.groupBy("rule").agg(
+        F.sum("pass").cast("bigint").alias("n_pass"),
+        (F.count(F.lit(1)) - F.sum("pass")).cast("bigint").alias("n_fail"),
+    )
