@@ -306,3 +306,46 @@ class TestCogroupAsofMerge:
             for r in q_asof_join(spark, sf).collect()
         }
         assert pandas_side == relational
+
+
+def test_scd2_pit_zero_width_version_is_skipped(spark):
+    """Two dimension versions created at the SAME instant: the
+    superseded one has a zero-width [t, t) interval and must never
+    match; facts at exactly t pick the survivor (greater event_id),
+    matching the oracle's interval semantics."""
+    from pyspark.sql import Window
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = dt.datetime(2024, 1, 2, 12, 0, 0)
+    signups = spark.createDataFrame(
+        [(1, t0, 10, 100.0), (1, t0, 11, 200.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = signups.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("value").alias("state_value"),
+    )
+    facts = spark.createDataFrame(
+        [(1, 50, t0), (1, 51, t1)],
+        "user_id long, event_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: (r["v_version"], r["v_state_value"])
+        for r in asof_join(
+            facts,
+            dim,
+            on="user_id",
+            ts_col="ts",
+            right_id="event_id",
+            right_vals=["version", "state_value"],
+            prefix="v_",
+        ).collect()
+    }
+    # both facts see version 2 (the survivor); version 1's zero-width
+    # interval is unreachable
+    assert out[50] == (2, 200.0)
+    assert out[51] == (2, 200.0)
