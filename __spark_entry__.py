@@ -185,6 +185,7 @@ _CHECK_FIRST = [
     "scd2_point_in_time_join",
     "gdpr_erasure_audit",
     "gopher_quality_rules",
+    "ccnet_perplexity_buckets",
 ]
 
 def _driver_verified() -> set[str]:

@@ -913,3 +913,117 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pass").cast("bigint").alias("n_pass"),
         (F.count(F.lit(1)) - F.sum("pass")).cast("bigint").alias("n_fail"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language perplexity buckets (Wenzek et al. 2020)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_tok('lower(text)')}) AS t FROM documents),
+    vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM vocab),
+    lp AS (
+      SELECT vocab.t,
+             CAST(round(ln((vocab.c + 1.0) / (tot.n + tot.v)), 12)
+                  AS DECIMAL(24,12)) AS lp
+      FROM vocab, tot),
+    scored AS (
+      SELECT tok.doc_id, COUNT(*) AS n_tok,
+             CAST(SUM(lp.lp) AS DECIMAL(38,12)) AS sum_lp
+      FROM tok JOIN lp ON tok.t = lp.t
+      GROUP BY tok.doc_id),
+    s AS (
+      SELECT d.lang, scored.doc_id,
+             CAST(-(CAST(sum_lp AS DOUBLE)) / n_tok AS DOUBLE) AS score
+      FROM scored JOIN documents d ON d.doc_id = scored.doc_id),
+    ranked AS (
+      SELECT lang, doc_id, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM s)
+    SELECT lang,
+           CASE (3 * (rnk - 1)) // n WHEN 0 THEN 'head'
+                WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(score) AS min_score,
+           MAX(score) AS max_score
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020, public):
+    per LANGUAGE, rank documents by unigram-LM perplexity proxy and
+    cut into terciles — 'head' is the most-fluent third that
+    pretraining keeps preferentially, and the per-bucket score
+    boundaries are the thresholds a 100 TB sweep would then apply
+    stream-side without re-ranking.
+
+    Determinism: the score inherits unigram_logprob_quality's
+    contract (12-decimal-quantized log-probs, DECIMAL sums, one
+    exact IEEE divide — bit-identical across engines), ranking ties
+    break on doc_id, and the tercile cut is integer arithmetic
+    (3*(rank-1)) div n, NOT ntile() (whose remainder placement is a
+    cross-engine hazard). Plan: vocabulary-sized broadcast model,
+    one doc-level agg, one partitioned window per language — no
+    global sort.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").cast("bigint").alias("n"), F.count("*").alias("v")
+    )
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.round(
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))), 12
+        )
+        .cast("decimal(24,12)")
+        .alias("lp"),
+    )
+    scored = (
+        tok.join(F.broadcast(lp), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("lp").cast("decimal(38,12)").alias("sum_lp"),
+        )
+        .select(
+            "doc_id",
+            (-(F.col("sum_lp").cast("double")) / F.col("n_tok"))
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    s = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    wl = Window.partitionBy("lang")
+    ranked = s.select(
+        "lang",
+        "score",
+        F.row_number().over(wl.orderBy("score", "doc_id")).alias("rnk"),
+        F.count(F.lit(1)).over(wl).alias("n"),
+    )
+    bucket_ix = F.floor((3 * (F.col("rnk") - 1)) / F.col("n"))
+    return (
+        ranked.select(
+            "lang",
+            "score",
+            F.when(bucket_ix == 0, "head")
+            .when(bucket_ix == 1, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+    )
