@@ -94,6 +94,7 @@ _CHECK_FIRST = [
     "bitwise_agg_family",
     "text_normalize_dedup",
     "stream_window_watermark_roundtrip",
+    "url_domain_curation",
     "xml_source_roundtrip",
     "avro_source_roundtrip",
     "parquet_zonemap_audit",

@@ -1027,3 +1027,113 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("score").alias("max_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation (parse_url surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "url_domain_curation",
+    oracle="""
+    WITH d AS (
+      SELECT 'https://' || source || '-' || (doc_id % 7)
+               || '.example.'
+               || CASE doc_id % 3 WHEN 0 THEN 'com'
+                                  WHEN 1 THEN 'org'
+                                  ELSE 'biz' END
+               || '/' || lang || '/doc-' || doc_id
+               || '?ref=r' || (doc_id % 5) || '&v=2' AS url,
+             n_chars
+      FROM documents),
+    p AS (
+      SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+             regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+             regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref,
+             n_chars
+      FROM d),
+    e AS (
+      SELECT host,
+             regexp_extract(host, '\\.([a-z]+)$', 1) AS tld,
+             string_split(path, '/')[2] AS path_lang,
+             ref, n_chars
+      FROM p)
+    SELECT host, tld,
+           CASE WHEN tld = 'biz' THEN FALSE ELSE TRUE END AS kept,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT path_lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT ref) AS BIGINT) AS n_refs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM e GROUP BY host, tld
+    """,
+)
+def q_url_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus domain curation through Spark's ``parse_url``:
+    deterministic per-document URLs (the corpus has no real ones) are
+    DECOMPOSED by the JVM-side java.net URL parser — HOST, PATH, and
+    a keyed QUERY parameter — then rolled up per host with a
+    TLD-blocklist keep/drop flag, per-host doc/lang/ref cardinalities
+    and byte mass. This is the domain-level triage every web-scale
+    pretraining sweep runs before content-level filters (blocklists,
+    per-domain caps, host-level dedup all key on exactly these
+    columns); the oracle reproduces the decomposition with anchored
+    regexes, so the hash also pins parse_url's component semantics.
+
+    Beyond the reference (its sources are xlsx/JDBC rows, no web
+    provenance — case_2/Normal.py:100-140). Plan: one linear scan,
+    all parsing inside codegen (parse_url is a builtin, zero Python),
+    one hash agg on host — at 100 TB the host key is Zipf-skewed in
+    real crawls, which is exactly what the repo's salting/AQE-skew
+    machinery (salted_skew_join, skew_diagnostics) exists for; the
+    curation roll-up itself stays one map-side-combinable shuffle.
+    """
+    docs = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example."),
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("biz"),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=r"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&v=2"),
+    )
+    d = docs.select(url.alias("url"), "n_chars")
+    p = d.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        "n_chars",
+    )
+    e = p.select(
+        "host",
+        F.regexp_extract("host", r"\.([a-z]+)$", 1).alias("tld"),
+        F.split("path", "/").getItem(1).alias("path_lang"),
+        "ref",
+        "n_chars",
+    )
+    return (
+        e.groupBy("host", "tld")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("path_lang").alias("n_langs"),
+            F.countDistinct("ref").alias("n_refs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "host",
+            "tld",
+            (F.col("tld") != "biz").alias("kept"),
+            "n_docs",
+            "n_langs",
+            "n_refs",
+            "total_chars",
+        )
+    )
