@@ -18,6 +18,7 @@ materialization, streaming's merge) unpersist eagerly in
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,10 +33,29 @@ def query(name: str, oracle: str | None = None):
 
     ``oracle=None`` registers a rows-only query (driver records the
     weaker check) — reserved for genuinely non-SQL-expressible ops.
+
+    The registered callable is wrapped to pin the semantics-bearing
+    session confs (``engine.SESSION_PINS``: UTC timezone, parquet
+    nanosAsLong, Python-DataSource filter pushdown) on the CALLER's
+    session before the query body runs. The driver harness invokes
+    queries on its own default SparkSession, not ``get_spark()``'s —
+    round 3 proved a query can fail on a conf the engine session sets
+    (``pyds_txn_source_roundtrip``, DATA_SOURCE_PUSHDOWN_DISABLED).
+    Pinning at the registry boundary makes every query
+    bare-session-portable without per-site hand-rolled pins. The
+    decorator returns the UNwrapped function so module-internal
+    composition stays direct.
     """
 
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from concurrent_etl_spark.engine import pin_session_confs
+
+            pin_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = pinned
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -37,6 +37,37 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+#: Semantics-bearing confs every registered query depends on. The
+#: driver harness runs ``queries()`` callables on ITS OWN default
+#: SparkSession (not :func:`get_spark`'s), so anything a query
+#: silently relies on must be re-pinned at runtime on the caller's
+#: session. All three are SQLConf (runtime-settable), not static:
+#:   * UTC timezone — window bucketing / date arithmetic / oracle
+#:     comparison are all defined in UTC;
+#:   * nanosAsLong — events.parquet is TIMESTAMP(NANOS), rejected by
+#:     a native Spark<=4.0 read (4.1 reads it as NTZ and ignores the
+#:     legacy conf — harmless either way);
+#:   * python filterPushdown — Spark 4 hard-errors when a Python
+#:     DataSource implements pushFilters() while this is false
+#:     (the round-3 driver failure, CORRECTNESS_r03
+#:     pyds_txn_source_roundtrip).
+SESSION_PINS = (
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.python.filterPushdown.enabled", "true"),
+)
+
+
+def pin_session_confs(spark: SparkSession) -> None:
+    """Pin :data:`SESSION_PINS` on a (possibly caller-built) session.
+
+    Invoked by the ``catalog.query`` decorator before every registered
+    callable, and by ``load_table`` / ``sources.pyds.register`` as
+    defense-in-depth for direct callers that bypass the catalog.
+    """
+    for key, value in SESSION_PINS:
+        spark.conf.set(key, value)
+
 
 def get_spark(
     app_name: str = "concurrent-etl-spark",
@@ -100,11 +131,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (re)set at runtime so the tables load correctly even on a caller-
     provided SparkSession built without :func:`get_spark`.
     """
-    # all query semantics (window bucketing, date arithmetic, oracle
-    # comparison) are defined in UTC — pin it even on caller sessions
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pin_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

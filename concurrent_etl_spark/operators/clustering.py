@@ -127,6 +127,29 @@ def init_centroids(
     return [list(r[vec_col]) for r in rows]
 
 
+def lloyd_state(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "qv",
+) -> tuple[DataFrame, list[list[int]]]:
+    """Run ``iters`` assignment passes (iters-1 centroid updates).
+
+    Returns (final assignment frame, final centroids) — the centroid
+    list is what downstream evaluation (silhouette, ADC tables) needs
+    as plan literals. The input should be cached by the caller when
+    iters > 1 — every iteration rescans it.
+    """
+    cents = init_centroids(df, k, id_col=id_col, vec_col=vec_col)
+    assigned = assign(df, cents, vec_col=vec_col)
+    for _ in range(iters - 1):
+        cents = update_centroids(assigned, cents, dim, vec_col=vec_col)
+        assigned = assign(df, cents, vec_col=vec_col)
+    return assigned, cents
+
+
 def lloyd(
     df: DataFrame,
     k: int,
@@ -135,18 +158,36 @@ def lloyd(
     id_col: str = "vec_id",
     vec_col: str = "qv",
 ) -> DataFrame:
-    """Run ``iters`` assignment passes (iters-1 centroid updates).
+    """:func:`lloyd_state` returning only the assignment frame."""
+    return lloyd_state(df, k, iters, dim, id_col=id_col, vec_col=vec_col)[0]
 
-    Returns the final assignment frame (id, qv, d, cluster). The
-    input should be cached by the caller when iters > 1 — every
-    iteration rescans it.
+
+def silhouette(
+    df: DataFrame, centroids: list[list[int]], vec_col: str = "qv"
+) -> DataFrame:
+    """Add ``sil``: the simplified (centroid-based) silhouette.
+
+    a = distance to the nearest centroid (the assignment), b = the
+    second-nearest — both exact integers from the quantized vectors,
+    so (b - a) / max(a, b) is one double division pinned through
+    round(...,9) DECIMAL. The classic pairwise silhouette is O(n^2)
+    within clusters; the centroid form is the standard scalable
+    substitute and needs only the k plan-literal centroids — a
+    narrow, shuffle-free map even at 100 TB.
     """
-    cents = init_centroids(df, k, id_col=id_col, vec_col=vec_col)
-    assigned = assign(df, cents, vec_col=vec_col)
-    for _ in range(iters - 1):
-        cents = update_centroids(assigned, cents, dim, vec_col=vec_col)
-        assigned = assign(df, cents, vec_col=vec_col)
-    return assigned
+    dists = F.array_sort(
+        F.transform(
+            _centroid_lit(centroids), lambda c: sq_dist(F.col(vec_col), c)
+        )
+    )
+    a = dists[0]
+    b = dists[1]
+    sil = (
+        F.when(F.greatest(a, b) > 0, F.round((b - a) / F.greatest(a, b), 9))
+        .otherwise(F.lit(0.0))
+        .cast("decimal(12,9)")
+    )
+    return df.withColumn("sil", sil)
 
 
 # ---------------------------------------------------------------------------
@@ -163,28 +204,39 @@ def kmeans_oracle_ctes(
     (vec_id, qv, cluster, d). Mirrors :func:`lloyd` step for step:
     floor-quantize, integer distances, (d, cid) argmin, floor(sum/
     count) centroid update with COALESCE for empty clusters.
-    ``prefix`` namespaces every CTE so several independent runs (one
-    per PQ subvector block) can chain inside one WITH clause.
+    ``prefix`` namespaces every CTE NAME (``{prefix}src``,
+    ``{prefix}qv``, ``{prefix}cent{t}``, …) so several independent
+    runs (one per PQ subvector block) can chain inside one WITH
+    clause. Names are rendered already-prefixed — never rewritten by
+    a post-hoc regex over the whole body, which would also corrupt a
+    caller-supplied ``source_sql`` containing one of those
+    identifiers (e.g. a column named ``qv``). Column names inside the
+    CTEs (vec_id, qv, cluster, d, cid, cv) are CTE-scoped and stay
+    unprefixed.
     """
-    if prefix:
-        import re as _re
+    c_src, c_qv = f"{prefix}src", f"{prefix}qv"
 
-        body = kmeans_oracle_ctes(source_sql, k, iters, dim)
-        return _re.sub(
-            r"\b(src|qv|cent\d+|sums\d+|asg\d+)\b", prefix + r"\1", body
-        )
+    def c_cent(t: int) -> str:
+        return f"{prefix}cent{t}"
+
+    def c_sums(t: int) -> str:
+        return f"{prefix}sums{t}"
+
+    def c_asg(t: int) -> str:
+        return f"{prefix}asg{t}"
+
     dist = (
         "CAST(list_aggregate(list_transform(list_zip(q.qv, c.cv), "
         "x -> (x[1]-x[2])*(x[1]-x[2])), 'sum') AS BIGINT)"
     )
     parts = [
-        f"src AS ({source_sql})",
+        f"{c_src} AS ({source_sql})",
         (
-            "qv AS (SELECT vec_id, list_transform(v, "
-            f"x -> CAST(floor(x * {SCALE}.0) AS BIGINT)) AS qv FROM src)"
+            f"{c_qv} AS (SELECT vec_id, list_transform(v, "
+            f"x -> CAST(floor(x * {SCALE}.0) AS BIGINT)) AS qv FROM {c_src})"
         ),
         (
-            f"cent0 AS (SELECT vec_id AS cid, qv AS cv FROM qv "
+            f"{c_cent(0)} AS (SELECT vec_id AS cid, qv AS cv FROM {c_qv} "
             f"WHERE vec_id < {k})"
         ),
     ]
@@ -193,28 +245,28 @@ def kmeans_oracle_ctes(
             # centroid update from asg{t-1}: per-dim exact integer
             # sums via positional unnest, floor(sum/count) in DOUBLE
             parts.append(
-                f"""sums{t} AS (
+                f"""{c_sums(t)} AS (
       SELECT cluster, p.ord, CAST(sum(qv[p.ord]) AS DOUBLE) AS s,
              count(*) AS cnt
-      FROM asg{t - 1} CROSS JOIN
+      FROM {c_asg(t - 1)} CROSS JOIN
            (SELECT unnest(range(1, {dim + 1})) AS ord) p
       GROUP BY cluster, p.ord)"""
             )
             parts.append(
-                f"""cent{t} AS (
+                f"""{c_cent(t)} AS (
       SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
-      FROM cent{t - 1} p LEFT JOIN (
+      FROM {c_cent(t - 1)} p LEFT JOIN (
         SELECT cluster AS cid,
                list(CAST(floor(s / cnt) AS BIGINT) ORDER BY ord) AS cv
-        FROM sums{t} GROUP BY cluster) n ON p.cid = n.cid)"""
+        FROM {c_sums(t)} GROUP BY cluster) n ON p.cid = n.cid)"""
             )
         parts.append(
-            f"""asg{t} AS (
+            f"""{c_asg(t)} AS (
       SELECT vec_id, qv, cluster, d FROM (
         SELECT q.vec_id, q.qv, c.cid AS cluster, {dist} AS d,
                row_number() OVER (
                  PARTITION BY q.vec_id
                  ORDER BY {dist}, c.cid) AS rn
-        FROM qv q CROSS JOIN cent{t} c) WHERE rn = 1)"""
+        FROM {c_qv} q CROSS JOIN {c_cent(t)} c) WHERE rn = 1)"""
         )
     return ",\n    ".join(parts)

@@ -1487,6 +1487,90 @@ def q_pyds_txn_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txn_time_travel_diff",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS k,
+           n_name AS name_v1,
+           CASE WHEN n_nationkey % 2 = 0 THEN upper(n_name)
+                ELSE n_name END AS name_v2,
+           CAST(CASE WHEN n_nationkey % 2 = 0
+                      AND upper(n_name) <> n_name
+                THEN 1 ELSE 0 END AS INTEGER) AS changed
+    FROM nation
+    """,
+)
+def q_txn_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL through the custom Python DataSource: the nation
+    dimension is committed twice to a transaction-log table (v2
+    uppercases even-keyed names), then BOTH versions are read back
+    through ``format("ces_txn")`` — v1 pinned with
+    ``option("version", 1)``, v2 as the latest — and joined into a
+    row-level diff. The oracle recomputes both versions from the
+    parquet source, so version resolution, snapshot isolation of the
+    immutable v1 data dir, and the diff itself are all inside the
+    hash. This is the audit-query shape a warehouse runs against any
+    log-structured table format (Delta/Iceberg ``VERSION AS OF``).
+
+    Scale: each version is an independent file-partitioned Arrow
+    scan; the join keys on the table's primary key. Guarded
+    construction-time build keyed by application id + sf; a partial
+    build (v1 only) completes rather than re-commits.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.sources import pyds
+    from concurrent_etl_spark.sources.txn import txn_commit, txn_latest
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}|tt".encode()).hexdigest()[:12]
+    path = _os.path.join(_tempfile.gettempdir(), "ces_pyds_tt", tag)
+    base = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_name").alias("name"),
+    )
+    if txn_latest(path) < 1:
+        txn_commit(base, path)
+    if txn_latest(path) < 2:
+        txn_commit(
+            base.withColumn(
+                "name",
+                F.when(F.col("k") % 2 == 0, F.upper("name")).otherwise(
+                    F.col("name")
+                ),
+            ),
+            path,
+        )
+    pyds.register(spark)
+    v1 = (
+        spark.read.format("ces_txn")
+        .option("path", path)
+        .option("version", "1")
+        .load()
+        .select("k", F.col("name").alias("name_v1"))
+    )
+    v2 = (
+        spark.read.format("ces_txn")
+        .option("path", path)
+        .load()
+        .select("k", F.col("name").alias("name_v2"))
+    )
+    return v1.join(v2, "k").select(
+        "k",
+        "name_v1",
+        "name_v2",
+        F.when(F.col("name_v1") != F.col("name_v2"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("changed"),
+    )
+
+
+@query(
     "partitioned_merge_audit",
     oracle="""
     SELECT o_orderstatus AS status,

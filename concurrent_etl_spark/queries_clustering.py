@@ -59,7 +59,7 @@ _SRC = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
     WITH {C.kmeans_oracle_ctes(_SRC, _K, _ITERS, _DIM)}
     SELECT CAST(cluster AS INT) AS cluster,
            CAST(COUNT(*) AS BIGINT) AS n_members,
-           CAST(SUM(d) AS BIGINT) AS sum_sq_dist,
+           CAST(CAST(SUM(d) AS DECIMAL(38,0)) AS VARCHAR) AS sum_sq_dist,
            CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
            CAST(MAX(d) AS BIGINT) AS max_sq_dist
     FROM asg{_ITERS - 1}
@@ -80,7 +80,16 @@ def q_kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = C.lloyd(qv, _K, _ITERS, _DIM)
     return assigned.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.sum("d").alias("sum_sq_dist"),
+        # inertia accumulates in DECIMAL(38,0), not BIGINT: per-row
+        # squared distances reach ~2^50 at dim=64/SCALE=2^14, so a
+        # long sum can overflow int64 within one large cluster at
+        # 100 TB scale (ADVICE r3). Projected as the canonical decimal
+        # string because pandas narrows DuckDB DECIMAL(38,0) to
+        # float64 (~15 digits) — the string is exact at any scale and
+        # hashes identically on both engines.
+        F.sum(F.col("d").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("sum_sq_dist"),
         F.min("vec_id").alias("min_vec_id"),
         F.max("d").alias("max_sq_dist"),
     )
@@ -157,6 +166,61 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("first_pruned_id"),
         )
+    )
+
+
+@query(
+    "cluster_silhouette_eval",
+    oracle=f"""
+    WITH {C.kmeans_oracle_ctes(_SRC, _K, _ITERS, _DIM)},
+    alld AS (
+      SELECT a.vec_id, a.cluster, a.d AS da,
+             MIN(CASE WHEN c.cid <> a.cluster THEN
+               CAST(list_aggregate(list_transform(list_zip(a.qv, c.cv),
+                 x -> (x[1]-x[2])*(x[1]-x[2])), 'sum') AS BIGINT)
+             END) AS db
+      FROM asg{_ITERS - 1} a CROSS JOIN cent{_ITERS - 1} c
+      GROUP BY a.vec_id, a.cluster, a.d),
+    sil AS (
+      SELECT vec_id, cluster,
+             CASE WHEN greatest(da, db) > 0
+                  THEN CAST(round((db - da) / greatest(da, db), 9)
+                       AS DECIMAL(12,9))
+                  ELSE CAST(0 AS DECIMAL(12,9)) END AS s
+      FROM alld)
+    SELECT CAST(cluster AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS avg_sil,
+           CAST(MIN(s) AS DOUBLE) AS min_sil,
+           CAST(MAX(s) AS DOUBLE) AS max_sil
+    FROM sil GROUP BY cluster
+    """,
+)
+def q_cluster_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: per-cluster simplified
+    silhouette over the k-means result. a(i) is the (exact integer)
+    distance to the assigned centroid, b(i) the second-nearest
+    centroid's distance; (b-a)/max(a,b) in [-0..1] is pinned through
+    round(...,9) DECIMAL so the per-cluster mean is an exact sum.
+
+    The pairwise silhouette is O(n^2)-within-cluster; the centroid
+    form evaluates the same separation signal as a SHUFFLE-FREE
+    narrow map (centroids are plan literals), making cluster-quality
+    monitoring affordable on every pipeline run at 100 TB — the one
+    shuffle here is the final per-cluster groupBy of k rows.
+    """
+    qv = _qv(spark, sf_dir).persist()
+    assigned, cents = C.lloyd_state(qv, _K, _ITERS, _DIM)
+    per_row = C.silhouette(assigned, cents)
+    return per_row.groupBy(
+        F.col("cluster").cast("int").alias("cluster")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(
+            F.sum("sil").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_sil"),
+        F.min("sil").cast("double").alias("min_sil"),
+        F.max("sil").cast("double").alias("max_sil"),
     )
 
 

@@ -148,10 +148,13 @@ def _greedy_pack(pdf: pd.DataFrame) -> pd.DataFrame:
       SELECT shard, doc_id, rn, n_tok, 0 AS bin_id, n_tok AS fill
       FROM d WHERE rn = 1
       UNION ALL
+      -- `AND r.fill > 0` mirrors the Python fold's guard exactly
+      -- (_greedy_pack): a zero-token doc opening a bin must NOT force
+      -- the next overflowing doc into a fresh bin on one side only
       SELECT d.shard, d.doc_id, d.rn, d.n_tok,
-             CASE WHEN r.fill + d.n_tok > {_PACK_CAPACITY}
+             CASE WHEN r.fill + d.n_tok > {_PACK_CAPACITY} AND r.fill > 0
                   THEN r.bin_id + 1 ELSE r.bin_id END,
-             CASE WHEN r.fill + d.n_tok > {_PACK_CAPACITY}
+             CASE WHEN r.fill + d.n_tok > {_PACK_CAPACITY} AND r.fill > 0
                   THEN d.n_tok ELSE r.fill + d.n_tok END
       FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1)
     SELECT CAST(shard AS BIGINT) AS shard,

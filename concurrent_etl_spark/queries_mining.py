@@ -99,9 +99,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the two adjacency joins key on u then v (AQE broadcasts
     the node-sized adjacency table here; at web scale they shuffle,
     still never materializing wedges), and in-flight array size is
-    bounded by max out-degree — the production guard for THAT is
-    degree-based orientation, which the u<v canonicalization
-    approximates on this near-regular graph.
+    bounded by max OUT-degree — which the degree orientation below
+    caps at O(sqrt(m)): edges are re-directed from the lower-ranked
+    endpoint under the total order (degree, id), so a celebrity node
+    with degree d receives d-1 in-edges but keeps only out-neighbors
+    of rank above it. Triangle count is orientation-invariant (any
+    total order gives each triangle exactly one directed wedge
+    u->v, u->w with v->w), so the id-ordered oracle is unchanged;
+    total work is the classic O(m^1.5) bound instead of
+    O(m * d_max). SCALING_r04 leashes this with a sec/m^1.5 column
+    (VERDICT r3 item 6).
     """
     # one fact shuffle: per-order supplier sets, then pairs expand
     # IN-ROW from the sorted array (u < v by position) — replaces the
@@ -125,11 +132,43 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    out_nbrs = edges.groupBy("u").agg(
+    # degree orientation: redirect each undirected edge from the
+    # endpoint ranked lower under (degree, id) — max out-degree drops
+    # to O(sqrt(m)), bounding both the in-row arrays and the skew of
+    # the two adjacency joins. The degree table is node-sized
+    # (broadcast here; shuffle-join at web scale, still node-sized).
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    oriented = (
+        edges.join(
+            F.broadcast(deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))),
+            "v",
+        )
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("u"), F.col("e.t").alias("v"))
+        .persist()
+    )
+    out_nbrs = oriented.groupBy("u").agg(
         F.sort_array(F.collect_set("v")).alias("nb")
     )
     j = (
-        edges.join(
+        oriented.join(
             out_nbrs.select(F.col("u"), F.col("nb").alias("nb_u")), "u"
         ).join(
             out_nbrs.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")),

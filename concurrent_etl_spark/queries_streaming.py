@@ -322,7 +322,20 @@ def q_stream_window_watermark_roundtrip(
         _os.path.join(base, "sink"),
         _os.path.join(base, "ckpt"),
     )
-    if not _os.path.isdir(ckpt):
+    # Guard on a completion marker written only after awaitTermination
+    # returns true — NOT on the checkpoint dir, which exists from the
+    # moment the stream starts: a crash/timeout mid-run must trigger a
+    # rebuild, never leave a partial sink that later calls read as
+    # final (same _DONE discipline as q_avro_source_roundtrip).
+    done_marker = _os.path.join(base, "_DONE")
+    if not _os.path.isfile(done_marker):
+        import shutil as _shutil
+
+        # stale state from a previous crashed/timed-out run: clear it
+        # so availableNow replays the source from scratch into a fresh
+        # sink rather than resuming a torn commit log
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        _shutil.rmtree(sink, ignore_errors=True)
         (
             load_table(spark, sf_dir, "events")
             .where(F.col("event_id") % 13 == 0)
@@ -388,7 +401,14 @@ def q_stream_window_watermark_roundtrip(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_window_watermark_roundtrip: availableNow run "
+                "did not finish in 300s; sink left unmarked for rebuild"
+            )
+        with open(done_marker, "w") as f:
+            f.write("ok\n")
     return spark.read.parquet(sink).select(
         "window_start", "event_type", "n_events", "value_sum"
     )

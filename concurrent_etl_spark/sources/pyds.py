@@ -251,7 +251,19 @@ class TxnTableDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the ces_txn format on a session."""
+    """Idempotent registration of the ces_txn format on a session.
+
+    Also pins the shared session confs on the CALLER's session: Spark
+    4 hard-errors (``DATA_SOURCE_PUSHDOWN_DISABLED``) when a Python
+    DataSource reader implements ``pushFilters()`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false — the round-3
+    driver failure, where the driver's own default session lacked the
+    conf the engine session sets at build time. All pins are SQLConf
+    (runtime-settable); see ``engine.SESSION_PINS``.
+    """
+    from concurrent_etl_spark.engine import pin_session_confs
+
+    pin_session_confs(spark)
     spark.dataSource.register(TxnTableDataSource)
 
 

@@ -108,6 +108,49 @@ def test_update_centroid_is_floor_of_mean(spark):
     assert got == [[math.floor(sum(q) / 3)]]
 
 
+def test_lloyd_invariant_under_repartition(spark, emb):
+    """Full multi-iteration Lloyd (not just one assignment pass) must
+    produce identical (cluster, d) per vector regardless of input
+    partitioning — the centroid update is a floor(sum/count) over
+    exact integer sums, so reduction order cannot leak in."""
+    _, qv = emb
+    base = sorted(
+        (r["vec_id"], r["cluster"], r["d"])
+        for r in C.lloyd(qv, K, ITERS, DIM).collect()
+    )
+    for parts in (1, 13):
+        again = sorted(
+            (r["vec_id"], r["cluster"], r["d"])
+            for r in C.lloyd(
+                qv.repartition(parts, "vec_id"), K, ITERS, DIM
+            ).collect()
+        )
+        assert again == base, f"lloyd drifted at repartition({parts})"
+
+
+def test_pq_ann_recall_lower_bound(spark):
+    """PQ-ANN self-evaluation: each returned neighbor carries an
+    in_exact_topk flag; overall recall@k on the fixture must clear a
+    floor well above chance (exact top-k over 500 vectors ≈ 2%
+    chance). A codebook/encode/ADC regression craters this first."""
+    from concurrent_etl_spark.queries_clustering import q_pq_ann_topk
+
+    rows = q_pq_ann_topk(spark, SF_DIR).collect()
+    spark.catalog.clearCache()
+    hits = sum(r["in_exact_topk"] for r in rows)
+    recall = hits / len(rows)
+    # measured 0.44 on the fixture — synthetic i.i.d. embeddings are
+    # PQ's worst case (no subspace structure to exploit); the floor
+    # guards collapse, not the measured point
+    assert recall >= 0.3, f"PQ recall@k collapsed: {recall:.2f}"
+    # and the self-match (query vector is in the corpus): its ADC
+    # distance is exactly the query's own quantization error — the
+    # minimum possible — so it must surface at pq_rank 1 for every
+    # query (note it is NOT zero: ADC measures query-to-centroid)
+    best = {r["query_id"]: r["vec_id"] for r in rows if r["pq_rank"] == 1}
+    assert all(vid == qid for qid, vid in best.items()), best
+
+
 def test_kmeans_oracle_prefix_namespaces_all_ctes():
     import re
 
@@ -116,8 +159,26 @@ def test_kmeans_oracle_prefix_namespaces_all_ctes():
     body = kmeans_oracle_ctes(
         "SELECT vec_id, v FROM embeddings", 4, 3, 8, prefix="bX_"
     )
-    # every kmeans-internal CTE reference must carry the prefix; an
-    # unprefixed leak would silently couple two blocks' chains
-    for name in re.findall(r"\b(?:src|qv|cent\d+|sums\d+|asg\d+)\b", body):
-        raise AssertionError(f"unprefixed CTE reference leaked: {name}")
+    # every kmeans-internal CTE *name* (definition or FROM/JOIN
+    # reference) must carry the prefix; an unprefixed leak would
+    # silently couple two blocks' chains. Column names (qv, cv, …)
+    # are CTE-scoped and intentionally unprefixed.
+    for m in re.finditer(
+        r"(?:FROM|JOIN)\s+(src|qv|cent\d+|sums\d+|asg\d+)\b"
+        r"|^\s*(src|qv|cent\d+|sums\d+|asg\d+)\s+AS\s*\(",
+        body,
+        re.MULTILINE,
+    ):
+        raise AssertionError(f"unprefixed CTE reference leaked: {m.group(0)}")
     assert "bX_asg2" in body and "bX_cent1" in body
+
+
+def test_kmeans_oracle_prefix_leaves_source_sql_untouched():
+    """ADVICE r3: the prefix renderer must not rewrite identifiers
+    inside the caller-supplied source_sql (the old post-hoc regex
+    corrupted a source containing e.g. a column named ``qv``)."""
+    from concurrent_etl_spark.operators.clustering import kmeans_oracle_ctes
+
+    src = "SELECT vec_id, qv AS v FROM (SELECT vec_id, emb AS qv FROM t)"
+    body = kmeans_oracle_ctes(src, 2, 2, 4, prefix="bX_")
+    assert f"bX_src AS ({src})" in body

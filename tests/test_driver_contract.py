@@ -91,6 +91,52 @@ class TestOracleTypeHygiene:
         )
 
 
+class TestBareSessionPortability:
+    def test_queries_survive_a_driverlike_default_session(self, spark):
+        """The driver harness runs ``queries()`` on its OWN default
+        SparkSession, with none of ``engine.get_spark``'s confs —
+        round 3's only driver failure (``pyds_txn_source_roundtrip``,
+        DATA_SOURCE_PUSHDOWN_DISABLED) was exactly such a session-conf
+        portability bug. Simulate it: a ``newSession()`` (fresh
+        SQLConf, shared JVM) with every ``engine.SESSION_PINS`` conf
+        forced to its Spark DEFAULT, then run the slice of the catalog
+        most exposed to session confs (custom Python DataSource,
+        streaming sinks, VARIANT, XML, recursive CTE, pipe syntax,
+        timestamp-nanos tables) and assert each executes. The
+        ``catalog.query`` pin hook is what must make these pass."""
+        import __spark_entry__ as entrymod
+
+        bare = spark.newSession()
+        # Spark out-of-the-box defaults (the driver's session state)
+        bare.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        bare.conf.set(
+            "spark.sql.session.timeZone", "America/Los_Angeles"
+        )  # deliberately NOT UTC — worst-case driver host tz
+        q = entrymod.queries()
+        for name in [
+            "pyds_txn_source_roundtrip",   # Python DataSource pushFilters
+            "txn_merge_audit",             # commit-log merge lifecycle
+            "stream_etl_roundtrip",        # readStream->checkpoint->sink
+            "variant_semistructured_agg",  # VARIANT
+            "xml_source_roundtrip",        # built-in XML source
+            "recursive_cte_hierarchy",     # WITH RECURSIVE
+            "pipe_syntax_rollup",          # SQL pipe syntax
+            "tumbling_window_full",        # events TIMESTAMP(NANOS) + tz
+            "asof_join_prior_click",       # events + window semantics
+            "flagship_confirmation",       # the entry() headline path
+        ]:
+            rows = q[name](bare, "/root/testdata/sf0.001").collect()
+            assert rows, name
+        # and the pins must not have leaked wrong values back: the hook
+        # re-pins per call, so after the run the bare session holds them
+        assert bare.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert (
+            bare.conf.get("spark.sql.python.filterPushdown.enabled")
+            == "true"
+        )
+
+
 class TestSideEffectfulQueryIdempotence:
     def test_guarded_builds_rerun_identically(self, spark):
         """Queries with guarded construction-time side effects (xlsx

@@ -42,6 +42,9 @@ GLOBAL_WINDOW_OK = {
     # rank window runs AFTER orderBy().limit(500): its input is the
     # 500-row TakeOrdered head of the vocabulary, never the corpus
     "zipf_slope_fit",
+    # rank window runs AFTER orderBy().limit(50): its input is the
+    # 50-row TakeOrdered resample head, never the scored corpus
+    "dsir_importance_resample",
 }
 
 _WSPEC = re.compile(r"windowspecdefinition\(([^,()]*?)[,)]")

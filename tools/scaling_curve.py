@@ -52,6 +52,13 @@ SF_DIRS = {
 #: is output-proportionality, not sublinearity
 ROWS_OUT = {"duplicate_span_pairs"}
 
+#: triangle counting is inherently superlinear in edges — the honest
+#: leash is work-normalized time: with degree orientation the total
+#: intersection work is O(m^1.5), so sec / m^1.5 should stay flat or
+#: fall as data grows. The query's own result row carries n_edges and
+#: n_triangles, so the evidence is free (VERDICT r3 item 6).
+WORK_M15 = {"triangle_count"}
+
 
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "02"
@@ -95,6 +102,21 @@ def main() -> None:
                 sf: round(times[sf] / max(rows[sf], 1) * 1e6, 1)
                 for sf in rows
             }
+        if name in WORK_M15:
+            edges, tris, norm = {}, {}, {}
+            for sf, sf_dir in SF_DIRS.items():
+                spark.catalog.clearCache()
+                row = fn(spark, sf_dir).collect()[0]
+                edges[sf] = row["n_edges"]
+                tris[sf] = row["n_triangles"]
+                # nanoseconds per unit of m^1.5 work — flat/falling
+                # across sf steps = the O(m^1.5) bound holds measured
+                norm[sf] = round(
+                    times[sf] / max(edges[sf], 1) ** 1.5 * 1e9, 3
+                )
+            out[name]["n_edges"] = edges
+            out[name]["n_triangles"] = tris
+            out[name]["nsec_per_m15"] = norm
 
     path = f"/root/repo/SCALING_r{tag}.json"
     with open(path, "w") as f:
