@@ -188,6 +188,15 @@ _CHECK_FIRST = [
     "gdpr_erasure_audit",
     "gopher_quality_rules",
     "ccnet_perplexity_buckets",
+    # r4 tranche (selection / clustering-eval / time-travel /
+    # streaming-dedup / stream-stream-join): behind the r3-final
+    # tranche — they queue deterministically for the next window
+    "dsir_importance_resample",
+    "temperature_resample_mixture",
+    "cluster_silhouette_eval",
+    "txn_time_travel_diff",
+    "stream_dedup_watermark_roundtrip",
+    "stream_stream_join_roundtrip",
 ]
 
 def _driver_verified() -> set[str]:

@@ -412,3 +412,277 @@ def q_stream_window_watermark_roundtrip(
     return spark.read.parquet(sink).select(
         "window_start", "event_type", "n_events", "value_sum"
     )
+
+
+def _stream_fixture_base(spark: SparkSession, sf_dir: str, tag_salt: str):
+    """(base_dir, done_marker) for a guarded streaming fixture keyed
+    by application id + sf; caller builds under the _DONE discipline."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no gateway
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}|{tag_salt}".encode()).hexdigest()[:12]
+    base = _os.path.join(_tempfile.gettempdir(), f"ces_{tag_salt}", tag)
+    return base, _os.path.join(base, "_DONE")
+
+
+_EVENT_JSON_SCHEMA = (
+    "event_id bigint, ts_raw string, event_type string, value double"
+)
+
+
+def _events_as_json_rows(df: DataFrame) -> DataFrame:
+    """Project events to the JSON staging shape (micro-precision ts
+    as text — the reverse of the stream's to_timestamp parse). Extra
+    fields are harmless: each stream's read schema picks what it
+    needs."""
+    return df.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_raw"),
+        "event_type",
+        "value",
+    )
+
+
+@query(
+    "stream_dedup_watermark_roundtrip",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+    FROM events WHERE event_id % 17 = 0
+    """,
+)
+def q_stream_dedup_watermark_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming DEDUPLICATION through the actual engine:
+    a deterministic slice of events is staged as JSON with every
+    record written TWICE (and every third record a THIRD time) across
+    shuffled multi-file batches, then consumed by ``readStream`` →
+    ``withWatermark(1h)`` → ``dropDuplicatesWithinWatermark(event_id)``
+    → availableNow append to a parquet sink. The sink must contain
+    each event exactly once — state-store keyed dedup, watermark-
+    bounded state eviction, and checkpointed exactly-once delivery
+    are all inside the hash (the oracle is simply the distinct
+    slice). Duplicates are byte-identical and share one event-time,
+    so first-arrival order cannot change the surviving row.
+
+    Scale: dropDuplicatesWithinWatermark is THE unbounded-stream
+    dedup primitive — state is bounded by the watermark horizon, not
+    the stream's history, which is what makes exact streaming dedup
+    feasible on an infinite 100 TB/day feed. Guarded build under the
+    _DONE completion-marker discipline.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    base, done_marker = _stream_fixture_base(spark, sf_dir, "sdedup")
+    src = _os.path.join(base, "src")
+    sink = _os.path.join(base, "sink")
+    ckpt = _os.path.join(base, "ckpt")
+    if not _os.path.isfile(done_marker):
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        _shutil.rmtree(sink, ignore_errors=True)
+        sample = _events_as_json_rows(
+            load_table(spark, sf_dir, "events").where(
+                F.col("event_id") % 17 == 0
+            )
+        )
+        dup = sample.unionAll(sample).unionAll(
+            sample.where(F.col("event_id") % 3 == 0)
+        )
+        # spread duplicates across files so copies of one event land
+        # in different micro-batches (maxFilesPerTrigger=2)
+        dup.repartition(6).write.mode("overwrite").json(src)
+        stream = (
+            spark.readStream.format("json")
+            .schema(_EVENT_JSON_SCHEMA)
+            .option("maxFilesPerTrigger", "2")
+            .load(src)
+            .select(
+                "event_id",
+                F.to_timestamp(
+                    "ts_raw", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ).alias("ts"),
+                "event_type",
+                "value",
+            )
+            # the delay must exceed the fixture's whole event-time
+            # span (31 days > the 30-day synthetic range): the files
+            # arrive in ARBITRARY time order, and a stateful operator
+            # discards rows older than the watermark as late — a
+            # 1-hour delay silently DROPS (not dedups) stragglers
+            # behind a fast-advancing watermark (observed: 516/589
+            # rows at sf0.01). Production streams have near-ordered
+            # arrival, so the delay models the real out-of-orderness
+            # bound; state stays bounded by that horizon either way.
+            .withWatermark("ts", "31 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_dedup_watermark_roundtrip: availableNow run "
+                "did not finish in 300s; sink left unmarked for rebuild"
+            )
+        with open(done_marker, "w") as f:
+            f.write("ok\n")
+    return spark.read.parquet(sink).select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+
+@query(
+    "stream_stream_join_roundtrip",
+    oracle="""
+    WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+               FROM events
+               WHERE event_type = 'view' AND event_id % 3 = 0),
+         c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+               FROM events
+               WHERE event_type = 'click' AND event_id % 2 = 0)
+    SELECT v.user_id, v.view_id, c.click_id,
+           CAST(epoch_us(v.view_ts) AS BIGINT) AS view_us,
+           CAST(epoch_us(c.click_ts) AS BIGINT) AS click_us,
+           CAST((epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000
+                AS BIGINT) AS delta_ms
+    FROM v JOIN c ON v.user_id = c.user_id
+               AND c.click_ts > v.view_ts
+               AND c.click_ts <= v.view_ts + INTERVAL 4 HOUR
+    """,
+)
+def q_stream_stream_join_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM inner interval join through the actual engine:
+    view and click slices of events are staged as two independent
+    JSON sources, consumed by two ``readStream``s with 1-hour
+    watermarks, joined on user within a (0, 4h] event-time
+    interval, and committed availableNow to a parquet sink. For an
+    INNER join every match is emitted exactly once whatever the
+    micro-batch interleaving, so the sink must hash-equal the batch
+    interval join — buffered-state matching across two streams,
+    watermark-bounded state retention on both sides, and exactly-once
+    sink delivery are the streaming-only behaviors under the gate.
+
+    Scale: the interval bound plus both watermarks is what keeps the
+    join state finite on unbounded streams — each side buffers only
+    the watermark horizon, the canonical Structured Streaming
+    pattern for clickstream attribution at production volume.
+    Guarded build under the _DONE completion-marker discipline.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    base, done_marker = _stream_fixture_base(spark, sf_dir, "ssjoin")
+    src_v = _os.path.join(base, "views")
+    src_c = _os.path.join(base, "clicks")
+    sink = _os.path.join(base, "sink")
+    ckpt = _os.path.join(base, "ckpt")
+    if not _os.path.isfile(done_marker):
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        _shutil.rmtree(sink, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        _events_as_json_rows(
+            ev.where(
+                (F.col("event_type") == "view") & (F.col("event_id") % 3 == 0)
+            )
+        ).repartition(4).write.mode("overwrite").json(src_v)
+        _events_as_json_rows(
+            ev.where(
+                (F.col("event_type") == "click") & (F.col("event_id") % 2 == 0)
+            )
+        ).repartition(4).write.mode("overwrite").json(src_c)
+        views = (
+            spark.readStream.format("json")
+            .schema(
+                "event_id bigint, ts_raw string, event_type string,"
+                " value double, user_id bigint"
+            )
+            .option("maxFilesPerTrigger", "2")
+            .load(src_v)
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("view_id"),
+                F.to_timestamp(
+                    "ts_raw", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ).alias("view_ts"),
+            )
+            # 31 days > the fixture's event-time span: arbitrary file
+            # arrival order must never make a buffered row late (see
+            # stream_dedup_watermark_roundtrip)
+            .withWatermark("view_ts", "31 days")
+        )
+        clicks = (
+            spark.readStream.format("json")
+            .schema(
+                "event_id bigint, ts_raw string, event_type string,"
+                " value double, user_id bigint"
+            )
+            .option("maxFilesPerTrigger", "2")
+            .load(src_c)
+            .select(
+                F.col("user_id").alias("c_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.to_timestamp(
+                    "ts_raw", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ).alias("click_ts"),
+            )
+            .withWatermark("click_ts", "31 days")
+        )
+        joined = views.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") > F.col("view_ts"))
+            & (
+                F.col("click_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 4 HOURS")
+            ),
+        ).select(
+            "user_id",
+            "view_id",
+            "click_id",
+            F.unix_micros("view_ts").alias("view_us"),
+            F.unix_micros("click_ts").alias("click_us"),
+            (
+                (F.unix_micros("click_ts") - F.unix_micros("view_ts"))
+                / F.lit(1000)
+            )
+            .cast("bigint")
+            .alias("delta_ms"),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_stream_join_roundtrip: availableNow run "
+                "did not finish in 300s; sink left unmarked for rebuild"
+            )
+        with open(done_marker, "w") as f:
+            f.write("ok\n")
+    return spark.read.parquet(sink).select(
+        "user_id", "view_id", "click_id", "view_us", "click_us", "delta_ms"
+    )
