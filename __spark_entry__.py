@@ -197,6 +197,7 @@ _CHECK_FIRST = [
     "txn_time_travel_diff",
     "stream_dedup_watermark_roundtrip",
     "stream_stream_join_roundtrip",
+    "warc_source_roundtrip",
 ]
 
 def _driver_verified() -> set[str]:
