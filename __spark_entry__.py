@@ -198,6 +198,8 @@ _CHECK_FIRST = [
     "stream_dedup_watermark_roundtrip",
     "stream_stream_join_roundtrip",
     "warc_source_roundtrip",
+    "stream_stateful_session_roundtrip",
+    "token_budget_epochs",
 ]
 
 def _driver_verified() -> set[str]:

@@ -250,3 +250,71 @@ def q_temperature_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@query(
+    "token_budget_epochs",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len({_tok('text')})) AS BIGINT) AS n_tok
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM t),
+    a AS (
+      SELECT source, n_tok,
+             CAST(floor(100000 * round(CAST(n_tok AS DOUBLE)
+                  / CAST(tot.total AS DOUBLE), 9)) AS BIGINT) AS budget
+      FROM t, tot)
+    SELECT source, n_tok, budget,
+           CAST(least(budget, 4 * n_tok) AS BIGINT) AS alloc,
+           -- nonnegative numerator: DuckDB // truncation == the
+           -- (x - pmod(x, n)) / n form on the Spark side
+           CAST((1000 * least(budget, 4 * n_tok)) // n_tok
+                AS BIGINT) AS epochs_milli
+    FROM a
+    """,
+)
+def q_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained token-budget allocation (Muennighoff et al.,
+    "Scaling Data-Constrained Language Models", 2023 — public paper:
+    repeating data beyond ~4 epochs stops helping): each source gets
+    a share of the global training budget proportional to its token
+    count, CAPPED at 4 epochs of its unique tokens. Output per
+    source: unique tokens, proportional budget, capped allocation,
+    and the realized epoch count in exact milli-epochs (truncating
+    integer division spelled as ``(x - pmod(x, n)) / n`` — identical
+    on both engines regardless of their ``/`` semantics).
+
+    Scale: one token-count scan + a sources-sized (tiny) allocation
+    table; the budget arithmetic is integer-exact end to end apart
+    from the share, which is pinned through round(...,9).
+    """
+    docs = _docs(spark, sf_dir)
+    t = docs.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text")))).cast("bigint").alias("n_tok")
+    )
+    tot = t.agg(F.sum("n_tok").cast("bigint").alias("total"))
+    a = t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        F.floor(
+            100000
+            * F.round(
+                F.col("n_tok").cast("double") / F.col("total").cast("double"),
+                9,
+            )
+        )
+        .cast("bigint")
+        .alias("budget"),
+    )
+    alloc = F.least(F.col("budget"), 4 * F.col("n_tok"))
+    milli = 1000 * alloc
+    return a.select(
+        "source",
+        "n_tok",
+        "budget",
+        alloc.cast("bigint").alias("alloc"),
+        ((milli - F.pmod(milli, F.col("n_tok"))) / F.col("n_tok"))
+        .cast("bigint")
+        .alias("epochs_milli"),
+    )

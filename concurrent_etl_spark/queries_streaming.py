@@ -686,3 +686,135 @@ def q_stream_stream_join_roundtrip(
     return spark.read.parquet(sink).select(
         "user_id", "view_id", "click_id", "view_us", "click_us", "delta_ms"
     )
+
+
+@query(
+    "stream_stateful_session_roundtrip",
+    oracle="""
+    WITH s AS (SELECT user_id, ts FROM events WHERE user_id % 7 = 0),
+    wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM s),
+    o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    i AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    sess AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM i GROUP BY user_id, sid)
+    SELECT user_id,
+           CAST(epoch_us(session_start) AS BIGINT) AS start_us,
+           CAST(epoch_us(session_end) AS BIGINT) AS end_us,
+           n_events
+    FROM sess, wm
+    WHERE session_end + INTERVAL 30 MINUTE < wm.w
+    """,
+)
+def q_stream_stateful_session_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator under the oracle gate:
+    per-user sessionization via ``applyInPandasWithState`` with
+    EVENT-TIME timeouts (streaming/stateful.py). A user slice of
+    events is staged as time-ORDERED JSON chunks (ascending mtimes,
+    one file per micro-batch), so the watermark advances
+    monotonically and no event is ever late; the operator gap-splits
+    inside the fold — the emitted session set is a pure function of
+    the event times — and the event-time timeout flushes every
+    session the final watermark has passed. The oracle is the batch
+    gaps-and-islands sessionization filtered to sessions closed
+    below the final watermark (max ts - 10 min), so keyed state
+    accumulation, fold-time gap splits, timeout-driven closes, and
+    append-mode exactly-once delivery are all inside the hash.
+
+    Scale: state is one row per OPEN session, evicted on timeout —
+    bounded by concurrent users, not history; this is the custom-
+    stateful-operator contract (reference has no streaming at all).
+    Guarded build under the _DONE completion-marker discipline.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    base, done_marker = _stream_fixture_base(spark, sf_dir, "ssess")
+    src = _os.path.join(base, "src")
+    sink = _os.path.join(base, "sink")
+    ckpt = _os.path.join(base, "ckpt")
+    if not _os.path.isfile(done_marker):
+        from concurrent_etl_spark.streaming.stateful import (
+            user_sessions_event_timeout,
+        )
+
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        _shutil.rmtree(sink, ignore_errors=True)
+        _os.makedirs(src, exist_ok=True)
+        rows = (
+            _events_as_json_rows(
+                load_table(spark, sf_dir, "events").where(
+                    F.col("user_id") % 7 == 0
+                )
+            )
+            .select("user_id", "ts_raw")
+            .orderBy("ts_raw")
+            .collect()
+        )
+        n_chunks = 6
+        per = (len(rows) + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            chunk = rows[i * per : (i + 1) * per]
+            fp = _os.path.join(src, f"chunk-{i:04d}.json")
+            with open(fp, "w") as f:
+                for r in chunk:
+                    f.write(
+                        _json.dumps(
+                            {"user_id": r["user_id"], "ts_raw": r["ts_raw"]}
+                        )
+                        + "\n"
+                    )
+            # strictly increasing mtimes: the file source processes
+            # oldest-first, making batch order == event-time order
+            _os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.format("json")
+            .schema("user_id bigint, ts_raw string")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+            .select(
+                "user_id",
+                F.to_timestamp(
+                    "ts_raw", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+                ).alias("ts"),
+            )
+        )
+        sessions = user_sessions_event_timeout(
+            stream, gap_minutes=30, watermark="10 minutes"
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_stateful_session_roundtrip: availableNow run "
+                "did not finish in 300s; sink left unmarked for rebuild"
+            )
+        with open(done_marker, "w") as f:
+            f.write("ok\n")
+    return spark.read.parquet(sink).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    )

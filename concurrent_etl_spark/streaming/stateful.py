@@ -82,32 +82,43 @@ SESSIONS_STATE = "start_us bigint, end_us bigint, n bigint"
 
 
 def _sessions_fn(gap_us: int, session_tz: str = "UTC"):
+    def _rows(key, sessions: list[tuple[int, int, int]]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                # tz-aware UTC out: Arrow converts to the session
+                # timezone itself, so the emitted bounds line up
+                # with the UTC epochs kept in state under any tz
+                "session_start": [
+                    pd.Timestamp(s * 1000, tz="UTC") for s, _, _ in sessions
+                ],
+                "session_end": [
+                    pd.Timestamp(e * 1000, tz="UTC") for _, e, _ in sessions
+                ],
+                "n_events": [n for _, _, n in sessions],
+            }
+        )
+
     def fn(key, pdfs: Iterable[pd.DataFrame], state):
-        """Event-time sessionization with timeout-driven close: while
-        a user stays active their session accumulates; when the
-        WATERMARK passes last-event + gap, Spark calls this once more
-        with hasTimedOut=True and the closed session is emitted and
-        the state evicted. Emission is append-only (closed sessions
-        are immutable facts)."""
+        """Event-time sessionization, gap-split INSIDE the fold: the
+        incoming batch is merged with the open-session state and cut
+        into runs wherever consecutive event times are more than
+        ``gap`` apart. Every run except the last is a CLOSED session
+        (a later event proves the gap) and is emitted immediately;
+        only the last run stays in state, closed later either by a
+        subsequent batch or by the event-time timeout once the
+        WATERMARK passes last-event + gap. Splitting in the fold —
+        not only at timeouts — makes the emitted session set a pure
+        function of the event times, independent of how the stream
+        was micro-batched (a timeout-only fold would merge any two
+        sessions that land in one batch). Emission is append-only:
+        closed sessions are immutable facts."""
         if state.hasTimedOut:
             start_us, end_us, n = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    # tz-aware UTC out: Arrow converts to the session
-                    # timezone itself, so the emitted bounds line up
-                    # with the UTC epochs kept in state under any tz
-                    "session_start": [pd.Timestamp(start_us * 1000, tz="UTC")],
-                    "session_end": [pd.Timestamp(end_us * 1000, tz="UTC")],
-                    "n_events": [n],
-                }
-            )
+            yield _rows(key, [(start_us, end_us, n)])
             return
-        if state.exists:
-            start_us, end_us, n = state.get
-        else:
-            start_us, end_us, n = None, None, 0
+        points: list[int] = []
         for pdf in pdfs:
             # Arrow hands timestamps over rendered in the SESSION
             # timezone as tz-naive; setTimeoutTimestamp compares
@@ -118,17 +129,26 @@ def _sessions_fn(gap_us: int, session_tz: str = "UTC"):
             ts = pdf["ts"]
             if ts.dt.tz is None:
                 ts = ts.dt.tz_localize(session_tz)
-            ts_us = (ts.dt.tz_convert("UTC").astype("int64") // 1000).tolist()
-            if not ts_us:
-                continue
-            n += len(ts_us)
-            lo, hi = min(ts_us), max(ts_us)
-            start_us = lo if start_us is None else min(start_us, lo)
-            end_us = hi if end_us is None else max(end_us, hi)
-        if start_us is not None:
-            state.update((start_us, end_us, n))
+            points.extend(
+                (ts.dt.tz_convert("UTC").astype("int64") // 1000).tolist()
+            )
+        points.sort()
+        cur = tuple(state.get) if state.exists else None
+        closed: list[tuple[int, int, int]] = []
+        for t in points:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t <= cur[1] + gap_us:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            else:
+                closed.append(cur)
+                cur = (t, t, 1)
+        if closed:
+            yield _rows(key, closed)
+        if cur is not None:
+            state.update(cur)
             # close when the watermark passes last activity + gap
-            state.setTimeoutTimestamp((end_us + gap_us) // 1000)
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
         return
         yield  # pragma: no cover - make fn a generator
 
