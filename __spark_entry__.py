@@ -23,6 +23,7 @@ from concurrent_etl_spark import queries_llm2  # noqa: F401 — registers querie
 from concurrent_etl_spark import queries_llm3  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_llm4  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_llm5  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_llm6  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_mining  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_relational2  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_relational3  # noqa: F401 — registers queries
@@ -200,6 +201,9 @@ _CHECK_FIRST = [
     "warc_source_roundtrip",
     "stream_stateful_session_roundtrip",
     "token_budget_epochs",
+    "line_dedup_ccnet",
+    "c4_line_filters",
+    "bpe_merge_candidates",
 ]
 
 def _driver_verified() -> set[str]:

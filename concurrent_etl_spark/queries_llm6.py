@@ -1,0 +1,343 @@
+"""LLM training-data pipeline queries, tranche 6: line-grain curation
+and tokenizer-training statistics.
+
+Beyond-the-reference surface (the reference at ``/root/reference`` has
+no text-curation layer; its closest analogue is row-level filtering,
+case_2/Normal.py:203). These are the published line-grain passes a
+pretraining pipeline runs before/alongside document-level dedup:
+
+* CCNet line-level dedup (Wenzek et al., "CCNet: Extracting High
+  Quality Monolingual Datasets from Web Crawl Data", 2020 — public
+  paper): hash every LINE of every document, count how many distinct
+  documents each line hash appears in corpus-wide, and drop lines
+  that appear in more than one document — the pass that strips
+  navigation bars, cookie banners and boilerplate that document-level
+  MinHash cannot see (the surrounding document is unique).
+* C4-style line-filter cascade (Raffel et al., "Exploring the Limits
+  of Transfer Learning with a Unified Text-to-Text Transformer",
+  2020 — public paper, §2.2): per-line rules (minimum word count, no
+  curly brace, no "javascript", no "lorem ipsum"), then a document
+  retention rule (keep documents with >= 3 surviving lines).
+* BPE merge-candidate counting (Sennrich et al., "Neural Machine
+  Translation of Rare Words with Subword Units", 2016 — public
+  paper): the inner statistic of BPE tokenizer training — adjacent
+  symbol-pair frequencies over the word-frequency table; the
+  top-count pair is the next merge.
+
+The synthetic documents are single-line word streams, so "lines" are
+derived deterministically as fixed windows of ``_LINE_W`` consecutive
+tokens — the same pseudo-structure convention the chunking queries
+use. Duplicate lines are guaranteed by the repo's standard injected
+corpus (exact copies of doc_id < 40 re-keyed at +100000); the C4
+corpus additionally injects four eight-token documents that each trip
+exactly one literal rule.
+
+Determinism: every output value is an integer count (DuckDB integer
+SUM returns HUGEINT — final projections CAST to BIGINT per the repo
+convention); line hashes are md5 over the canonical space-joined
+token window, identical in both engines; top-k ties break on the
+pair/line string.
+
+Scale notes (100 TB): line construction is array-native per document
+(no explode-then-regroup shuffle; a collect_list regroup would also
+need an explicit sort to be deterministic). CCNet dedup is two
+shuffles: one groupBy(line_hash) to count, one join of the dup-line
+set back onto the line stream — the dup set is a small fraction of
+all lines and AQE will broadcast it when it fits; per-doc stats are a
+third map-side-combinable agg. The C4 cascade is one linear scan plus
+two one-row aggregates. BPE counting aggregates pairs over the
+DISTINCT-WORD table (vocabulary-sized, not corpus-sized) weighted by
+word frequency — the corpus-sized work is the single word-count
+shuffle; the pair fan-out is bounded by vocabulary * max word length.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.operators.text import tokens
+from concurrent_etl_spark.queries_llm import _docs, _tok
+
+#: tokens per derived line. 8 keeps multi-line documents at sf0.001
+#: (docs run ~25-110 tokens) while making natural 8-gram collisions
+#: essentially impossible — every duplicate line comes from the
+#: injected exact-copy docs, so the expected answer is auditable.
+_LINE_W = 8
+
+#: DuckDB line-array expression over a token-list expression.
+#: DuckDB ``//`` (not ``/``) — integer ``/`` returns DOUBLE and CAST
+#: rounds half-even rather than flooring; numerator is nonnegative so
+#: ``//`` matches Spark's ``div`` exactly.
+_LINES_SQL = (
+    f"list_transform(range(0, (len(tk) + {_LINE_W - 1}) // {_LINE_W}), "
+    f"i -> array_to_string(list_slice(tk, i * {_LINE_W} + 1, i * {_LINE_W} + {_LINE_W}), ' '))"
+)
+
+
+def _doc_lines(spark: SparkSession, sf_dir: str, extra=None) -> DataFrame:
+    """(doc_id, line_no, line, n_words) — fixed token windows per doc.
+
+    Array-native: slice the staged token array with transform over a
+    sequence, then ONE posexplode — no groupBy to reassemble lines.
+    """
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    if extra is not None:
+        base = base.unionByName(extra)
+    t = base.select("doc_id", tokens("text").alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    lines = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"(size(tk) + {_LINE_W - 1}) div {_LINE_W}") - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.col("tk"), i * _LINE_W + 1, _LINE_W), " "
+                ),
+            )
+        ).alias("line_no", "line"),
+    )
+    return lines.withColumn("n_words", F.size(tokens("line")))
+
+
+@query(
+    "line_dedup_ccnet",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 40
+    ),
+    tk AS (SELECT doc_id, {_tok('text')} AS tk FROM corpus),
+    lines AS (
+      SELECT doc_id, u.line,
+             len({_tok('u.line')}) AS n_words
+      FROM tk, unnest({_LINES_SQL}) AS u(line)
+    ),
+    freq AS (
+      SELECT md5(line) AS line_hash,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM lines GROUP BY md5(line)
+    )
+    SELECT l.doc_id,
+           COUNT(*) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE f.n_docs = 1) AS BIGINT) AS kept_lines,
+           CAST(COALESCE(SUM(l.n_words) FILTER (WHERE f.n_docs = 1), 0) AS BIGINT)
+             AS kept_tokens
+    FROM lines l JOIN freq f ON md5(l.line) = f.line_hash
+    GROUP BY l.doc_id
+    """,
+)
+def q_line_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line dedup: drop lines appearing in >1 document.
+
+    Per-doc retention stats over the injected-duplicate corpus: the
+    40 copied docs (and their originals) lose every line; unique docs
+    keep all of theirs. Two shuffles (line-hash count, join back) plus
+    a map-side-combinable doc rollup — at 100 TB the dup-line side of
+    the join is the small side and AQE broadcast-joins it.
+    """
+    docs = _docs(spark, sf_dir)
+    extra = docs.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    lines = _doc_lines(spark, sf_dir, extra=extra).withColumn(
+        "line_hash", F.md5("line")
+    )
+    freq = lines.groupBy("line_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    kept = F.col("n_docs") == 1
+    return (
+        lines.join(freq, "line_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(kept.cast("long")).alias("kept_lines"),
+            F.sum(F.when(kept, F.col("n_words")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+    )
+
+
+#: injected C4 probe docs: one eight-token line each, tripping exactly
+#: one literal rule (curly brace / javascript / lorem ipsum) plus one
+#: two-token doc for the minimum-word-count rule.
+_C4_PROBES = [
+    (200001, "function window var brace { code block end"),
+    (200002, "please enable javascript to view this page now"),
+    (200003, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+    (200004, "tiny line"),
+]
+_C4_PROBES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _C4_PROBES)
+
+
+@query(
+    "c4_line_filters",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES {_C4_PROBES_SQL}) probes(doc_id, text)
+    ),
+    tk AS (SELECT doc_id, {_tok('text')} AS tk FROM corpus),
+    lines AS (
+      SELECT doc_id, u.line, len({_tok('u.line')}) AS n_words
+      FROM tk, unnest({_LINES_SQL}) AS u(line)
+    ),
+    flagged AS (
+      SELECT doc_id, n_words,
+             (n_words < 5)                              AS f_short,
+             contains(line, '{{')                       AS f_brace,
+             contains(lower(line), 'javascript')        AS f_js,
+             contains(lower(line), 'lorem ipsum')       AS f_lorem
+      FROM lines
+    ),
+    l AS (
+      SELECT *, NOT (f_short OR f_brace OR f_js OR f_lorem) AS kept
+      FROM flagged
+    ),
+    line_agg AS (
+      SELECT COUNT(*) AS lines_total,
+             CAST(COUNT(*) FILTER (WHERE f_short) AS BIGINT) AS lines_short,
+             CAST(COUNT(*) FILTER (WHERE f_brace) AS BIGINT) AS lines_brace,
+             CAST(COUNT(*) FILTER (WHERE f_js) AS BIGINT) AS lines_javascript,
+             CAST(COUNT(*) FILTER (WHERE f_lorem) AS BIGINT) AS lines_lorem,
+             CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS lines_kept
+      FROM l
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             COUNT(*) FILTER (WHERE kept) AS k,
+             COALESCE(SUM(n_words) FILTER (WHERE kept), 0) AS tk_kept
+      FROM l GROUP BY doc_id
+    ),
+    doc_agg AS (
+      SELECT COUNT(*) AS docs_total,
+             CAST(COUNT(*) FILTER (WHERE k >= 3) AS BIGINT) AS docs_kept,
+             CAST(COALESCE(SUM(tk_kept) FILTER (WHERE k >= 3), 0) AS BIGINT)
+               AS tokens_kept
+      FROM per_doc
+    )
+    SELECT metric, value FROM (
+      SELECT 'lines_total' AS metric, lines_total AS value FROM line_agg
+      UNION ALL SELECT 'lines_short', lines_short FROM line_agg
+      UNION ALL SELECT 'lines_brace', lines_brace FROM line_agg
+      UNION ALL SELECT 'lines_javascript', lines_javascript FROM line_agg
+      UNION ALL SELECT 'lines_lorem', lines_lorem FROM line_agg
+      UNION ALL SELECT 'lines_kept', lines_kept FROM line_agg
+      UNION ALL SELECT 'docs_total', docs_total FROM doc_agg
+      UNION ALL SELECT 'docs_kept', docs_kept FROM doc_agg
+      UNION ALL SELECT 'tokens_kept', tokens_kept FROM doc_agg
+    )
+    """,
+)
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 line-filter cascade + >=3-surviving-lines doc rule.
+
+    One linear scan computes the per-line rule flags; the dashboard is
+    two one-row aggregates (line grain, doc grain) cross-joined and
+    unpivoted with stack() — no corpus-sized shuffle beyond the doc
+    rollup. The four injected probe docs make every literal C4 rule
+    fire at least once, so the counts are auditable.
+    """
+    extra = spark.createDataFrame(_C4_PROBES, "doc_id: long, text: string")
+    l = _doc_lines(spark, sf_dir, extra=extra).select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") < 5).alias("f_short"),
+        F.col("line").contains("{").alias("f_brace"),
+        F.lower("line").contains("javascript").alias("f_js"),
+        F.lower("line").contains("lorem ipsum").alias("f_lorem"),
+    )
+    l = l.withColumn(
+        "kept", ~(F.col("f_short") | F.col("f_brace") | F.col("f_js") | F.col("f_lorem"))
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+    line_agg = l.agg(
+        F.count(F.lit(1)).alias("lines_total"),
+        cnt("f_short").alias("lines_short"),
+        cnt("f_brace").alias("lines_brace"),
+        cnt("f_js").alias("lines_javascript"),
+        cnt("f_lorem").alias("lines_lorem"),
+        cnt("kept").alias("lines_kept"),
+    )
+    per_doc = l.groupBy("doc_id").agg(
+        F.sum(F.col("kept").cast("long")).alias("k"),
+        F.sum(F.when(F.col("kept"), F.col("n_words")).otherwise(0)).alias(
+            "tk_kept"
+        ),
+    )
+    doc_agg = per_doc.agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum((F.col("k") >= 3).cast("long")).alias("docs_kept"),
+        F.sum(F.when(F.col("k") >= 3, F.col("tk_kept")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    )
+    return line_agg.crossJoin(F.broadcast(doc_agg)).select(
+        F.expr(
+            "stack(9, "
+            "'lines_total', lines_total, 'lines_short', lines_short, "
+            "'lines_brace', lines_brace, 'lines_javascript', lines_javascript, "
+            "'lines_lorem', lines_lorem, 'lines_kept', lines_kept, "
+            "'docs_total', docs_total, 'docs_kept', docs_kept, "
+            "'tokens_kept', tokens_kept) AS (metric, value)"
+        )
+    )
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH tok AS (
+      SELECT u.token FROM documents, unnest({_tok('lower(text)')}) AS u(token)
+    ),
+    words AS (SELECT token AS word, COUNT(*) AS n FROM tok GROUP BY token),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, n
+      FROM words, unnest(range(1, length(word))) AS g(i)
+      WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 30
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training inner loop: adjacent char-pair counts, top 30.
+
+    The corpus-sized work is one word-count shuffle; pair generation
+    then runs over the DISTINCT-word table (vocabulary-sized) weighted
+    by frequency — exactly how BPE trainers avoid rescanning the
+    corpus per merge. Top-k is a TakeOrdered, tie-broken on the pair.
+    """
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "n",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(30)
+    )
