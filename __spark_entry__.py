@@ -204,6 +204,7 @@ _CHECK_FIRST = [
     "line_dedup_ccnet",
     "c4_line_filters",
     "bpe_merge_candidates",
+    "rrf_hybrid_retrieval",
 ]
 
 def _driver_verified() -> set[str]:

@@ -51,12 +51,14 @@ word frequency — the corpus-sized work is the single word-count
 shuffle; the pair fan-out is bounded by vocabulary * max word length.
 """
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.engine import load_table
+from concurrent_etl_spark.operators import similarity as S
 from concurrent_etl_spark.operators.text import tokens
-from concurrent_etl_spark.queries_llm import _docs, _tok
+from concurrent_etl_spark.queries_llm import _docs, _oracle_cos, _tok
 
 #: tokens per derived line. 8 keeps multi-line documents at sf0.001
 #: (docs run ~25-110 tokens) while making natural 8-gram collisions
@@ -340,4 +342,153 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("pair_count"))
         .orderBy(F.desc("pair_count"), "pair")
         .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval
+# ---------------------------------------------------------------------------
+
+#: RRF constant (Cormack et al., 2009 — the published default).
+_RRF_K = 60
+#: per-ranker candidate depth and fused result depth.
+_RRF_DEPTH, _RRF_TOPK = 50, 10
+
+
+@query(
+    "rrf_hybrid_retrieval",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({_tok('lower(text)')}) AS tk FROM documents
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    base AS (
+      SELECT d.doc_id AS id, d.tk, e.v FROM d JOIN e ON d.doc_id = e.vec_id
+    ),
+    q AS (SELECT id AS query_id, tk AS qtk, v AS qv FROM base WHERE id < 3),
+    sp AS (
+      SELECT q.query_id, b.id AS cand_id,
+             len(list_intersect(b.tk, q.qtk)) * 1.0
+               / len(list_distinct(b.tk || q.qtk)) AS jac
+      FROM base b CROSS JOIN q WHERE b.id <> q.query_id
+    ),
+    spr AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY jac DESC, cand_id) AS sparse_rank
+      FROM sp QUALIFY sparse_rank <= {_RRF_DEPTH}
+    ),
+    dn AS (
+      SELECT q.query_id, b.id AS cand_id,
+             {_oracle_cos('q.qv', 'b.v')} AS cos_sim
+      FROM base b CROSS JOIN q WHERE b.id <> q.query_id
+    ),
+    dnr AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, cand_id) AS dense_rank
+      FROM dn QUALIFY dense_rank <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT query_id, cand_id, s.sparse_rank, n.dense_rank,
+             COALESCE(CAST(round(1.0 / ({_RRF_K} + s.sparse_rank), 12)
+                           AS DECIMAL(24,12)), 0)
+             + COALESCE(CAST(round(1.0 / ({_RRF_K} + n.dense_rank), 12)
+                             AS DECIMAL(24,12)), 0) AS rrf_dec
+      FROM spr s FULL JOIN dnr n USING (query_id, cand_id)
+    )
+    SELECT query_id, cand_id,
+           CAST(sparse_rank AS INTEGER) AS sparse_rank,
+           CAST(dense_rank AS INTEGER) AS dense_rank,
+           round(CAST(rrf_dec AS DOUBLE), 6) AS rrf_score,
+           CAST(fr AS INTEGER) AS fused_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_dec DESC, cand_id) AS fr
+      FROM fused
+    ) WHERE fr <= {_RRF_TOPK}
+    """,
+)
+def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    2009): a sparse ranker (token-set Jaccard vs the query document)
+    and a dense ranker (embedding cosine) each produce a top-50 list
+    per query; RRF fuses them as sum(1 / (60 + rank)) and the fused
+    top-10 is returned — the standard first-stage of a modern RAG /
+    contamination-triage stack, fusing the two retrievers this
+    catalog already implements (``bm25_retrieval_topk``,
+    ``ann_topk_cosine``).
+
+    Determinism: ranks are integers with doc-id tiebreaks; each RRF
+    contribution rounds to 12 dp into DECIMAL(24,12) before the sum
+    (the repo's float-sum convention), so fusion order cannot matter.
+
+    Shape at 100 TB: the 3-query side broadcasts against the corpus
+    (query-sized cross join, corpus streams once per ranker); each
+    ranker's top-k is a window PARTITIONED on query_id (never
+    global); fusion joins two query_id-keyed top-50 lists — tiny.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(tokens(F.lower(F.col("text")))).alias("tk")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    q = base.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("tk").alias("qtk"),
+        F.col("embedding").alias("qemb"),
+    )
+
+    sp = (
+        base.crossJoin(F.broadcast(q))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("cand_id"),
+            (
+                F.size(F.array_intersect("tk", "qtk")).cast("double")
+                / F.size(F.array_union("tk", "qtk"))
+            ).alias("jac"),
+        )
+    )
+    w_s = Window.partitionBy("query_id").orderBy(F.desc("jac"), "cand_id")
+    spr = (
+        sp.withColumn("sparse_rank", F.row_number().over(w_s))
+        .where(F.col("sparse_rank") <= _RRF_DEPTH)
+        .select("query_id", "cand_id", "sparse_rank")
+    )
+
+    dnr = S.brute_force_topk(
+        base.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        q.select(F.col("query_id").alias("vec_id"), F.col("qemb").alias("embedding")),
+        k=_RRF_DEPTH,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(_RRF_K) + F.col(r)), 12).cast(
+            "decimal(24,12)"
+        ),
+        F.lit(0).cast("decimal(24,12)"),
+    )
+    fused = spr.join(dnr, ["query_id", "cand_id"], "full").withColumn(
+        "rrf_dec", contrib("sparse_rank") + contrib("dense_rank")
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf_dec"), "cand_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f))
+        .where(F.col("fused_rank") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "cand_id",
+            F.col("sparse_rank").cast("int").alias("sparse_rank"),
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+            F.round(F.col("rrf_dec").cast("double"), 6).alias("rrf_score"),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+        )
     )
