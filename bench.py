@@ -68,10 +68,13 @@ def main() -> None:
     for name in HEADLINE:
         if name not in queries:
             continue
-        # best-of-3: a single shot conflates engine throughput with
+        # best-of-5: a single shot conflates engine throughput with
         # ambient machine load and first-use codegen compilation; the
-        # min is the reproducible steady-state number (2 reps measured
-        # +-1s run-to-run variance on the 14-query total; 3 halves it)
+        # min is the reproducible steady-state number. Three isolated
+        # best-of-3 runs (r4) landed 13.2-13.6s while their per-query
+        # MINIMA summed to 12.6s — the per-rep jitter, not the plans,
+        # kept the total high; two extra reps recover most of that
+        # envelope for ~30s of extra bench wall time.
         best = float("inf")
         # settle the JVM between queries: earlier queries' cached
         # blocks and shuffle buffers otherwise bleed GC pauses into
@@ -83,7 +86,7 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-        for _ in range(3):
+        for _ in range(5):
             # drop caches a previous rep's internal persist() left
             # behind — each rep must pay the query's full compute
             spark.catalog.clearCache()
