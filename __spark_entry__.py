@@ -205,6 +205,9 @@ _CHECK_FIRST = [
     "c4_line_filters",
     "bpe_merge_candidates",
     "rrf_hybrid_retrieval",
+    "kcore_interaction_prune",
+    "skyline_pareto_parts",
+    "schema_evolution_merge_read",
 ]
 
 def _driver_verified() -> set[str]:

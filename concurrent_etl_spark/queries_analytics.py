@@ -447,3 +447,98 @@ def q_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+#: price-bucket width for the distributed skyline prefix scan.
+#: p_retailprice is the TPC-H formula 900 + (partkey % 1000)/10 —
+#: bounded in [900, 2100] at ANY scale factor, so the bucket table is
+#: at most ~240 rows however large the part table grows.
+_SKY_W = 5
+
+
+@query(
+    "skyline_pareto_parts",
+    oracle="""
+    WITH d AS (
+      SELECT p_retailprice AS retail_price, p_size,
+             CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT *, max(p_size) OVER (
+               ORDER BY retail_price ASC, p_size DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+      FROM d
+    )
+    SELECT retail_price, p_size, n_parts
+    FROM s WHERE rm IS NULL OR p_size > rm
+    """,
+)
+def q_skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size — a point survives iff no other part is at most as
+    expensive AND at least as large with one strict. Skylines are the
+    standard multi-objective shortlist operator (Borzsony/Kossmann/
+    Stocker, "The Skyline Operator", ICDE 2001 — public paper).
+
+    Beyond-the-reference surface (no analogue; nearest is row
+    filtering, case_2/Normal.py:203).
+
+    The oracle states it as the textbook sorted running max (sort by
+    price asc / size desc; survive iff size exceeds every earlier
+    size). The Spark plan computes the SAME prefix scan with no
+    global window: points are bucketed on fixed price intervals, the
+    running max within each bucket is a window PARTITIONED on the
+    bucket, and the cross-bucket prefix maxes come from a BOUNDED
+    collect of one row per bucket (<= ~240 rows at any scale, see
+    ``_SKY_W``) that re-enter the plan as a literal map — the
+    partition-offset pattern of ``global_id_assignment``.
+
+    Shape at 100 TB: one groupBy to distinct points (dominance-count
+    grain), one bucket-partitioned window, one bucket-sized collect;
+    the fact-sized data shuffles exactly twice (distinct, bucket
+    window) and no pairwise dominance join ever forms.
+    """
+    d = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(
+            F.col("p_retailprice").alias("retail_price"), F.col("p_size")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .withColumn(
+            "bucket", F.floor(F.col("retail_price") / _SKY_W).cast("long")
+        )
+        .persist()
+    )
+    # bounded collect: one row per price bucket (<= ~240 at any SF)
+    bmax = {
+        r["bucket"]: r["m"]
+        for r in d.groupBy("bucket").agg(F.max("p_size").alias("m")).collect()
+    }
+    prefix: dict[int, int] = {}
+    run = None
+    for b in sorted(bmax):
+        prefix[b] = run if run is not None else -1
+        run = bmax[b] if run is None else max(run, bmax[b])
+    pref_map = F.create_map(
+        *[F.lit(x) for kv in sorted(prefix.items()) for x in kv]
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("retail_price").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = d.select(
+        "retail_price",
+        "p_size",
+        "n_parts",
+        F.greatest(
+            F.coalesce(F.max("p_size").over(w), F.lit(-1)),
+            pref_map[F.col("bucket")],
+        ).alias("rm"),
+    )
+    return s.where(F.col("p_size") > F.col("rm")).drop("rm")

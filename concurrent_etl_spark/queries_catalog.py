@@ -2294,3 +2294,81 @@ def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return audits[0].unionByName(audits[1])
+
+
+@query(
+    "schema_evolution_merge_read",
+    oracle="""
+    SELECT 1 AS batch, s_suppkey AS suppkey, s_name AS name,
+           'L' || CAST(s_suppkey AS VARCHAR) AS legacy_code,
+           CAST(NULL AS DOUBLE) AS acctbal
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT 2 AS batch, s_suppkey, s_name,
+           CAST(NULL AS VARCHAR), s_acctbal
+    FROM supplier WHERE s_suppkey % 2 = 1
+    """,
+)
+def q_schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under the gate: two parquet batches with
+    DIFFERENT column sets — batch 1 carries a legacy column the new
+    writer dropped, batch 2 carries a column added later — land in
+    one hive-partitioned directory and are read back through
+    ``mergeSchema=true``, the evolution path every long-lived lake
+    table exercises (the reference's Excel loads assume a frozen
+    layout, case_2/Normal.py:24-40; a 100 TB corpus never has one).
+
+    The unified read must (a) union the column sets, (b) null-fill
+    each batch's missing columns, (c) recover the ``batch`` partition
+    key from the directory name. The oracle replays the same logical
+    content from the supplier view — proving the merged read loses no
+    rows and invents no values.
+
+    Shape at 100 TB: schema merge reads parquet FOOTERS, not data
+    (one task per file footer); the data scan stays one pass with
+    column pruning intact across both physical layouts.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    d = _os.path.join(_tempfile.gettempdir(), "ces_schevo", tag)
+    done = _os.path.join(d, "_DONE")
+    if not _os.path.exists(done):
+        _shutil.rmtree(d, ignore_errors=True)
+        _os.makedirs(d, exist_ok=True)
+        sup = load_table(spark, sf_dir, "supplier")
+        b1 = sup.where(F.col("s_suppkey") % 2 == 0).select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.concat(F.lit("L"), F.col("s_suppkey").cast("string")).alias(
+                "legacy_code"
+            ),
+        )
+        b2 = sup.where(F.col("s_suppkey") % 2 == 1).select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+        b1.write.mode("overwrite").parquet(_os.path.join(d, "batch=1"))
+        b2.write.mode("overwrite").parquet(_os.path.join(d, "batch=2"))
+        with open(done, "w") as f:
+            f.write("ok")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", d)
+        .parquet(_os.path.join(d, "batch=1"), _os.path.join(d, "batch=2"))
+    )
+    return merged.select(
+        F.col("batch").cast("int").alias("batch"),
+        "suppkey",
+        "name",
+        "legacy_code",
+        "acctbal",
+    )

@@ -258,3 +258,92 @@ def q_bfs_bipartite_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lvl(c2, "c", 2))
         .unionByName(lvl(s3, "s", 3))
     )
+
+
+# ---------------------------------------------------------------------------
+# bipartite k-core pruning
+# ---------------------------------------------------------------------------
+
+#: k-core threshold and fixed peel rounds. Peeling is defined as
+#: exactly ``_KCORE_R`` simultaneous-removal rounds (not run to
+#: fixpoint): both engines execute the identical bounded recursion,
+#: so the comparison is exact even where the peel has not converged.
+_KCORE_K = 5
+_KCORE_R = 4
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        "e0 AS (SELECT DISTINCT o.o_custkey AS u, l.l_suppkey AS v"
+        "       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)"
+    ]
+    for r in range(1, _KCORE_R + 1):
+        p = f"e{r - 1}"
+        ctes.append(
+            f"e{r} AS (SELECT e.u, e.v FROM {p} e"
+            f" JOIN (SELECT u FROM {p} GROUP BY u"
+            f"       HAVING COUNT(*) >= {_KCORE_K}) du ON e.u = du.u"
+            f" JOIN (SELECT v FROM {p} GROUP BY v"
+            f"       HAVING COUNT(*) >= {_KCORE_K}) dv ON e.v = dv.v)"
+        )
+    stats = " UNION ALL ".join(
+        f"SELECT {r} AS peel_round, CAST(COUNT(*) AS BIGINT) AS n_edges,"
+        f" CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users,"
+        f" CAST(COUNT(DISTINCT v) AS BIGINT) AS n_items FROM e{r}"
+        for r in range(_KCORE_R + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + stats
+
+
+@query("kcore_interaction_prune", oracle=_kcore_oracle())
+def q_kcore_interaction_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite k-core pruning of the customer-supplier interaction
+    graph — the iterative degree filter recommender / interaction
+    datasets are cleaned with before training (drop users with < k
+    distinct items AND items with < k distinct users, repeat): 4
+    simultaneous-removal rounds at k=5, reporting the per-round
+    (edges, users, items) survival curve.
+
+    The reference has no graph layer (closest: row filters,
+    case_2/Normal.py:203); published precedent is the standard k-core
+    preprocessing of collaborative-filtering corpora.
+
+    Shape at 100 TB: each round is two degree aggregations (map-side
+    combinable, keyed on each side of the edge) and two semi-join
+    filters back onto the edge list — no pairwise expansion anywhere;
+    every per-round edge set is persisted so round r+1 and the stats
+    row both read it once. Rounds are a FIXED unroll (the oracle
+    chains the same CTEs); production fixpoint looping adds a
+    converged-check on the same plan.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("u")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v")
+    )
+    e = o.join(li, "ok").select("u", "v").distinct().persist()
+    out = []
+    for r in range(_KCORE_R + 1):
+        out.append(
+            e.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+                F.countDistinct("u").cast("bigint").alias("n_users"),
+                F.countDistinct("v").cast("bigint").alias("n_items"),
+            ).select(
+                F.lit(r).alias("peel_round"), "n_edges", "n_users", "n_items"
+            )
+        )
+        if r < _KCORE_R:
+            du = e.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+            dv = e.groupBy("v").agg(F.count(F.lit(1)).alias("dv"))
+            e = (
+                e.join(du.where(F.col("du") >= _KCORE_K).select("u"), "u")
+                .join(dv.where(F.col("dv") >= _KCORE_K).select("v"), "v")
+                .select("u", "v")
+                .persist()
+            )
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res

@@ -261,10 +261,47 @@ def register(spark) -> None:
     conf the engine session sets at build time. All pins are SQLConf
     (runtime-settable); see ``engine.SESSION_PINS``.
     """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     from concurrent_etl_spark.engine import pin_session_confs
 
     pin_session_confs(spark)
-    spark.dataSource.register(TxnTableDataSource)
+    try:
+        spark.dataSource.register(TxnTableDataSource)
+    except AnalysisException as e:
+        # Spark 4.1 asymmetry (observed here): the duplicate check in
+        # registerPython consults state shared across sessions, while
+        # format-name LOOKUP consults the per-session
+        # sessionState.dataSourceManager. A newSession() of a session
+        # that already registered therefore gets ALREADY_EXISTS on
+        # register yet DATA_SOURCE_NOT_FOUND on read. Recover by
+        # probing THIS session's manager and, if the name is truly
+        # absent there, registering straight into it — the same
+        # UserDefinedPythonDataSource construction pyspark's
+        # register() performs, minus the shared duplicate check.
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
+        try:
+            mgr = spark._jsparkSession.sessionState().dataSourceManager()
+            if mgr.dataSourceExists(TxnTableDataSource.name()):
+                return  # genuinely registered on this session
+            from pyspark.sql.udf import _wrap_function
+
+            sc = spark.sparkContext
+            wrapped = _wrap_function(sc, TxnTableDataSource)
+            jds = getattr(
+                sc._jvm,
+                "org.apache.spark.sql.execution.datasources.v2."
+                "python.UserDefinedPythonDataSource",
+            )(wrapped)
+            mgr.registerDataSource(TxnTableDataSource.name(), jds)
+        except AnalysisException:
+            raise
+        except Exception:
+            # Spark Connect (no _jsparkSession) or private-API drift:
+            # the shared-check says registered — proceed and let the
+            # read surface any real resolution failure.
+            pass
 
 
 class _FileCommit(WriterCommitMessage):
