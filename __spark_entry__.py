@@ -208,6 +208,7 @@ _CHECK_FIRST = [
     "kcore_interaction_prune",
     "skyline_pareto_parts",
     "schema_evolution_merge_read",
+    "retrieval_eval_ndcg",
 ]
 
 def _driver_verified() -> set[str]:

@@ -346,7 +346,7 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# hybrid retrieval
+# hybrid retrieval + ranking evaluation
 # ---------------------------------------------------------------------------
 
 #: RRF constant (Cormack et al., 2009 — the published default).
@@ -354,11 +354,12 @@ _RRF_K = 60
 #: per-ranker candidate depth and fused result depth.
 _RRF_DEPTH, _RRF_TOPK = 50, 10
 
-
-@query(
-    "rrf_hybrid_retrieval",
-    oracle=f"""
-    WITH d AS (
+#: shared oracle core: the docs∩embeddings base, the 3 query docs,
+#: the sparse (token-Jaccard) and dense (cosine) rankings, and the
+#: RRF-fused ranking. ``rrf_hybrid_retrieval`` projects the fused
+#: top-k; ``retrieval_eval_ndcg`` scores all three rankers against
+#: label relevance.
+_RRF_CORE_SQL = f"""d AS (
       SELECT doc_id, list_distinct({_tok('lower(text)')}) AS tk FROM documents
     ),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -396,38 +397,17 @@ _RRF_DEPTH, _RRF_TOPK = 50, 10
              + COALESCE(CAST(round(1.0 / ({_RRF_K} + n.dense_rank), 12)
                              AS DECIMAL(24,12)), 0) AS rrf_dec
       FROM spr s FULL JOIN dnr n USING (query_id, cand_id)
-    )
-    SELECT query_id, cand_id,
-           CAST(sparse_rank AS INTEGER) AS sparse_rank,
-           CAST(dense_rank AS INTEGER) AS dense_rank,
-           round(CAST(rrf_dec AS DOUBLE), 6) AS rrf_score,
-           CAST(fr AS INTEGER) AS fused_rank
-    FROM (
+    ),
+    fused_ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY rrf_dec DESC, cand_id) AS fr
       FROM fused
-    ) WHERE fr <= {_RRF_TOPK}
-    """,
-)
-def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
-    2009): a sparse ranker (token-set Jaccard vs the query document)
-    and a dense ranker (embedding cosine) each produce a top-50 list
-    per query; RRF fuses them as sum(1 / (60 + rank)) and the fused
-    top-10 is returned — the standard first-stage of a modern RAG /
-    contamination-triage stack, fusing the two retrievers this
-    catalog already implements (``bm25_retrieval_topk``,
-    ``ann_topk_cosine``).
+    )"""
 
-    Determinism: ranks are integers with doc-id tiebreaks; each RRF
-    contribution rounds to 12 dp into DECIMAL(24,12) before the sum
-    (the repo's float-sum convention), so fusion order cannot matter.
 
-    Shape at 100 TB: the 3-query side broadcasts against the corpus
-    (query-sized cross join, corpus streams once per ranker); each
-    ranker's top-k is a window PARTITIONED on query_id (never
-    global); fusion joins two query_id-keyed top-50 lists — tiny.
-    """
+def _rrf_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Spark twin of ``_RRF_CORE_SQL``: returns the base corpus, the
+    query side, both depth-50 rankings, and the fused ranking."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.array_distinct(tokens(F.lower(F.col("text")))).alias("tk")
     )
@@ -480,15 +460,242 @@ def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf_dec", contrib("sparse_rank") + contrib("dense_rank")
     )
     w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf_dec"), "cand_id")
+    fused_ranked = fused.withColumn("fr", F.row_number().over(w_f))
+    return {"base": base, "q": q, "spr": spr, "dnr": dnr, "fused": fused_ranked}
+
+
+@query(
+    "rrf_hybrid_retrieval",
+    oracle=f"""
+    WITH {_RRF_CORE_SQL}
+    SELECT query_id, cand_id,
+           CAST(sparse_rank AS INTEGER) AS sparse_rank,
+           CAST(dense_rank AS INTEGER) AS dense_rank,
+           round(CAST(rrf_dec AS DOUBLE), 6) AS rrf_score,
+           CAST(fr AS INTEGER) AS fused_rank
+    FROM fused_ranked WHERE fr <= {_RRF_TOPK}
+    """,
+)
+def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    2009): a sparse ranker (token-set Jaccard vs the query document)
+    and a dense ranker (embedding cosine) each produce a top-50 list
+    per query; RRF fuses them as sum(1 / (60 + rank)) and the fused
+    top-10 is returned — the standard first-stage of a modern RAG /
+    contamination-triage stack, fusing the two retrievers this
+    catalog already implements (``bm25_retrieval_topk``,
+    ``ann_topk_cosine``).
+
+    Determinism: ranks are integers with doc-id tiebreaks; each RRF
+    contribution rounds to 12 dp into DECIMAL(24,12) before the sum
+    (the repo's float-sum convention), so fusion order cannot matter.
+
+    Shape at 100 TB: the 3-query side broadcasts against the corpus
+    (query-sized cross join, corpus streams once per ranker); each
+    ranker's top-k is a window PARTITIONED on query_id (never
+    global); fusion joins two query_id-keyed top-50 lists — tiny.
+    """
+    fr = _rrf_frames(spark, sf_dir)["fused"]
+    return fr.where(F.col("fr") <= _RRF_TOPK).select(
+        "query_id",
+        "cand_id",
+        F.col("sparse_rank").cast("int").alias("sparse_rank"),
+        F.col("dense_rank").cast("int").alias("dense_rank"),
+        F.round(F.col("rrf_dec").cast("double"), 6).alias("rrf_score"),
+        F.col("fr").cast("int").alias("fused_rank"),
+    )
+
+
+def _dec_case(col: str, mapping: dict[int, str], default: str = "0") -> str:
+    """CASE expression mapping an integer column to DECIMAL(24,12)
+    literals — identical text runs on Spark (F.expr) and DuckDB, so
+    every transcendental (log2 discounts, reciprocal ranks) enters
+    BOTH engines as the same pre-computed literal and cross-engine
+    float drift is impossible by construction."""
+    whens = " ".join(
+        f"WHEN {k} THEN CAST('{v}' AS DECIMAL(24,12))"
+        for k, v in sorted(mapping.items())
+    )
     return (
-        fused.withColumn("fused_rank", F.row_number().over(w_f))
-        .where(F.col("fused_rank") <= _RRF_TOPK)
+        f"CASE {col} {whens} ELSE CAST('{default}' AS DECIMAL(24,12)) END"
+    )
+
+
+def _eval_literals() -> tuple[dict[int, str], dict[int, str], dict[int, str]]:
+    import math
+    from decimal import Decimal
+
+    disc = {
+        i: f"{round(1.0 / math.log2(i + 1), 12):.12f}"
+        for i in range(1, _RRF_TOPK + 1)
+    }
+    cum: dict[int, str] = {}
+    acc = Decimal(0)
+    for i in range(1, _RRF_TOPK + 1):
+        acc += Decimal(disc[i])
+        cum[i] = str(acc)
+    mrr = {i: f"{round(1.0 / i, 12):.12f}" for i in range(1, _RRF_TOPK + 1)}
+    return disc, cum, mrr
+
+
+_DISC, _CUM, _MRR = _eval_literals()
+
+
+@query(
+    "retrieval_eval_ndcg",
+    oracle=f"""
+    WITH {_RRF_CORE_SQL},
+    rankings AS (
+      SELECT query_id, cand_id, 'sparse' AS ranker, sparse_rank AS rk
+      FROM spr WHERE sparse_rank <= {_RRF_TOPK}
+      UNION ALL
+      SELECT query_id, cand_id, 'dense', dense_rank
+      FROM dnr WHERE dense_rank <= {_RRF_TOPK}
+      UNION ALL
+      SELECT query_id, cand_id, 'fused', fr
+      FROM fused_ranked WHERE fr <= {_RRF_TOPK}
+    ),
+    lab AS (SELECT vec_id AS id, label FROM embeddings),
+    qlab AS (
+      SELECT q.query_id, lab.label AS qlabel
+      FROM q JOIN lab ON q.query_id = lab.id
+    ),
+    nrel AS (
+      SELECT ql.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM base b JOIN lab lb ON b.id = lb.id
+                  JOIN qlab ql ON lb.label = ql.qlabel
+      WHERE b.id <> ql.query_id
+      GROUP BY ql.query_id
+    ),
+    scored AS (
+      SELECT r.query_id, r.ranker, r.rk,
+             CASE WHEN lb.label = ql.qlabel THEN 1 ELSE 0 END AS rel
+      FROM rankings r
+      JOIN lab lb ON r.cand_id = lb.id
+      JOIN qlab ql ON r.query_id = ql.query_id
+    ),
+    m AS (
+      SELECT query_id, ranker,
+             CAST(SUM(rel) AS BIGINT) AS rel_in_topk,
+             SUM(CASE WHEN rel = 1
+                      THEN {_dec_case('rk', _DISC)}
+                      ELSE CAST('0' AS DECIMAL(24,12)) END) AS dcg_dec,
+             COALESCE(MAX(CASE WHEN rel = 1
+                               THEN {_dec_case('rk', _MRR)} END),
+                      CAST('0' AS DECIMAL(24,12))) AS mrr_dec
+      FROM scored GROUP BY query_id, ranker
+    )
+    SELECT m.query_id, m.ranker, n.n_rel, m.rel_in_topk,
+           round(m.rel_in_topk / 10.0, 6) AS prec_at_10,
+           round(CAST(m.mrr_dec AS DOUBLE), 6) AS mrr,
+           round(CAST(m.dcg_dec AS DOUBLE)
+                 / CAST({_dec_case(f'LEAST(n.n_rel, {_RRF_TOPK})', _CUM, '1')}
+                        AS DOUBLE), 6) AS ndcg
+    FROM m JOIN nrel n ON m.query_id = n.query_id
+    """,
+)
+def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metric evaluation of the three retrievers — precision@10,
+    MRR and nDCG@10 per (query, ranker), with relevance = shared
+    embedding label (the standard labeled-benchmark protocol; TREC's
+    binary-relevance formulation). The dashboard a pipeline uses to
+    decide WHICH retriever (sparse / dense / fused) curates its
+    corpus.
+
+    Every transcendental enters both engines as the same precomputed
+    DECIMAL literal (``_dec_case``): DCG position discounts
+    1/log2(rank+1), their ideal-DCG prefix sums, and reciprocal
+    ranks — so the only floating-point ops are two final divisions of
+    identical operands. nDCG divides by the ideal DCG of
+    min(n_relevant, 10) positions.
+
+    Shape at 100 TB: rankings are the RRF core's (query-count x 50)
+    lists; label joins key on candidate id (broadcast — the label
+    side is corpus-sized but arrives pre-filtered to ranked
+    candidates); the relevant-pool count is one map-side-combinable
+    agg over the base corpus.
+    """
+    f = _rrf_frames(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = emb.select(F.col("vec_id").alias("id"), "label")
+    qlab = (
+        f["q"]
+        .select("query_id")
+        .join(lab, F.col("query_id") == F.col("id"))
+        .select("query_id", F.col("label").alias("qlabel"))
+    )
+    nrel = (
+        f["base"]
+        .select(F.col("doc_id").alias("id"))
+        .join(lab, "id")
+        .crossJoin(F.broadcast(qlab))
+        .where(
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("id") != F.col("query_id"))
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    rankings = (
+        f["spr"]
+        .where(F.col("sparse_rank") <= _RRF_TOPK)
         .select(
             "query_id",
             "cand_id",
-            F.col("sparse_rank").cast("int").alias("sparse_rank"),
-            F.col("dense_rank").cast("int").alias("dense_rank"),
-            F.round(F.col("rrf_dec").cast("double"), 6).alias("rrf_score"),
-            F.col("fused_rank").cast("int").alias("fused_rank"),
+            F.lit("sparse").alias("ranker"),
+            F.col("sparse_rank").alias("rk"),
         )
+        .unionByName(
+            f["dnr"]
+            .where(F.col("dense_rank") <= _RRF_TOPK)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit("dense").alias("ranker"),
+                F.col("dense_rank").alias("rk"),
+            )
+        )
+        .unionByName(
+            f["fused"]
+            .where(F.col("fr") <= _RRF_TOPK)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit("fused").alias("ranker"),
+                F.col("fr").alias("rk"),
+            )
+        )
+    )
+    scored = (
+        rankings.join(F.broadcast(lab), rankings["cand_id"] == lab["id"])
+        .drop("id")
+        .join(F.broadcast(qlab), "query_id")
+        .withColumn(
+            "rel", (F.col("label") == F.col("qlabel")).cast("int")
+        )
+    )
+    zero = F.expr("CAST('0' AS DECIMAL(24,12))")
+    m = scored.groupBy("query_id", "ranker").agg(
+        F.sum("rel").cast("bigint").alias("rel_in_topk"),
+        F.sum(
+            F.when(F.col("rel") == 1, F.expr(_dec_case("rk", _DISC))).otherwise(
+                zero
+            )
+        ).alias("dcg_dec"),
+        F.coalesce(
+            F.max(F.when(F.col("rel") == 1, F.expr(_dec_case("rk", _MRR)))),
+            zero,
+        ).alias("mrr_dec"),
+    )
+    idcg = F.expr(
+        _dec_case(f"LEAST(n_rel, {_RRF_TOPK})", _CUM, "1")
+    ).cast("double")
+    return m.join(F.broadcast(nrel), "query_id").select(
+        "query_id",
+        "ranker",
+        "n_rel",
+        "rel_in_topk",
+        F.round(F.col("rel_in_topk") / 10.0, 6).alias("prec_at_10"),
+        F.round(F.col("mrr_dec").cast("double"), 6).alias("mrr"),
+        F.round(F.col("dcg_dec").cast("double") / idcg, 6).alias("ndcg"),
     )

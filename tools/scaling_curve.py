@@ -38,6 +38,13 @@ QUERIES = [
     # both should track input size linearly
     "kmeans_embedding_clusters",
     "gd_quality_classifier",
+    # round-4 tranche: corpus-wide line-hash dedup (two shuffles +
+    # doc rollup), fixed-round bipartite degree peeling (fact-sized
+    # semi-joins per round), and the bucketed skyline prefix scan
+    # (distinct + one partitioned window + bucket-sized collect)
+    "line_dedup_ccnet",
+    "kcore_interaction_prune",
+    "skyline_pareto_parts",
 ]
 
 SF_DIRS = {
