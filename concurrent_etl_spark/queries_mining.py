@@ -310,11 +310,15 @@ def q_kcore_interaction_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: each round is two degree aggregations (map-side
     combinable, keyed on each side of the edge) and two semi-join
-    filters back onto the edge list — no pairwise expansion anywhere;
-    every per-round edge set is persisted so round r+1 and the stats
-    row both read it once. Rounds are a FIXED unroll (the oracle
-    chains the same CTEs); production fixpoint looping adds a
-    converged-check on the same plan.
+    filters back onto the edge list — no pairwise expansion anywhere.
+    Each round's edge set is persisted, its ONE-ROW stats aggregate is
+    collected eagerly (the bounded per-iteration driver collect the
+    k-means/GD operators also make — here 5 rows total), and the
+    previous round unpersists as soon as the next is materialized, so
+    the returned plan is a 5-row local table instead of an
+    exponentially re-planned union of the whole peel lineage. Rounds
+    are a FIXED unroll (the oracle chains the same CTEs); production
+    fixpoint looping adds a converged-check on the same plan.
     """
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("u")
@@ -323,27 +327,31 @@ def q_kcore_interaction_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v")
     )
     e = o.join(li, "ok").select("u", "v").distinct().persist()
-    out = []
-    for r in range(_KCORE_R + 1):
-        out.append(
-            e.agg(
+    stats: list[tuple[int, int, int, int]] = []
+    try:
+        for r in range(_KCORE_R + 1):
+            row = e.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_edges"),
                 F.countDistinct("u").cast("bigint").alias("n_users"),
                 F.countDistinct("v").cast("bigint").alias("n_items"),
-            ).select(
-                F.lit(r).alias("peel_round"), "n_edges", "n_users", "n_items"
+            ).first()
+            stats.append(
+                (r, row["n_edges"], row["n_users"], row["n_items"])
             )
-        )
-        if r < _KCORE_R:
-            du = e.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
-            dv = e.groupBy("v").agg(F.count(F.lit(1)).alias("dv"))
-            e = (
-                e.join(du.where(F.col("du") >= _KCORE_K).select("u"), "u")
-                .join(dv.where(F.col("dv") >= _KCORE_K).select("v"), "v")
-                .select("u", "v")
-                .persist()
-            )
-    res = out[0]
-    for s in out[1:]:
-        res = res.unionByName(s)
-    return res
+            if r < _KCORE_R:
+                du = e.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+                dv = e.groupBy("v").agg(F.count(F.lit(1)).alias("dv"))
+                nxt = (
+                    e.join(du.where(F.col("du") >= _KCORE_K).select("u"), "u")
+                    .join(dv.where(F.col("dv") >= _KCORE_K).select("v"), "v")
+                    .select("u", "v")
+                    .persist()
+                )
+                nxt.count()  # materialize before dropping the parent
+                e.unpersist()
+                e = nxt
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(
+        stats, "peel_round: int, n_edges: long, n_users: long, n_items: long"
+    )
