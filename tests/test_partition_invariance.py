@@ -59,6 +59,22 @@ SPOT_CHECK = [
     # third tranche: collect_list ordering, multi-detector composition
     "sequence_pattern_match",
     "dedup_detector_agreement",
+    # round-4: DSIR's decimal log-ratio sums, temperature quotas from
+    # decimal sqrt, silhouette's decimal means, RRF's decimal fusion
+    # and the eval's literal-DECIMAL metrics, the skyline's bucketed
+    # prefix max (partitioning-shaped by construction), BPE's global
+    # top-k tie-break, line dedup's join-through counts, k-core's
+    # fixed-round peel
+    "dsir_importance_resample",
+    "temperature_resample_mixture",
+    "cluster_silhouette_eval",
+    "token_budget_epochs",
+    "line_dedup_ccnet",
+    "bpe_merge_candidates",
+    "rrf_hybrid_retrieval",
+    "retrieval_eval_ndcg",
+    "skyline_pareto_parts",
+    "kcore_interaction_prune",
 ]
 
 
