@@ -209,6 +209,7 @@ _CHECK_FIRST = [
     "skyline_pareto_parts",
     "schema_evolution_merge_read",
     "retrieval_eval_ndcg",
+    "classifier_calibration_bins",
 ]
 
 def _driver_verified() -> set[str]:

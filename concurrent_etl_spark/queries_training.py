@@ -216,3 +216,67 @@ def q_global_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1
         ).alias("global_id"),
     )
+
+
+@query(
+    "classifier_calibration_bins",
+    oracle=f"""
+    WITH {_gd_oracle()},
+    scored AS (
+      SELECT f.y, ({TR.P} * (({TR.W} + abs(z_)) + z_))
+                  // (2 * ({TR.W} + abs(z_))) AS p
+      FROM (SELECT f.*, {" + ".join(f"w.w{j} * f.x{j}" for j in range(4))} AS z_
+            FROM feats f CROSS JOIN w{_ITERS} w) f)
+    SELECT CAST(p * 10 // {TR.P + 1} AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+           round(CAST(SUM(p) AS DOUBLE) / COUNT(*) / {TR.P}, 6) AS mean_p
+    FROM scored GROUP BY 1
+    """,
+)
+def q_classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the trained quality probe: P-scaled
+    fast-sigmoid probabilities bucketed into 10 fixed bins, each with
+    its empirical positive rate vs mean predicted probability — the
+    calibration check (Guo et al., "On Calibration of Modern Neural
+    Networks", 2017 — public paper) a pipeline runs before using a
+    classifier's scores as sampling weights rather than as a hard
+    threshold.
+
+    Everything is exact integer arithmetic up to two final double
+    divisions of identical operands: the model re-trains through the
+    same bounded 1-row-per-iteration GD collects, probabilities are
+    P-scaled longs, and the bin index is a truncating division of
+    nonnegative ints (floor == truncate on both engines).
+
+    Shape at 100 TB: _ITERS training scans (each a narrow map + one
+    map-side-combinable 1-row aggregate) + ONE scoring scan into a
+    10-row groupBy. The model never leaves plan literals.
+    """
+    feats = _features(spark, sf_dir).persist()
+    weights = TR.gd_train(feats, _FEATS, "y", _ITERS, _LR_SHIFT)
+    z = TR.z_expr([F.col(c) for c in _FEATS], weights)
+    p = TR.p_scaled(z)
+    return (
+        feats.select(
+            "y",
+            p.alias("p"),
+        )
+        .withColumn(
+            "bin",
+            TR.floor_div(F.col("p") * 10, F.lit(TR.P + 1)).cast("int"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+            F.round(
+                F.sum("p").cast("double") / F.count(F.lit(1)) / F.lit(TR.P),
+                6,
+            ).alias("mean_p"),
+        )
+    )
