@@ -210,6 +210,7 @@ _CHECK_FIRST = [
     "schema_evolution_merge_read",
     "retrieval_eval_ndcg",
     "classifier_calibration_bins",
+    "video_scene_cuts",
 ]
 
 def _driver_verified() -> set[str]:

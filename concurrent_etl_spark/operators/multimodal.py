@@ -1122,3 +1122,110 @@ def _arrow_feature_batches(batches):
 def extract_features_arrow(media: DataFrame) -> DataFrame:
     """mapInArrow feature extraction over (doc_id, payload, modality)."""
     return media.mapInArrow(_arrow_feature_batches, ARROW_FEATURE_SCHEMA)
+
+
+def y4m_bytes_scene(doc_id: int) -> bytes:
+    """Deterministic C444 Y4M clip WITH a scene cut: same geometry as
+    ``y4m_bytes`` but every sample from frame ``cut`` onward jumps by
+    +128 (mod 256) — the luminance discontinuity a shot boundary
+    produces. cut = 1 + doc_id % (nf - 1) lands strictly inside the
+    clip for every nf >= 2."""
+    w, h, nf = 4 + doc_id % 5, 2 + doc_id % 3, 2 + doc_id % 4
+    cut = 1 + doc_id % (nf - 1)
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode())
+    for f in range(nf):
+        out += b"FRAME\n"
+        jump = 128 if f >= cut else 0
+        for plane in range(3):
+            for yy in range(h):
+                for xx in range(w):
+                    out.append(
+                        (_y4m_sample(xx, yy, f, doc_id, plane) + jump) % 256
+                    )
+    return bytes(out)
+
+
+def synthesize_y4m_scene(
+    docs: DataFrame, every: int = 4, phase: int = 1
+) -> DataFrame:
+    """(doc_id, payload) of scene-cut Y4M clips for doc_id % every == phase."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"] if d % every == phase]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [y4m_bytes_scene(d) for d in ids]}
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+def y4m_motion_stats(buf: bytes) -> list[tuple[int, int, int]]:
+    """Real temporal video analysis through the demuxer: per frame
+    transition (f-1 -> f), the CIRCULAR sum of absolute differences
+    min(|a-b|, 256-|a-b|) over all samples of all three planes —
+    integer-exact frame-difference energy. Returns
+    (frame_idx, n_samples, sad_circ) for f >= 1."""
+    nl = buf.index(b"\n")
+    parts = buf[:nl].decode().split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a Y4M stream")
+    w = h = None
+    for tag in parts[1:]:
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+    if w is None or h is None:
+        raise ValueError("missing dimensions")
+    frame_bytes = 3 * w * h
+    pos = nl + 1
+    prev: bytes | None = None
+    out: list[tuple[int, int, int]] = []
+    fi = 0
+    while pos < len(buf):
+        fnl = buf.index(b"\n", pos)
+        if not buf[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("missing FRAME marker")
+        pos = fnl + 1
+        cur = buf[pos : pos + frame_bytes]
+        pos += frame_bytes
+        if prev is not None:
+            sad = 0
+            for a, b in zip(cur, prev):
+                d = a - b if a >= b else b - a
+                sad += d if d <= 256 - d else 256 - d
+            out.append((fi, frame_bytes, sad))
+        prev = cur
+        fi += 1
+    return out
+
+
+MOTION_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_px", LongType()),
+        StructField("sad_circ", LongType()),
+    ]
+)
+
+
+def y4m_motion_features(media: DataFrame) -> DataFrame:
+    """1 clip -> (nf - 1) frame-transition rows of circular SAD."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in MOTION_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for fi, npx, sad in y4m_motion_stats(bytes(payload)):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(fi)
+                    rows["n_px"].append(npx)
+                    rows["sad_circ"].append(sad)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, MOTION_SCHEMA)

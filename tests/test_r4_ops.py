@@ -152,3 +152,19 @@ class TestSchemaEvolutionMergeRead:
                 assert r["batch"] == 2
                 assert r["legacy_code"] is None
                 assert r["acctbal"] is not None
+
+
+class TestVideoSceneCuts:
+    def test_exactly_one_cut_per_clip(self, spark):
+        rows = _rows(spark, "video_scene_cuts")
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert by_doc
+        for doc_id, rs in by_doc.items():
+            cuts = [r for r in rs if r["is_cut"]]
+            assert len(cuts) == 1, doc_id
+            # calm transitions: exactly 13 per sample of raster drift
+            for r in rs:
+                if not r["is_cut"]:
+                    assert r["sad_circ"] == 13 * r["n_px"], doc_id
