@@ -211,6 +211,7 @@ _CHECK_FIRST = [
     "retrieval_eval_ndcg",
     "classifier_calibration_bins",
     "video_scene_cuts",
+    "er_blocked_fuzzy_match",
 ]
 
 def _driver_verified() -> set[str]:
