@@ -160,6 +160,10 @@ class TestSideEffectfulQueryIdempotence:
             "pyds_txn_source_roundtrip",
             "partitioned_merge_audit",
             "compaction_audit",
+            # round-4 guarded builds: two-batch parquet evolution dir,
+            # WARC archive fixture
+            "schema_evolution_merge_read",
+            "warc_source_roundtrip",
         ]:
             first = sorted(
                 tuple(r) for r in q[name](spark, "/root/testdata/sf0.001").collect()
