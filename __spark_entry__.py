@@ -212,6 +212,7 @@ _CHECK_FIRST = [
     "classifier_calibration_bins",
     "video_scene_cuts",
     "er_blocked_fuzzy_match",
+    "cusum_mean_shift",
 ]
 
 def _driver_verified() -> set[str]:

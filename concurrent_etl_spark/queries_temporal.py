@@ -572,3 +572,116 @@ def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_valid_from").alias("valid_from"),
         F.col("v_valid_to").alias("valid_to"),
     )
+
+
+#: CUSUM alarm threshold in value units (the events `value` column
+#: runs 0..~330 with mean ~50; per-user mean drift of ~10 units over
+#: tens of events crosses 200 while noise does not).
+_CUSUM_H = 200
+
+
+@query(
+    "cusum_mean_shift",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,4)) AS n,
+             SUM(CAST(value AS DECIMAL(18,4))) AS tot
+      FROM events),
+    s AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             g.n * CAST(value AS DECIMAL(18,4)) - g.tot AS d,
+             g.n AS n
+      FROM events, g),
+    p AS (
+      SELECT user_id, t_us, event_id, n,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS pf
+      FROM s),
+    c AS (
+      SELECT user_id, n,
+             pf - MIN(pf) OVER w AS cu_pos,
+             MAX(pf) OVER w - pf AS cu_neg
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE cu_pos > {_CUSUM_H} * n) AS BIGINT)
+             AS n_alarms_up,
+           CAST(COUNT(*) FILTER (WHERE cu_neg > {_CUSUM_H} * n) AS BIGINT)
+             AS n_alarms_down,
+           CAST(MAX(cu_pos) * 10000 AS BIGINT) // CAST(MIN(n) AS BIGINT)
+             AS max_cusum_up_e4,
+           CAST(MAX(cu_neg) * 10000 AS BIGINT) // CAST(MIN(n) AS BIGINT)
+             AS max_cusum_down_e4
+    FROM c GROUP BY user_id
+    """,
+)
+def q_cusum_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM mean-shift detection per user (Page 1954 —
+    the classic sequential changepoint statistic): the running
+    deviation-from-global-mean sum, reset at its running extremum.
+    The textbook recurrence S_k = max(0, S_{{k-1}} + d_k) looks
+    sequential, but the prefix-min identity S_k = P_k - min_{{j<=k}}
+    P_j turns it into TWO stacked partitioned window scans — no
+    recursion, no applyInPandas, fully parallel across users.
+
+    Division-free exactness: deviations are scaled by the global
+    count (d = n*x - total, all DECIMAL multiplication — no mean
+    division anywhere), so every cumulative value is exact and the
+    alarm comparison n-scales the threshold. Even the reported maxima
+    stay integer-exact: value-units x 1e4, via truncating division of
+    nonnegative integers (floor == truncate on both engines) — a
+    6-dp double round here measurably hit a half-way tie at sf0.1.
+    DECIMAL(38,4) headroom bounds the n-scaled prefix sums up to
+    n ~ 1e15 events; beyond that production drops the n-scaling for
+    one exact mean division.
+
+    Shape at 100 TB: one 2-row-aggregate scan for (n, total), one
+    shuffle on user_id, then windows ordered within each user
+    partition; alarms and maxima are a map-side-combinable rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(
+        F.count(F.lit(1)).cast("decimal(38,4)").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("tot"),
+    )
+    s = ev.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "n",
+        (F.col("n") * F.col("value").cast("decimal(18,4)") - F.col("tot")).alias(
+            "d"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = s.withColumn("pf", F.sum("d").over(w))
+    c = p.select(
+        "user_id",
+        "n",
+        (F.col("pf") - F.min("pf").over(w)).alias("cu_pos"),
+        (F.max("pf").over(w) - F.col("pf")).alias("cu_neg"),
+    )
+    h = F.lit(_CUSUM_H) * F.col("n")
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("cu_pos") > h).cast("long")).cast("bigint").alias(
+            "n_alarms_up"
+        ),
+        F.sum((F.col("cu_neg") > h).cast("long")).cast("bigint").alias(
+            "n_alarms_down"
+        ),
+        F.expr(
+            "CAST(max(cu_pos) * 10000 AS BIGINT)"
+            " div CAST(min(n) AS BIGINT)"
+        ).alias("max_cusum_up_e4"),
+        F.expr(
+            "CAST(max(cu_neg) * 10000 AS BIGINT)"
+            " div CAST(min(n) AS BIGINT)"
+        ).alias("max_cusum_down_e4"),
+    )
