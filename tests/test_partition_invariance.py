@@ -75,6 +75,10 @@ SPOT_CHECK = [
     "retrieval_eval_ndcg",
     "skyline_pareto_parts",
     "kcore_interaction_prune",
+    "classifier_calibration_bins",
+    "video_scene_cuts",
+    "er_blocked_fuzzy_match",
+    "cusum_mean_shift",
 ]
 
 
