@@ -213,6 +213,7 @@ _CHECK_FIRST = [
     "video_scene_cuts",
     "er_blocked_fuzzy_match",
     "cusum_mean_shift",
+    "twap_time_weighted",
 ]
 
 def _driver_verified() -> set[str]:

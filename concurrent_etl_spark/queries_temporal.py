@@ -685,3 +685,70 @@ def q_cusum_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div CAST(min(n) AS BIGINT)"
         ).alias("max_cusum_down_e4"),
     )
+
+
+@query(
+    "twap_time_weighted",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS t_us, event_id,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events),
+    w AS (
+      SELECT user_id, v,
+             lead(t_us) OVER (PARTITION BY user_id
+                              ORDER BY t_us, event_id) - t_us AS dt_us
+      FROM s),
+    h AS (SELECT user_id, v, dt_us FROM w WHERE dt_us IS NOT NULL),
+    a AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_holds,
+             CAST(SUM(dt_us) AS BIGINT) AS held_us,
+             SUM(v * dt_us) AS vt
+      FROM h GROUP BY user_id)
+    SELECT user_id, n_holds, held_us,
+           CAST(CAST(vt * 10000 AS HUGEINT) // held_us AS BIGINT) AS twap_e4
+    FROM a
+    """,
+)
+def q_twap_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the telemetry /
+    market-data aggregate where each observation holds until the next
+    one): every event's value is weighted by the microseconds until
+    the user's next event, and the ratio is reported as an exact
+    e4-scaled integer (truncating division of nonnegative exact
+    operands — the same division-free convention as
+    ``cusum_mean_shift``; a float ratio here is a tie hazard). The
+    last observation per user has no holding interval and is
+    excluded, as in any left-closed TWAP.
+
+    Shape at 100 TB: one shuffle on user_id, a lead() in the
+    per-user window, then a map-side-combinable rollup. The decimal
+    weight products are exact (value scale 4 x integer µs), so the
+    distributed sum is order-invariant.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    wn = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    h = (
+        s.withColumn("dt_us", F.lead("t_us").over(wn) - F.col("t_us"))
+        .where(F.col("dt_us").isNotNull())
+    )
+    a = h.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_holds"),
+        F.sum("dt_us").cast("bigint").alias("held_us"),
+        F.sum(F.col("v") * F.col("dt_us")).alias("vt"),
+    )
+    return a.select(
+        "user_id",
+        "n_holds",
+        "held_us",
+        F.expr(
+            "CAST(vt * 10000 AS DECIMAL(38,0)) div held_us"
+        ).cast("bigint").alias("twap_e4"),
+    )
