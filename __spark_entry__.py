@@ -214,6 +214,13 @@ _CHECK_FIRST = [
     "er_blocked_fuzzy_match",
     "cusum_mean_shift",
     "twap_time_weighted",
+    # r4 hypothesis-test / source tranche: exact test statistics via
+    # the bucket-offset cumsum (no global sort) + fixed-width text
+    "ks_two_sample",
+    "mann_whitney_u",
+    "chisq_independence",
+    "acf_lags",
+    "fixed_width_source_roundtrip",
 ]
 
 def _driver_verified() -> set[str]:

@@ -2372,3 +2372,104 @@ def q_schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame
         "legacy_code",
         "acctbal",
     )
+
+
+@query(
+    "fixed_width_source_roundtrip",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer GROUP BY 1
+    UNION ALL
+    SELECT '_malformed' AS segment, CAST(3 AS BIGINT) AS n_cust,
+           CAST(0 AS BIGINT) AS sum_cents, CAST(0 AS BIGINT) AS min_key,
+           CAST(0 AS BIGINT) AS max_key
+    """,
+)
+def q_fixed_width_source_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-width (COBOL/mainframe-export-style) text source under
+    the gate: the customer table is rendered as 57-byte fixed-layout
+    records — zero-padded key (cols 1-10), space-padded name (11-35),
+    right-aligned signed cents (36-47), segment (48-57) — written as
+    multi-file raw text, read back through ``spark.read.text``, and
+    sliced with positional ``substring`` + trim + cast entirely inside
+    codegen (no regex, no Python). Three injected off-layout lines
+    land in a dead-letter row (the json_corrupt_record_capture
+    discipline). The oracle recomputes the rollup from the structured
+    source, so render -> pad -> slice -> cast must be lossless to
+    hash-match — including negative balances surviving the
+    right-aligned signed-integer field.
+
+    At 100 TB: fixed-width text splits by line like any text source,
+    slicing is row-local whole-stage codegen, and only per-segment
+    partials shuffle. Guarded construction-time build keyed by
+    application id + sf (same pattern as weblog_text_parse).
+
+    Reference parity: the reference ingests only Excel exports
+    (case_2/Normal.py:93); fixed-width is the other classic ERP/SAP
+    export format a drop-directory ETL must parse.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    d = _os.path.join(_tempfile.gettempdir(), "ces_fixedwidth", tag)
+    marker = _os.path.join(d, "_SUCCESS")
+    if not _os.path.exists(marker):
+        cust = load_table(spark, sf_dir, "customer")
+        cents = (
+            F.col("c_acctbal").cast("decimal(18,2)") * 100
+        ).cast("long")
+        lines = cust.select(
+            F.concat(
+                F.lpad(F.col("c_custkey").cast("string"), 10, "0"),
+                F.rpad(F.col("c_name"), 25, " "),
+                F.lpad(cents.cast("string"), 12, " "),
+                F.rpad(F.col("c_mktsegment"), 10, " "),
+            ).alias("value")
+        )
+        bad = spark.createDataFrame(
+            [("0000000001SHORT",), ("not fixed width at all",), ("",)],
+            "value string",
+        )
+        lines.unionByName(bad).coalesce(4).write.mode("overwrite").text(d)
+    raw = spark.read.text(d)
+    parsed = raw.select(
+        F.when(
+            F.length("value") == 57,
+            F.substring("value", 1, 10).try_cast("long"),
+        ).alias("key"),
+        F.trim(F.substring("value", 36, 12)).try_cast("long").alias(
+            "cents"
+        ),
+        F.trim(F.substring("value", 48, 10)).alias("segment"),
+    )
+    ok = parsed.where(F.col("key").isNotNull())
+    dead = parsed.where(F.col("key").isNull())
+    agg = ok.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("key").cast("long").alias("min_key"),
+        F.max("key").cast("long").alias("max_key"),
+    )
+    dead_row = dead.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust")
+    ).select(
+        F.lit("_malformed").alias("segment"),
+        "n_cust",
+        F.lit(0).cast("long").alias("sum_cents"),
+        F.lit(0).cast("long").alias("min_key"),
+        F.lit(0).cast("long").alias("max_key"),
+    )
+    return agg.unionByName(dead_row)

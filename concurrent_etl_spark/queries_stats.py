@@ -353,3 +353,443 @@ def q_grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             mad_lower(F.col("cents")).alias("mad_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis-test / time-series tranche (round 4): chi-square
+# independence, two-sample Kolmogorov-Smirnov, Mann-Whitney U, and
+# autocorrelation — the inferential half of corpus drift monitoring
+# (kl_mixture_drift measures divergence; these attach test statistics).
+# The reference has no statistics at all (SURVEY §2.4); this is engine
+# surface a 100 TB curation pipeline needs to decide whether a new
+# crawl slice differs from the corpus it joins.
+#
+# Determinism: every statistic is carried as exact integers (counts,
+# cents, scaled cross-moments in DECIMAL(38,0)) until one final
+# division, which either stays integral (the (2a+b) div 2b half-up
+# trick on nonnegative longs) or is a single IEEE double division
+# rounded to a fixed scale — bit-identical cross-engine either way.
+# ---------------------------------------------------------------------------
+
+
+def _cum_by_value(pv: DataFrame, width_bits: int = 20):
+    """Global cumulative counts over a per-distinct-value table
+    WITHOUT a global window.
+
+    ``pv`` has one row per distinct value: (v long, a long, t long)
+    — ``a`` = group-1 count, ``t`` = total count at that value.
+    Returns (v, a, t, cum_a, cum_t) where cum_* are inclusive
+    running sums in global ``v`` order.
+
+    Scale shape: values are bucketed by ``v div 2^width_bits``; the
+    per-bucket totals are collected (BOUNDED: bucket count is
+    value-range / 2^20 — price-domain-bounded, ~60 buckets at every
+    SF, independent of row count) and turned into driver-side
+    offsets; the running sum inside each bucket is a PARTITIONED
+    window. This is the same partition-offset cumsum
+    ``global_id_assignment`` uses to number rows without a global
+    sort — no single-task total order anywhere.
+    """
+    from pyspark.sql import Window
+
+    width = 1 << width_bits
+    pv = pv.withColumn("bucket", F.expr(f"v div {width}"))
+    totals = sorted(
+        pv.groupBy("bucket")
+        .agg(F.sum("a").alias("ba"), F.sum("t").alias("bt"))
+        .collect(),
+        key=lambda r: r["bucket"],
+    )
+    offs: list[tuple[int, int, int]] = []
+    acc_a = acc_t = 0
+    for r in totals:
+        offs.append((r["bucket"], acc_a, acc_t))
+        acc_a += r["ba"]
+        acc_t += r["bt"]
+    map_a = F.create_map(*[F.lit(x) for b, oa, _ in offs for x in (b, oa)])
+    map_t = F.create_map(*[F.lit(x) for b, _, ot in offs for x in (b, ot)])
+    w = Window.partitionBy("bucket").orderBy("v")
+    return pv.select(
+        "v",
+        "a",
+        "t",
+        (map_a[F.col("bucket")] + F.sum("a").over(w)).alias("cum_a"),
+        (map_t[F.col("bucket")] + F.sum("t").over(w)).alias("cum_t"),
+    )
+
+
+@query(
+    "ks_two_sample",
+    oracle="""
+    WITH vals AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    tot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS n1,
+             CAST(SUM(1 - g) AS BIGINT) AS n2
+      FROM vals),
+    pv AS (
+      SELECT v, SUM(g) AS a, COUNT(*) AS t FROM vals GROUP BY v),
+    cum AS (
+      SELECT SUM(a) OVER (ORDER BY v) AS c1,
+             SUM(t - a) OVER (ORDER BY v) AS c2
+      FROM pv)
+    SELECT n1, n2,
+           CAST(MAX(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+           CAST((MAX(abs(c1 * n2 - c2 * n1)) * 2000000 + n1 * n2)
+                // (2 * n1 * n2) AS BIGINT) AS ks_e6
+    FROM cum, tot
+    GROUP BY n1, n2
+    """,
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D between the order-value
+    distributions of two customer segments.
+
+    D = max_v |F1(v) - F2(v)| has the integer identity
+    max |c1(v)*n2 - c2(v)*n1| / (n1*n2), so the whole statistic is
+    carried in exact longs: per-distinct-value counts (one shuffle),
+    global cumulative counts via the bucket-offset cumsum (bounded
+    ~60-row collect, partitioned windows only — no global sort), one
+    max aggregate. ks_e6 = round(1e6*D) computed with the integral
+    half-up trick (num*2e6 + den) div (2*den) — nonnegative, so
+    DuckDB's truncating // and Spark's div agree exactly. Long
+    arithmetic is safe while n1*n2*2e6 < 2^63, i.e. groups up to
+    ~2.1e6 rows each at the gate scales; beyond that the same
+    expressions promote to DECIMAL(38,0).
+
+    The oracle states the same identity with DuckDB's (single-node,
+    legal there) global cumulative window as the independent spec.
+
+    Reference parity: no inferential statistics exist in the
+    reference (SURVEY §2.4 — COUNT is its only aggregate); this is
+    corpus-drift surface for the training-data pipeline.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    vals = (
+        orders.join(
+            cust.where(
+                F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            ).select("c_custkey", "c_mktsegment"),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("g"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    tot = vals.agg(
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("n2"),
+    )
+    pv = vals.groupBy("v").agg(
+        F.sum("g").alias("a"), F.count(F.lit(1)).alias("t")
+    )
+    cum = _cum_by_value(pv).crossJoin(F.broadcast(tot))
+    diff = F.abs(
+        F.col("cum_a") * F.col("n2")
+        - (F.col("cum_t") - F.col("cum_a")) * F.col("n1")
+    )
+    return (
+        cum.select("n1", "n2", diff.alias("d"))
+        .groupBy("n1", "n2")
+        .agg(F.max("d").alias("ks_num"))
+        .select(
+            "n1",
+            "n2",
+            F.col("ks_num").cast("long").alias("ks_num"),
+            F.expr(
+                "CAST((ks_num * 2000000 + n1 * n2) div (2 * n1 * n2)"
+                " AS BIGINT)"
+            ).alias("ks_e6"),
+        )
+    )
+
+
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH vals AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    tot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS n1,
+             CAST(SUM(1 - g) AS BIGINT) AS n2
+      FROM vals),
+    pv AS (
+      SELECT v, SUM(g) AS a, COUNT(*) AS t FROM vals GROUP BY v),
+    cum AS (
+      SELECT a, t, SUM(t) OVER (ORDER BY v) AS ct FROM pv),
+    sums AS (
+      SELECT CAST(SUM(a * (2 * (ct - t) + t + 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM((t - a) * (2 * (ct - t) + t + 1)) AS BIGINT) AS r2_x2,
+             CAST(SUM(t * t * t - t) AS BIGINT) AS ties_cubed
+      FROM cum)
+    SELECT n1, n2, r1_x2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+           ties_cubed,
+           r1_x2 + r2_x2 = (n1 + n2) * (n1 + n2 + 1) AS rank_sum_ok
+    FROM sums, tot
+    """,
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test statistic, exact with ties,
+    between URGENT and LOW priority order values.
+
+    Average ranks under ties are half-integers, so everything is
+    carried as 2x-scaled exact longs: for a distinct value with
+    group-1 count a, total count t and strictly-smaller total count
+    cb = ct - t, each member's doubled average rank is
+    2*cb + t + 1, giving R1_x2 = sum a*(2*cb + t + 1) from the same
+    bucket-offset cumulative machinery as ks_two_sample (bounded
+    collect + partitioned windows, never a global sort).
+    U1_x2 = R1_x2 - n1*(n1+1); ties_cubed = sum(t^3 - t) is the
+    exact tie-correction numerator the normal approximation needs.
+    rank_sum_ok asserts the computed cumsums satisfy the rank-sum
+    identity R1 + R2 = N(N+1)/2 — a real end-to-end invariant, not
+    true by construction of the output expressions.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    tot = vals.agg(
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("n2"),
+    )
+    pv = vals.groupBy("v").agg(
+        F.sum("g").alias("a"), F.count(F.lit(1)).alias("t")
+    )
+    cum = _cum_by_value(pv)
+    rank2 = 2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1
+    sums = cum.agg(
+        F.sum(F.col("a") * rank2).cast("long").alias("r1_x2"),
+        F.sum((F.col("t") - F.col("a")) * rank2).cast("long").alias("r2_x2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("long")
+        .alias("ties_cubed"),
+    )
+    u1 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    return (
+        sums.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            "r1_x2",
+            u1.cast("long").alias("u1_x2"),
+            (2 * F.col("n1") * F.col("n2") - u1).cast("long").alias("u2_x2"),
+            "ties_cubed",
+            (
+                F.col("r1_x2") + F.col("r2_x2")
+                == (F.col("n1") + F.col("n2"))
+                * (F.col("n1") + F.col("n2") + 1)
+            ).alias("rank_sum_ok"),
+        )
+    )
+
+
+@query(
+    "chisq_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1, 2),
+    rt AS (SELECT status, CAST(SUM(n_obs) AS BIGINT) AS r
+           FROM cells GROUP BY 1),
+    ct AS (SELECT priority, CAST(SUM(n_obs) AS BIGINT) AS c
+           FROM cells GROUP BY 1),
+    tt AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells),
+    per AS (
+      SELECT cells.status, cells.priority, n_obs, r, c,
+             CAST(round(
+               CAST((CAST(n AS DECIMAL(38,0)) * n_obs
+                     - CAST(r AS DECIMAL(38,0)) * c)
+                    * (CAST(n AS DECIMAL(38,0)) * n_obs
+                       - CAST(r AS DECIMAL(38,0)) * c) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                  * CAST(c AS DOUBLE)),
+               12) AS DECIMAL(24,12)) AS contrib
+      FROM cells JOIN rt USING (status) JOIN ct USING (priority)
+           CROSS JOIN tt)
+    SELECT status, priority, n_obs,
+           r AS row_total, c AS col_total,
+           CAST(contrib * 1000000000000 AS BIGINT) AS contrib_e12,
+           CAST(SUM(contrib * 1000000000000) OVER () AS BIGINT)
+             AS chisq_e12
+    FROM per
+    """,
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order status and
+    priority, carried exactly until one IEEE division per cell.
+
+    Per cell: contribution = (N*O - R*C)^2 / (N*R*C) — numerator and
+    denominator are exact integers (DECIMAL(38,0) products so the
+    squared term cannot wrap), divided once in double (IEEE
+    exactly-rounded, bit-identical cross-engine), rounded to a fixed
+    12-dp DECIMAL whose 1e12-scaled value is an exact long. The
+    statistic is the exact decimal sum of per-cell contributions.
+
+    Scale shape: the contingency table has |status| x |priority|
+    rows (15 here — bounded by category cardinalities, NOT by row
+    count), produced by one map-side-combinable groupBy over the
+    fact table; row totals, column totals and N are broadcast joins
+    over that bounded table. The total re-enters each output row via
+    the approved crossJoin(broadcast(1-row)) pattern; the oracle
+    states it with a (single-node-legal) global window instead.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    rt = cells.groupBy("status").agg(F.sum("n_obs").cast("long").alias("r"))
+    ct = cells.groupBy("priority").agg(
+        F.sum("n_obs").cast("long").alias("c")
+    )
+    tt = cells.agg(F.sum("n_obs").cast("long").alias("n"))
+    d = F.col("n").cast("decimal(38,0)") * F.col("n_obs") - F.col(
+        "r"
+    ).cast("decimal(38,0)") * F.col("c")
+    contrib = F.round(
+        (d * d).cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("r").cast("double")
+            * F.col("c").cast("double")
+        ),
+        12,
+    ).cast("decimal(24,12)")
+    per = (
+        cells.join(F.broadcast(rt), "status")
+        .join(F.broadcast(ct), "priority")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "status",
+            "priority",
+            "n_obs",
+            F.col("r").alias("row_total"),
+            F.col("c").alias("col_total"),
+            (contrib * 1000000000000).cast("long").alias("contrib_e12"),
+        )
+    )
+    total = per.agg(
+        F.sum("contrib_e12").cast("long").alias("chisq_e12")
+    )
+    return per.crossJoin(F.broadcast(total))
+
+
+@query(
+    "acf_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s FROM daily),
+    den AS (
+      SELECT SUM(CAST(n * x - s AS DECIMAL(38,0)) * (n * x - s)) AS dd
+      FROM daily, st),
+    lags AS (SELECT unnest(range(1, 8)) AS k),
+    num AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(st.n * a.x - st.s AS DECIMAL(38,0))
+                 * (st.n * b.x - st.s)) AS nn
+      FROM daily a
+      CROSS JOIN lags
+      JOIN daily b ON b.d = a.d + CAST(k AS INTEGER)
+      CROSS JOIN st
+      GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS k, n_pairs,
+           CAST(round(CAST(nn AS DOUBLE) * 1000000
+                      / CAST(dd AS DOUBLE)) AS BIGINT) AS acf_e6
+    FROM num, den
+    ORDER BY k
+    """,
+)
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily-revenue series at lags 1..7.
+
+    The demeaned cross-moment sum(x_t - m)(x_{t+k} - m) is scaled by
+    N^2 into the all-integer identity sum(N*x_t - S)(N*x_{t+k} - S),
+    accumulated in DECIMAL(38,0) (per-term magnitude ~1e25 at sf0.1
+    — far outside int64, exact in decimal), with the standard
+    full-series demeaned sum of squares as denominator; one double
+    division per lag, rounded half-away to 1e-6 (both engines round
+    doubles away from zero at .5).
+
+    Scale shape: the daily rollup is one map-side-combinable groupBy
+    (output bounded by the date domain, not row count); each lag is
+    an EQUI-join of the daily series to itself on d = d+k — a
+    7-way-broadcast lag table against a date-bounded series, no
+    window over the raw facts, no sequential recurrence. Missing
+    days simply drop pairs (n_pairs records how many survive), same
+    convention both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s")
+    den = (
+        daily.crossJoin(F.broadcast(st))
+        .agg(F.sum(dev * dev).alias("dd"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("k"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("dt", F.date_add(F.col("da"), F.col("k").cast("int")))
+        .join(b, F.col("db") == F.col("dt"))
+        .crossJoin(F.broadcast(st))
+    )
+    deva = F.col("n").cast("decimal(38,0)") * F.col("xa") - F.col("s")
+    devb = F.col("n").cast("decimal(38,0)") * F.col("xb") - F.col("s")
+    num = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(deva * devb).alias("nn"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "k",
+            "n_pairs",
+            F.round(
+                F.col("nn").cast("double")
+                * 1000000
+                / F.col("dd").cast("double")
+            )
+            .cast("long")
+            .alias("acf_e6"),
+        )
+        .orderBy("k")
+    )
