@@ -221,6 +221,15 @@ _CHECK_FIRST = [
     "chisq_independence",
     "acf_lags",
     "fixed_width_source_roundtrip",
+    # r4 evaluation/experimentation tranche: rank-sum AUC, survival,
+    # CUPED, decision-stump info gain, user-journey Markov chain,
+    # trainable NB lang-ID
+    "auc_roc_exact",
+    "kaplan_meier_survival",
+    "cuped_variance_reduction",
+    "info_gain_feature_split",
+    "markov_transition_matrix",
+    "naive_bayes_langid",
 ]
 
 def _driver_verified() -> set[str]:

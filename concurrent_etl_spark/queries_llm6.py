@@ -699,3 +699,235 @@ def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mrr_dec").cast("double"), 6).alias("mrr"),
         F.round(F.col("dcg_dec").cast("double") / idcg, 6).alias("ndcg"),
     )
+
+
+#: per-language marker phrases (real high-frequency function words —
+#: the signal a char-bigram model keys on) and the shared noise
+#: vocabulary mixed into every document regardless of language. The
+#: corpus labels in documents.parquet are synthetic-random w.r.t. the
+#: text (verified: bigram-vs-lang chi-square ~ dof), so the NB query
+#: builds its OWN separable ground truth from doc_id in closed form —
+#: the same formula-fixture pattern as audio_zero_crossings.
+_NB_LANGS = ["de", "en", "es", "fr", "zh"]
+_NB_PHRASES = [
+    "der die das und ist nicht ein",
+    "the and of to in is that",
+    "el la los que y en una con",
+    "le les et des une dans par",
+    "的一是了我不人在",
+]
+_NB_NOISE = [
+    "data", "row", "key", "scan", "merge", "table", "query", "batch",
+]
+
+
+def _nb_sql_list(items: list[str]) -> str:
+    inner = ", ".join("'" + s + "'" for s in items)
+    return f"[{inner}]"
+
+
+@query(
+    "naive_bayes_langid",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_extract({_nb_sql_list(_NB_LANGS)},
+                          CAST(doc_id % 5 AS INTEGER) + 1) AS lang,
+             list_extract({_nb_sql_list(_NB_PHRASES)},
+                          CAST(doc_id % 5 AS INTEGER) + 1)
+               || ' ' || list_extract({_nb_sql_list(_NB_NOISE)},
+                          CAST((doc_id * 7) % 8 AS INTEGER) + 1)
+               || ' ' || list_extract({_nb_sql_list(_NB_NOISE)},
+                          CAST((doc_id * 3 + 1) % 8 AS INTEGER) + 1)
+               || ' ' || list_extract({_nb_sql_list(_NB_NOISE)},
+                          CAST((doc_id * 5 + 2) % 8 AS INTEGER) + 1)
+               AS t
+      FROM documents WHERE doc_id < 200),
+    bg AS (
+      SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 2) AS b
+      FROM d, unnest(range(1, length(t))) u(i)),
+    docb AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+      GROUP BY 1, 2),
+    cnt AS (
+      SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM bg
+      GROUP BY 1, 2),
+    nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM cnt GROUP BY 1),
+    vocab AS (SELECT DISTINCT b FROM bg),
+    vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    prior AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY 1),
+    ndoc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+    grid AS (
+      SELECT nl.lang, vocab.b,
+             CAST(CAST(round(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE)
+                                / CAST(nl.n_l + vsz.v AS DOUBLE)), 12)
+                       AS DECIMAL(24,12)) * 1000000000000 AS BIGINT) AS w
+      FROM nl CROSS JOIN vocab CROSS JOIN vsz
+      LEFT JOIN cnt ON cnt.lang = nl.lang AND cnt.b = vocab.b),
+    scores AS (
+      SELECT docb.doc_id, grid.lang,
+             CAST(SUM(docb.c * grid.w) AS BIGINT)
+               + ANY_VALUE(CAST(CAST(round(ln(CAST(prior.n_docs AS DOUBLE)
+                                    / CAST(ndoc.nd AS DOUBLE)), 12)
+                           AS DECIMAL(24,12)) * 1000000000000 AS BIGINT))
+               AS score
+      FROM docb
+      JOIN grid ON grid.b = docb.b
+      JOIN prior ON prior.lang = grid.lang
+      CROSS JOIN ndoc
+      GROUP BY 1, 2),
+    pred AS (
+      SELECT doc_id, lang AS lang_pred
+      FROM (SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, lang) AS rn
+            FROM scores)
+      WHERE rn = 1)
+    SELECT d.lang AS lang_true, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINABLE language identification: a multinomial Naive Bayes
+    classifier over character bigrams, trained and evaluated on a
+    deterministic 5-language benchmark, reported as the (true lang x
+    predicted lang) confusion matrix — the learned counterpart of the
+    rule-based heuristic that langid_confusion_eval certifies.
+
+    The benchmark is built in closed form from doc_id (the corpus's
+    own lang column is label noise by construction — bigram-vs-lang
+    chi-square ~ dof — so no classifier could demonstrate learning on
+    it): each doc gets one language's real function-word phrase plus
+    three doc_id-selected words from a shared noise vocabulary, the
+    formula-fixture pattern of audio_zero_crossings. A correct NB
+    implementation must recover a near-diagonal confusion matrix;
+    tests assert it beats the majority class by a wide margin.
+
+    Training is counting: per-(lang, bigram) counts with add-one
+    smoothing over the corpus vocabulary V; every log weight
+    ln((c+1)/(N_lang+V)) and log prior ln(n_docs_lang/n_docs) is the
+    repo's round(ln, 12) e12 long, so per-document scores are EXACT
+    integer sums (count x weight) and the argmax (tie-break: lexical
+    lang order) is reproducible at any parallelism.
+
+    Scale shape: bigram extraction is array-native (transform over a
+    sequence + one explode, no regroup); (lang, bigram) counts and
+    per-doc features are map-side-combinable aggs; the weight grid is
+    |langs| x |vocab| — charset-bounded, NOT corpus-bounded — and
+    broadcasts into the scoring join, so the only corpus-sized
+    shuffle is the per-(doc, lang) score aggregation (|langs| x docs
+    rows). The prediction window partitions BY DOCUMENT (|langs| rows
+    each). Self-scoring on the training corpus is the standard
+    fit-quality readout; holdout evaluation is train_eval_split's
+    job.
+
+    Reference parity: none — the reference has no ML surface; this is
+    the trainable lang-ID a multilingual curation pipeline needs when
+    script alone cannot separate languages (en/es/fr/de share Latin
+    script — exactly where a script heuristic is blind).
+    """
+    sel = (F.col("doc_id") % 5).cast("int") + 1
+    noise = F.array(*[F.lit(w) for w in _NB_NOISE])
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.element_at(
+                F.array(*[F.lit(x) for x in _NB_LANGS]), sel
+            ).alias("lang"),
+            F.concat_ws(
+                " ",
+                F.element_at(
+                    F.array(*[F.lit(x) for x in _NB_PHRASES]), sel
+                ),
+                F.element_at(
+                    noise, ((F.col("doc_id") * 7) % 8).cast("int") + 1
+                ),
+                F.element_at(
+                    noise, ((F.col("doc_id") * 3 + 1) % 8).cast("int") + 1
+                ),
+                F.element_at(
+                    noise, ((F.col("doc_id") * 5 + 2) % 8).cast("int") + 1
+                ),
+            ).alias("t"),
+        )
+    )
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(t) - 1),"
+                " i -> substring(t, i, 2))"
+            )
+        ).alias("b"),
+    )
+    docb = bg.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cnt = bg.groupBy("lang", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nl = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("n_l"))
+    vocab = bg.select("b").distinct()
+    vsz = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    prior = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    ndoc = docs.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+
+    def _ln_e12(num, den):
+        return (
+            F.round(F.log(num.cast("double") / den.cast("double")), 12)
+            .cast("decimal(24,12)")
+            * 1000000000000
+        ).cast("long")
+
+    grid = (
+        nl.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(vsz))
+        .join(
+            cnt.withColumnRenamed("c", "c_lb"),
+            ["lang", "b"],
+            "left",
+        )
+        .select(
+            "lang",
+            "b",
+            _ln_e12(
+                F.coalesce(F.col("c_lb"), F.lit(0)) + 1,
+                F.col("n_l") + F.col("v"),
+            ).alias("w"),
+        )
+    )
+    prior_w = (
+        prior.crossJoin(F.broadcast(ndoc))
+        .select("lang", _ln_e12(F.col("n_docs"), F.col("nd")).alias("pw"))
+    )
+    scores = (
+        docb.join(F.broadcast(grid), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("c") * F.col("w")).cast("long").alias("s"))
+        .join(F.broadcast(prior_w), "lang")
+        .select(
+            "doc_id", "lang", (F.col("s") + F.col("pw")).alias("score")
+        )
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w_pred))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"))
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

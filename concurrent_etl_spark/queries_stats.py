@@ -793,3 +793,598 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier-evaluation / survival / experimentation tranche (round 4,
+# second batch): exact AUC-ROC, Kaplan-Meier survival, CUPED variance
+# reduction, information-gain feature split, and a Markov transition
+# matrix. The reference has none of this (SURVEY §2.4); it is the
+# model-evaluation and experimentation surface of a training-data
+# platform: "did the quality scorer actually rank good docs higher"
+# (AUC), "how long do users survive before churn" (KM), "how much
+# variance does the pre-period covariate remove from the experiment
+# metric" (CUPED), "which feature threshold best separates the
+# classes" (info gain), "what does the user journey look like as a
+# first-order chain" (Markov).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "auc_roc_exact",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
+             (100000 * (length(lower(text))
+                        - length(replace(lower(text), 'e', ''))))
+               // length(text) AS v
+      FROM documents WHERE length(text) > 0),
+    tot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - g) AS BIGINT) AS n_neg
+      FROM scored),
+    pv AS (
+      SELECT v, SUM(g) AS a, COUNT(*) AS t FROM scored GROUP BY v),
+    cum AS (
+      SELECT a, t, SUM(t) OVER (ORDER BY v) AS ct FROM pv),
+    sums AS (
+      SELECT CAST(SUM(a * (2 * (ct - t) + t + 1)) AS BIGINT) AS r1_x2
+      FROM cum)
+    SELECT n_pos, n_neg,
+           CAST(r1_x2 - n_pos * (n_pos + 1) AS BIGINT) AS u1_x2,
+           CAST(((r1_x2 - n_pos * (n_pos + 1)) * 1000000
+                 + n_pos * n_neg) // (2 * n_pos * n_neg)
+                AS BIGINT) AS auc_e6,
+           CAST(2 * (((r1_x2 - n_pos * (n_pos + 1)) * 1000000
+                      + n_pos * n_neg) // (2 * n_pos * n_neg))
+                - 1000000 AS BIGINT) AS gini_e6
+    FROM sums, tot
+    """,
+)
+def q_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC of an integer scorer, via the rank-sum identity.
+
+    AUC = P(score_pos > score_neg) + P(score_pos = score_neg)/2 =
+    U1/(n_pos*n_neg), with U1 from tie-aware average ranks — so AUC
+    is evaluated EXACTLY, in integers, with one groupBy and the same
+    bucket-offset cumulative machinery as ks_two_sample/mann_whitney_u
+    (bounded collect + partitioned windows; no global sort, no
+    per-threshold sweep). The scorer under evaluation is the
+    'e'-frequency-per-100k-chars heuristic for English (label:
+    lang = 'en') — deliberately simple so the query certifies the
+    EVALUATOR, not the scorer. auc_e6 = round(1e6*AUC) via the
+    half-up (a*1e6 + den/2-free) integral trick on nonnegative longs;
+    gini_e6 = 2*auc - 1 derives from auc_e6 in exact integers.
+
+    Long-arithmetic bound: u1_x2*1e6 <= 2e6*n_pos*n_neg stays below
+    2^63 while n_pos*n_neg < 4.6e12 — i.e. up to ~2.1M docs per
+    class; beyond that the identical expressions promote to
+    DECIMAL(38,0). At 100 TB the plan is one map-side-combinable
+    groupBy(score) over the corpus (output bounded by the score
+    domain, 0..100000) plus bounded-width windows.
+
+    Reference parity: no evaluation surface exists in the reference;
+    this is the standard ranking-quality gate for the trainable
+    quality classifier (gd_quality_classifier).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.where(F.length("text") > 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("g"),
+        F.expr(
+            "(100000 * (length(lower(text))"
+            " - length(replace(lower(text), 'e', '')))) div length(text)"
+        ).alias("v"),
+    )
+    tot = scored.agg(
+        F.sum("g").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("n_neg"),
+    )
+    pv = scored.groupBy("v").agg(
+        F.sum("g").alias("a"), F.count(F.lit(1)).alias("t")
+    )
+    cum = _cum_by_value(pv)
+    rank2 = 2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1
+    sums = cum.agg(F.sum(F.col("a") * rank2).cast("long").alias("r1_x2"))
+    u1 = F.col("r1_x2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    auc = F.expr(
+        "CAST((u1_x2 * 1000000 + n_pos * n_neg)"
+        " div (2 * n_pos * n_neg) AS BIGINT)"
+    )
+    return (
+        sums.crossJoin(F.broadcast(tot))
+        .select("n_pos", "n_neg", u1.cast("long").alias("u1_x2"))
+        .select(
+            "n_pos",
+            "n_neg",
+            "u1_x2",
+            auc.alias("auc_e6"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "u1_x2",
+            "auc_e6",
+            (2 * F.col("auc_e6") - 1000000).cast("long").alias("gini_e6"),
+        )
+    )
+
+
+@query(
+    "kaplan_meier_survival",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t0,
+             MIN(CASE WHEN event_type = 'error'
+                      THEN epoch_us(ts) END) AS te
+      FROM events GROUP BY user_id),
+    per_user AS (
+      SELECT CASE WHEN te IS NOT NULL
+                   AND te - t0 <= 48 * 3600000000
+                  THEN 1 ELSE 0 END AS ev,
+             CASE WHEN te IS NOT NULL
+                   AND te - t0 <= 48 * 3600000000
+                  THEN (te - t0) // 3600000000 ELSE 48 END AS dur
+      FROM pu),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_user),
+    by_dur AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaves
+      FROM per_user GROUP BY dur),
+    risk AS (
+      SELECT dur, d, leaves,
+             n - (SUM(leaves) OVER (ORDER BY dur) - leaves) AS n_risk
+      FROM by_dur, n_tot),
+    terms AS (
+      SELECT dur, d, leaves, n_risk,
+             CASE WHEN d = 0 OR n_risk <= d THEN CAST(0 AS BIGINT)
+                  ELSE CAST(CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                                          / CAST(n_risk AS DOUBLE)), 12)
+                                 AS DECIMAL(24,12)) * 1000000000000
+                            AS BIGINT) END AS l_e12,
+             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS absorbed
+      FROM risk),
+    cum AS (
+      SELECT dur, d, leaves, n_risk,
+             SUM(l_e12) OVER (ORDER BY dur) AS cum_l,
+             SUM(absorbed) OVER (ORDER BY dur) AS cum_abs
+      FROM terms)
+    SELECT CAST(dur AS BIGINT) AS dur_hours,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           d AS d_events,
+           CAST(leaves - d AS BIGINT) AS c_censored,
+           CAST(CASE WHEN cum_abs > 0 THEN NULL ELSE cum_l END
+                AS BIGINT) AS log_surv_e12
+    FROM cum
+    """,
+)
+def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator for time-to-first-failure,
+    carried in exact integers with the curve in e12-scaled log space.
+
+    Per user: duration = whole hours from first event to first
+    'error' event (the DEATH), administratively right-CENSORED at a
+    48-hour horizon — users whose first error falls past the horizon
+    (or who never error) are censored at 48 h, the standard
+    fixed-observation-window design. At each distinct duration t:
+    n_at_risk = users with duration >= t (deaths-before-censoring
+    convention — same-time censored users still count at risk),
+    d_events deaths, and the KM product S(t) =
+    prod_{s<=t}(1 - d_s/n_s) reported as log_surv_e12 = sum of
+    round(ln((n-d)/n), 12) e12-scaled exact longs (the repo's
+    rounded-ln convention — one transcendental per distinct duration,
+    then exact integer cumulation; no exp, so no second libm
+    dependency). If the risk set is ever fully absorbed (d = n),
+    survival is 0 from that duration on: log_surv_e12 is NULL there —
+    both engines state the same CASE.
+
+    Scale shape: per-user rollup is one map-side-combinable groupBy
+    (MIN with a CASE projects first-error time in the same pass); the
+    duration axis is HORIZON-bounded (49 values max, not row-bounded),
+    so the two cumulations ride the bucket-offset cumsum (bounded
+    collect + partitioned windows, no global sort).
+
+    Reference parity: none (the reference has no temporal analytics);
+    this is the standard reliability/churn curve over the events
+    stream, the survival counterpart of retention_cohorts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.min(
+            F.when(
+                F.col("event_type") == "error", F.unix_micros("ts")
+            )
+        ).alias("te"),
+    )
+    horizon_us = 48 * 3600000000
+    died = F.col("te").isNotNull() & (
+        F.col("te") - F.col("t0") <= horizon_us
+    )
+    per_user = pu.select(
+        F.when(died, 1).otherwise(0).cast("long").alias("ev"),
+        F.when(
+            died, F.expr("(te - t0) div 3600000000")
+        )
+        .otherwise(48)
+        .cast("long")
+        .alias("v"),
+    )
+    n_tot = per_user.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    by_dur = per_user.groupBy("v").agg(
+        F.sum("ev").alias("a"), F.count(F.lit(1)).alias("t")
+    )
+    risk = (
+        _cum_by_value(by_dur)
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "v",
+            F.col("a").alias("d"),
+            F.col("t").alias("leaves"),
+            (F.col("n") - (F.col("cum_t") - F.col("t"))).alias("n_risk"),
+        )
+    )
+    l_e12 = (
+        F.when(
+            (F.col("d") == 0) | (F.col("n_risk") <= F.col("d")),
+            F.lit(0).cast("long"),
+        ).otherwise(
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    ),
+                    12,
+                ).cast("decimal(24,12)")
+                * 1000000000000
+            ).cast("long")
+        )
+    )
+    absorbed = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    terms = risk.select(
+        "v",
+        "d",
+        "leaves",
+        "n_risk",
+        l_e12.alias("a"),
+        absorbed.cast("long").alias("t"),
+    )
+    # second bucket-offset pass: cumulate the log terms and the
+    # absorption flag along the (day-bounded) duration axis.
+    cum2 = _cum_by_value(terms.select("v", "a", "t")).select(
+        "v",
+        F.col("cum_a").alias("cum_l"),
+        F.col("cum_t").alias("cum_abs"),
+    )
+    return (
+        terms.select("v", "d", "leaves", "n_risk")
+        .join(cum2, "v")
+        .select(
+            F.col("v").cast("long").alias("dur_hours"),
+            F.col("n_risk").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("d_events"),
+            (F.col("leaves") - F.col("d")).cast("long").alias("c_censored"),
+            F.when(F.col("cum_abs") > 0, F.lit(None))
+            .otherwise(F.col("cum_l"))
+            .cast("long")
+            .alias("log_surv_e12"),
+        )
+    )
+
+
+@query(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      FROM per_user),
+    c AS (
+      SELECT n, sx, sy,
+             CAST(n AS DECIMAL(38,0)) * sxx
+               - CAST(sx AS DECIMAL(38,0)) * sx AS cxx,
+             CAST(n AS DECIMAL(38,0)) * sxy
+               - CAST(sx AS DECIMAL(38,0)) * sy AS cxy,
+             CAST(n AS DECIMAL(38,0)) * syy
+               - CAST(sy AS DECIMAL(38,0)) * sy AS cyy
+      FROM m)
+    SELECT n AS n_users, sx AS sum_x_cents, sy AS sum_y_cents,
+           CAST(CAST(cxx AS DECIMAL(38,0)) AS VARCHAR) AS cxx_str,
+           CAST(CAST(cxy AS DECIMAL(38,0)) AS VARCHAR) AS cxy_str,
+           CAST(CAST(cyy AS DECIMAL(38,0)) AS VARCHAR) AS cyy_str,
+           CAST(round(CAST(cxy AS DOUBLE) * 1000000000
+                      / CAST(cxx AS DOUBLE)) AS BIGINT) AS theta_e9,
+           CAST(round((CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+                      * 1000000
+                      / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)))
+                AS BIGINT) AS rho2_e6
+    FROM c
+    """,
+)
+def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Existing Data, Deng et
+    al. 2013 — public paper) variance reduction over the events
+    stream: pre-period spend (before 2024-01-16) is the covariate X,
+    post-period spend the metric Y; theta = cov(X,Y)/var(X) is the
+    adjustment coefficient and rho^2 = cov^2/(varX*varY) the fraction
+    of metric variance CUPED removes — the number an experimentation
+    platform quotes as "sensitivity gain".
+
+    Exactness: per-user sums are exact cents; the n^2-scaled central
+    moments Cxx = n*Sxx - Sx^2 (etc.) accumulate in DECIMAL(38,0);
+    theta and rho^2 are each ONE double expression over those exact
+    integers, rounded to fixed scales — bit-identical cross-engine.
+    The raw moments are also emitted as strings (pandas narrows
+    DECIMAL(38,0), the same convention as kmeans' inertia).
+
+    Scale shape: one map-side-combinable groupBy(user) + one 1-row
+    aggregate. No windows, no joins; the covariate split is a
+    branch-free conditional inside the scan. At 100 TB this is the
+    cheapest possible two-pass-collapsed-to-one experiment readout.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(yd * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    c = m.select(
+        "n",
+        "sx",
+        "sy",
+        (nd * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx"))
+        .cast("decimal(38,0)")
+        .alias("cxx"),
+        (nd * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy"))
+        .cast("decimal(38,0)")
+        .alias("cxy"),
+        (nd * F.col("syy") - F.col("sy").cast("decimal(38,0)") * F.col("sy"))
+        .cast("decimal(38,0)")
+        .alias("cyy"),
+    )
+    dxx = F.col("cxx").cast("double")
+    dxy = F.col("cxy").cast("double")
+    dyy = F.col("cyy").cast("double")
+    return c.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("sum_x_cents"),
+        F.col("sy").alias("sum_y_cents"),
+        F.col("cxx").cast("string").alias("cxx_str"),
+        F.col("cxy").cast("string").alias("cxy_str"),
+        F.col("cyy").cast("string").alias("cyy_str"),
+        F.round(dxy * 1000000000 / dxx).cast("long").alias("theta_e9"),
+        F.round((dxy * dxy) * 1000000 / (dxx * dyy))
+        .cast("long")
+        .alias("rho2_e6"),
+    )
+
+
+#: candidate split thresholds for the decision stump — powers of two
+#: spanning the document-length domain; a FIXED, bounded grid (the
+#: oracle enumerates the same literals), never data-derived.
+_IG_THETAS = [1 << k for k in range(3, 13)]
+
+
+@query(
+    "info_gain_feature_split",
+    oracle=f"""
+    WITH th AS (
+      SELECT unnest(ARRAY{_IG_THETAS}) AS theta),
+    lab AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, n_chars
+      FROM documents),
+    per AS (
+      SELECT theta,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN n_chars <= theta THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nl,
+             CAST(SUM(CASE WHEN n_chars <= theta THEN y ELSE 0 END)
+                  AS BIGINT) AS pl
+      FROM lab, th GROUP BY theta),
+    ig AS (
+      SELECT theta, nl, pl, n - nl AS nr, p - pl AS pr,
+             (CASE WHEN p > 0 THEN p * CAST(CAST(round(ln(CAST(n AS DOUBLE) / p), 12) AS DECIMAL(24,12)) * 1000000000000 AS BIGINT) ELSE 0 END
+              + CASE WHEN n - p > 0 THEN (n - p) * CAST(CAST(round(ln(CAST(n AS DOUBLE) / (n - p)), 12) AS DECIMAL(24,12)) * 1000000000000 AS BIGINT) ELSE 0 END)
+             - (CASE WHEN pl > 0 THEN pl * CAST(CAST(round(ln(CAST(nl AS DOUBLE) / pl), 12) AS DECIMAL(24,12)) * 1000000000000 AS BIGINT) ELSE 0 END
+                + CASE WHEN nl - pl > 0 THEN (nl - pl) * CAST(CAST(round(ln(CAST(nl AS DOUBLE) / (nl - pl)), 12) AS DECIMAL(24,12)) * 1000000000000 AS BIGINT) ELSE 0 END)
+             - (CASE WHEN p - pl > 0 THEN (p - pl) * CAST(CAST(round(ln(CAST(n - nl AS DOUBLE) / (p - pl)), 12) AS DECIMAL(24,12)) * 1000000000000 AS BIGINT) ELSE 0 END
+                + CASE WHEN (n - nl) - (p - pl) > 0 THEN ((n - nl) - (p - pl)) * CAST(CAST(round(ln(CAST(n - nl AS DOUBLE) / ((n - nl) - (p - pl))), 12) AS DECIMAL(24,12)) * 1000000000000 AS BIGINT) ELSE 0 END)
+               AS ig_n_e12
+      FROM per),
+    mx AS (SELECT MAX(ig_n_e12) AS best FROM ig)
+    SELECT CAST(theta AS BIGINT) AS theta,
+           nl AS n_left, pl AS pos_left,
+           CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+           CAST(ig_n_e12 AS BIGINT) AS ig_n_e12,
+           ig_n_e12 = best AS is_best
+    FROM ig, mx
+    """,
+)
+def q_info_gain_feature_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature selection: information gain of the
+    split n_chars <= theta against the label lang = 'en', over a
+    fixed power-of-two threshold grid.
+
+    The n-scaled identity removes every division from the entropy:
+    n*H(S) = sum_c c * ln(n/c), so IG*n = T(parent) - T(left) -
+    T(right) where each term is (exact count) * (rounded-ln e12
+    long) — the repo's round(ln, 12) DECIMAL convention — summed in
+    exact integer arithmetic. ig_n_e12 is therefore reproducible to
+    the last digit; is_best marks the argmax threshold (ties all
+    flagged, deterministically).
+
+    Scale shape: ONE scan of the corpus cross-joined with the
+    broadcast 10-row threshold grid, one map-side-combinable
+    groupBy(theta) producing 4 integer partials per threshold; the
+    per-threshold entropy algebra runs on the 10-row result. No
+    windows, no data-sized joins. Long bound: c * |L| <
+    n * ln(n)*1e12 — promotes past int64 only beyond ~6e5 docs, so
+    terms multiply as DECIMAL(38,0) and only the final difference
+    casts down.
+
+    Reference parity: none (no ML surface in the reference) — this is
+    the feature-audit step ahead of gd_quality_classifier, answering
+    "is document length even informative about the target class".
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    th = spark.createDataFrame(
+        [(t,) for t in _IG_THETAS], "theta long"
+    )
+    lab = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+        "n_chars",
+    )
+    per = (
+        lab.crossJoin(F.broadcast(th))
+        .groupBy("theta")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("p"),
+            F.sum(F.when(F.col("n_chars") <= F.col("theta"), 1).otherwise(0))
+            .cast("long")
+            .alias("nl"),
+            F.sum(
+                F.when(F.col("n_chars") <= F.col("theta"), F.col("y")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("pl"),
+        )
+    )
+
+    def _t(n_grp, c):
+        # c * round(ln(n_grp/c), 12)·1e12 as exact DECIMAL product;
+        # zero when the class is empty (lim x→0 x·ln(n/x) = 0).
+        l_e12 = (
+            F.round(F.log(n_grp.cast("double") / c.cast("double")), 12)
+            .cast("decimal(24,12)")
+            * 1000000000000
+        ).cast("long")
+        return F.when(c > 0, c.cast("decimal(38,0)") * l_e12).otherwise(
+            F.lit(0).cast("decimal(38,0)")
+        )
+
+    n, p = F.col("n"), F.col("p")
+    nl, pl = F.col("nl"), F.col("pl")
+    nr, pr = n - nl, p - pl
+    ig = per.select(
+        "theta",
+        "nl",
+        "pl",
+        nr.alias("nr"),
+        pr.alias("pr"),
+        (
+            _t(n, p)
+            + _t(n, n - p)
+            - (_t(nl, pl) + _t(nl, nl - pl))
+            - (_t(nr, pr) + _t(nr, nr - pr))
+        )
+        .cast("long")
+        .alias("ig_n_e12"),
+    )
+    mx = ig.agg(F.max("ig_n_e12").alias("best"))
+    return ig.crossJoin(F.broadcast(mx)).select(
+        F.col("theta").cast("long").alias("theta"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("pl").cast("long").alias("pos_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.col("pr").cast("long").alias("pos_right"),
+        "ig_n_e12",
+        (F.col("ig_n_e12") == F.col("best")).alias("is_best"),
+    )
+
+
+@query(
+    "markov_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    rt AS (
+      SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS row_total
+      FROM trans GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n_trans, r.row_total,
+           CAST((t.n_trans * 2000000 + r.row_total)
+                // (2 * r.row_total) AS BIGINT) AS p_e6
+    FROM trans t JOIN rt r USING (from_type)
+    """,
+)
+def q_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type), exact counts
+    with e6-scaled probabilities via the integral half-up trick.
+
+    The lag runs over a window PARTITIONED by user (per-user
+    sequences are session-sized, never corpus-sized) ordered by
+    (ts, event_id) — the event_id tiebreak makes equal-timestamp
+    ordering deterministic in both engines. Transition counts and
+    row totals are two map-side-combinable aggregations over the
+    |event_types|^2-bounded pair domain; the row-total join is a
+    broadcast of a category-bounded table.
+
+    Reference parity: none — this is the user-journey model a
+    product-analytics engine derives from the same event stream the
+    funnel/retention/sessionization queries consume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    rt = trans.groupBy("from_type").agg(
+        F.sum("n_trans").cast("long").alias("row_total")
+    )
+    return trans.join(F.broadcast(rt), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "row_total",
+        F.expr(
+            "CAST((n_trans * 2000000 + row_total) div (2 * row_total)"
+            " AS BIGINT)"
+        ).alias("p_e6"),
+    )

@@ -1,0 +1,250 @@
+"""Property depth for the evaluation/experimentation tranche: the
+oracle gate hash-verifies each statistic against DuckDB; these assert
+agreement with an INDEPENDENT numpy/pandas recomputation (a third
+engine, so a shared-mistake hash match can't hide), plus the
+mathematical invariants the SQL comparison can't state (AUC bounds,
+KM monotonicity, IG non-negativity, transition rows summing to one).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _rows(spark, name):
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()[name](spark, SF_DIR).collect()
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con.execute(sql).fetchall()
+
+
+class TestAucRoc:
+    def test_matches_numpy_rank_auc(self, spark):
+        [(n_pos, n_neg, u1_x2, auc_e6, gini_e6)] = [
+            tuple(r) for r in _rows(spark, "auc_roc_exact")
+        ]
+        pairs = _duck(
+            """
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END,
+                   (100000 * (length(lower(text))
+                    - length(replace(lower(text), 'e', ''))))
+                     // length(text)
+            FROM documents WHERE length(text) > 0
+            """
+        )
+        pos = sorted(v for g, v in pairs if g == 1)
+        neg = sorted(v for g, v in pairs if g == 0)
+        # brute-force P(pos > neg) + 0.5 P(pos == neg), exact in 2x ints
+        wins2 = 0
+        for p in pos:
+            wins2 += 2 * sum(1 for q in neg if q < p)
+            wins2 += sum(1 for q in neg if q == p)
+        assert n_pos == len(pos) and n_neg == len(neg)
+        assert u1_x2 == wins2
+        assert auc_e6 == (wins2 * 1000000 + n_pos * n_neg) // (
+            2 * n_pos * n_neg
+        )
+        assert 0 <= auc_e6 <= 1000000
+        assert gini_e6 == 2 * auc_e6 - 1000000
+
+    def test_perfect_and_reversed_ranking_bounds(self, spark):
+        # directly exercise the rank-sum identity on constructed data
+        from concurrent_etl_spark.queries_stats import _cum_by_value
+
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(1, v + 100) for v in range(20)]
+            + [(0, v) for v in range(20)],
+            "g long, v long",
+        )
+        pv = df.groupBy("v").agg(
+            F.sum("g").alias("a"), F.count(F.lit(1)).alias("t")
+        )
+        cum = _cum_by_value(pv)
+        rank2 = 2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1
+        [r1_x2] = cum.agg(F.sum(F.col("a") * rank2)).first()
+        u1_x2 = r1_x2 - 20 * 21
+        assert u1_x2 == 2 * 20 * 20  # perfect separation -> AUC 1
+
+
+class TestKaplanMeier:
+    def test_matches_python_km(self, spark):
+        rows = {
+            r["dur_hours"]: r for r in _rows(spark, "kaplan_meier_survival")
+        }
+        pu = _duck(
+            """
+            WITH pu AS (
+              SELECT user_id, MIN(epoch_us(ts)) AS t0,
+                     MIN(CASE WHEN event_type = 'error'
+                              THEN epoch_us(ts) END) AS te
+              FROM events GROUP BY user_id)
+            SELECT CASE WHEN te IS NOT NULL
+                         AND te - t0 <= 48 * 3600000000
+                        THEN 1 ELSE 0 END,
+                   CASE WHEN te IS NOT NULL
+                         AND te - t0 <= 48 * 3600000000
+                        THEN (te - t0) // 3600000000 ELSE 48 END
+            FROM pu
+            """
+        )
+        by_dur: dict[int, list[int]] = {}
+        for ev, dur in pu:
+            d = by_dur.setdefault(int(dur), [0, 0])
+            d[0] += int(ev)
+            d[1] += 1
+        n_risk = len(pu)
+        cum_l = 0
+        absorbed = False
+        for dur in sorted(by_dur):
+            d, leaves = by_dur[dur]
+            row = rows[dur]
+            assert row["n_at_risk"] == n_risk
+            assert row["d_events"] == d
+            assert row["c_censored"] == leaves - d
+            if d >= n_risk:
+                absorbed = True
+            elif d > 0:
+                # outer round: float*1e12 can sit 1 ulp under the
+                # integer the engines' exact decimal multiply yields
+                cum_l += round(
+                    round(math.log((n_risk - d) / n_risk), 12) * 10**12
+                )
+            if absorbed:
+                assert row["log_surv_e12"] is None
+            else:
+                assert row["log_surv_e12"] == cum_l
+            n_risk -= leaves
+        assert set(rows) == {int(d) for d in by_dur}
+
+    def test_curve_monotone(self, spark):
+        rows = sorted(
+            _rows(spark, "kaplan_meier_survival"),
+            key=lambda r: r["dur_hours"],
+        )
+        risks = [r["n_at_risk"] for r in rows]
+        assert risks == sorted(risks, reverse=True)
+        logs = [
+            r["log_surv_e12"] for r in rows if r["log_surv_e12"] is not None
+        ]
+        assert all(a >= b for a, b in zip(logs, logs[1:]))
+        assert all(v <= 0 for v in logs)
+
+
+class TestCuped:
+    def test_matches_python_moments(self, spark):
+        [row] = _rows(spark, "cuped_variance_reduction")
+        per_user = _duck(
+            """
+            SELECT SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                            THEN CAST(floor(value * 100) AS BIGINT)
+                            ELSE 0 END),
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN CAST(floor(value * 100) AS BIGINT)
+                            ELSE 0 END)
+            FROM events GROUP BY user_id
+            """
+        )
+        n = len(per_user)
+        sx = sum(x for x, _ in per_user)
+        sy = sum(y for _, y in per_user)
+        cxx = n * sum(x * x for x, _ in per_user) - sx * sx
+        cxy = n * sum(x * y for x, y in per_user) - sx * sy
+        cyy = n * sum(y * y for _, y in per_user) - sy * sy
+        assert row["n_users"] == n
+        assert (row["cxx_str"], row["cxy_str"], row["cyy_str"]) == (
+            str(cxx),
+            str(cxy),
+            str(cyy),
+        )
+        assert row["theta_e9"] == round(cxy * 1e9 / cxx)
+        assert row["rho2_e6"] == round(
+            (float(cxy) * float(cxy)) * 1e6 / (float(cxx) * float(cyy))
+        )
+        assert 0 <= row["rho2_e6"] <= 1000000
+
+    def test_cauchy_schwarz(self, spark):
+        [row] = _rows(spark, "cuped_variance_reduction")
+        # rho^2 <= 1 is Cauchy-Schwarz on the exact moments
+        assert int(row["cxy_str"]) ** 2 <= int(row["cxx_str"]) * int(
+            row["cyy_str"]
+        )
+
+
+class TestInfoGain:
+    def test_gain_nonnegative_and_best_unique_max(self, spark):
+        rows = _rows(spark, "info_gain_feature_split")
+        assert len(rows) == 10
+        # IG >= 0 for every split (Jensen); rounding slack 1 ulp/term
+        assert all(r["ig_n_e12"] >= -4 for r in rows)
+        best = max(r["ig_n_e12"] for r in rows)
+        flagged = [r for r in rows if r["is_best"]]
+        assert flagged and all(r["ig_n_e12"] == best for r in flagged)
+
+    def test_counts_consistent(self, spark):
+        rows = _rows(spark, "info_gain_feature_split")
+        n = rows[0]["n_left"] + rows[0]["n_right"]
+        p = rows[0]["pos_left"] + rows[0]["pos_right"]
+        for r in rows:
+            assert r["n_left"] + r["n_right"] == n
+            assert r["pos_left"] + r["pos_right"] == p
+            assert 0 <= r["pos_left"] <= r["n_left"]
+            assert 0 <= r["pos_right"] <= r["n_right"]
+        # monotone threshold grid -> monotone left sizes
+        srt = sorted(rows, key=lambda r: r["theta"])
+        sizes = [r["n_left"] for r in srt]
+        assert sizes == sorted(sizes)
+
+
+class TestMarkov:
+    def test_rows_sum_to_one_and_totals(self, spark):
+        rows = _rows(spark, "markov_transition_matrix")
+        by_from: dict[str, list] = {}
+        for r in rows:
+            by_from.setdefault(r["from_type"], []).append(r)
+        for from_type, grp in by_from.items():
+            rt = grp[0]["row_total"]
+            assert all(r["row_total"] == rt for r in grp)
+            assert sum(r["n_trans"] for r in grp) == rt
+            p_sum = sum(r["p_e6"] for r in grp)
+            # each p rounds within 1/2 ulp -> total within len(grp)/2
+            assert abs(p_sum - 1000000) <= (len(grp) + 1) // 2
+        [(n_events, n_users)] = _duck(
+            "SELECT COUNT(*), COUNT(DISTINCT user_id) FROM events"
+        )
+        assert (
+            sum(r["n_trans"] for r in rows) == n_events - n_users
+        )
+
+
+class TestNaiveBayes:
+    def test_confusion_complete_and_learns_the_separable_task(self, spark):
+        from concurrent_etl_spark.queries_llm6 import _NB_LANGS
+
+        rows = _rows(spark, "naive_bayes_langid")
+        [(n_docs,)] = _duck(
+            "SELECT COUNT(*) FROM documents WHERE doc_id < 200"
+        )
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        assert {r["lang_true"] for r in rows} <= set(_NB_LANGS)
+        assert {r["lang_pred"] for r in rows} <= set(_NB_LANGS)
+        correct = sum(
+            r["n_docs"] for r in rows if r["lang_true"] == r["lang_pred"]
+        )
+        # the benchmark is separable by construction: a correct NB
+        # recovers (nearly) all of it; majority-class is 1/5
+        assert correct >= 0.9 * n_docs

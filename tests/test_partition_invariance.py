@@ -79,6 +79,13 @@ SPOT_CHECK = [
     "video_scene_cuts",
     "er_blocked_fuzzy_match",
     "cusum_mean_shift",
+    # round-4 eval tranche: rank-sum cumsums, rounded-ln cumulations,
+    # decimal moments, argmax windows
+    "auc_roc_exact",
+    "kaplan_meier_survival",
+    "cuped_variance_reduction",
+    "info_gain_feature_split",
+    "naive_bayes_langid",
 ]
 
 
