@@ -230,6 +230,15 @@ _CHECK_FIRST = [
     "info_gain_feature_split",
     "markov_transition_matrix",
     "naive_bayes_langid",
+    # r4 infrastructure/inference tranche: deterministic permutation
+    # test, A/B SRM gate, seasonality matrix, weighted shortest
+    # paths, Bloom-filter join pruning, gzip JSONL source
+    "permutation_test_signflip",
+    "ab_srm_bucketing_audit",
+    "seasonality_profile",
+    "bellman_ford_weighted_hops",
+    "bloom_filter_probe_audit",
+    "jsonl_gzip_source_roundtrip",
 ]
 
 def _driver_verified() -> set[str]:

@@ -2473,3 +2473,121 @@ def q_fixed_width_source_roundtrip(
         F.lit(0).cast("long").alias("max_key"),
     )
     return agg.unionByName(dead_row)
+
+
+@query(
+    "jsonl_gzip_source_roundtrip",
+    oracle="""
+    SELECT n_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(SUM(length(s_name)) AS BIGINT) AS sum_comment_len
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS nationkey, CAST(2 AS BIGINT) AS n_supp,
+           CAST(0 AS BIGINT) AS sum_cents,
+           CAST(0 AS BIGINT) AS sum_comment_len
+    """,
+)
+def q_jsonl_gzip_source_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GZIP-compressed JSON-Lines source under the gate: the supplier
+    table is rendered to multi-file .json.gz (Spark's native gzip
+    codec on write), read back through ``spark.read.json`` with
+    PERMISSIVE corrupt-record capture, joined to nation, and rolled
+    up — so codec, schema inference boundary (schema is pinned
+    explicitly: inference would sample-scan every gzip member twice),
+    and dead-lettering are all on the verified path. Two injected
+    malformed lines land in the -1 dead-letter row.
+
+    The 100 TB note IS the point of this query: gzip is a
+    NON-SPLITTABLE codec — each .json.gz file is one task regardless
+    of size (a single 10 GB member serializes one executor thread).
+    The write side therefore controls parallelism by file count
+    (8 members here); a production pipeline re-chunks oversized
+    members or moves to zstd/bgzf. Read cost is one linear scan per
+    member, no shuffle until the rollup partials.
+
+    Reference parity: the reference reads only Excel drops
+    (case_2/Normal.py:93); compressed JSONL is the other standard
+    drop-directory interchange format.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    d = _os.path.join(_tempfile.gettempdir(), "ces_jsonlgz", tag)
+    marker = _os.path.join(d, "_SUCCESS")
+    if not _os.path.exists(marker):
+        supp = load_table(spark, sf_dir, "supplier")
+        lines = supp.select(
+            F.to_json(
+                F.struct(
+                    F.col("s_suppkey").alias("suppkey"),
+                    F.col("s_nationkey").alias("nationkey"),
+                    (F.col("s_acctbal").cast("decimal(18,2)") * 100)
+                    .cast("long")
+                    .alias("cents"),
+                    F.col("s_name").alias("comment"),
+                )
+            ).alias("value")
+        )
+        bad = spark.createDataFrame(
+            [('{"suppkey": broken',), ("not json at all",)],
+            "value string",
+        )
+        (
+            lines.unionByName(bad)
+            .coalesce(8)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .text(d)
+        )
+    schema = (
+        "suppkey long, nationkey long, cents long, comment string,"
+        " _corrupt string"
+    )
+    # read.text drives the gzip codec; from_json does the parse with
+    # corrupt-record capture (the file-source JSON reader disallows
+    # plans that touch only the corrupt column)
+    raw = spark.read.text(d).select(
+        F.from_json(
+            "value",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("p")
+    ).select("p.*")
+    ok = raw.where(
+        F.col("_corrupt").isNull() & F.col("suppkey").isNotNull()
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    agg = (
+        ok.join(F.broadcast(nat), "nationkey")
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_supp"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.sum(F.length("comment")).cast("long").alias(
+                "sum_comment_len"
+            ),
+        )
+    )
+    dead = raw.where(F.col("_corrupt").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_supp")
+    ).select(
+        F.lit(-1).cast("long").alias("nationkey"),
+        "n_supp",
+        F.lit(0).cast("long").alias("sum_cents"),
+        F.lit(0).cast("long").alias("sum_comment_len"),
+    )
+    return agg.unionByName(dead)

@@ -355,3 +355,115 @@ def q_kcore_interaction_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         stats, "peel_round: int, n_edges: long, n_users: long, n_items: long"
     )
+
+
+def _bf_sql_round(prev: str, k: int) -> str:
+    return f"""
+    d{k} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.v AS node, d.dist + e.w AS dist
+        FROM {prev} d JOIN edges e ON e.u = d.node)
+      GROUP BY node)"""
+
+
+@query(
+    "bellman_ford_weighted_hops",
+    oracle=f"""
+    WITH items AS (
+      SELECT l_orderkey, l_suppkey,
+             MIN(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS c
+      FROM lineitem GROUP BY 1, 2),
+    edges AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, MIN(a.c + b.c) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      GROUP BY 1, 2),
+    d0 AS (
+      SELECT s_suppkey AS node, CAST(0 AS BIGINT) AS dist
+      FROM supplier WHERE s_nationkey % 5 = 0),
+    {_bf_sql_round('d0', 1)},
+    {_bf_sql_round('d1', 2)},
+    {_bf_sql_round('d2', 3)},
+    {_bf_sql_round('d3', 4)}
+    SELECT node AS suppkey, CAST(dist AS BIGINT) AS dist_cents
+    FROM d4
+    """,
+)
+def q_bellman_ford_weighted_hops(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted single-source-set shortest paths, Bellman-Ford
+    relaxation unrolled to 4 rounds: cheapest <=4-hop connection cost
+    from the nation%5==0 supplier cohort through the co-supply graph (edge weight
+    = the cheapest pair of line prices any shared order offers, in
+    exact cents).
+
+    The weighted counterpart of bfs_bipartite_hops: each round is ONE
+    equi-join of the current distance frontier against the edge list
+    plus ONE min-combine groupBy — both map-side combinable, both
+    partitioned on the node key, no windows. Distances are exact
+    longs, so min() is deterministic and the unrolled oracle CTE
+    chain states the same fixed-round semantics (Bellman-Ford after k
+    rounds = exact min-cost-over-<=k-hop-paths, a well-defined result
+    independent of execution order; negative edges cannot exist —
+    weights are sums of prices).
+
+    Scale shape: the distance table is node-sized (broadcastable for
+    most graphs; shuffles cleanly when not); the per-order pair
+    expansion is bounded by basket size as in triangle_count. Rounds
+    are a fixed constant — at 100 TB, hop-bounded reachability is the
+    production form (unbounded SSSP would iterate to convergence with
+    the same per-round plan).
+
+    Reference parity: none — graph surface. Public-algorithm citation:
+    Bellman 1958 / the standard synchronous relaxation on Pregel-like
+    systems.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.min(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "c"
+        )
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("u"),
+        F.col("c").alias("cu"),
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_suppkey").alias("v"),
+        F.col("c").alias("cv"),
+    )
+    # materialize the edge list once (it feeds all 4 relaxation
+    # rounds); localCheckpoint also truncates the lineage so the
+    # unrolled plan stays linear in rounds, the kcore discipline
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min(F.col("cu") + F.col("cv")).alias("w"))
+    ).localCheckpoint(eager=True)
+    sup = load_table(spark, sf_dir, "supplier")
+    dist = sup.where(F.col("s_nationkey") % 5 == 0).select(
+        F.col("s_suppkey").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(4):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["u"])
+            .select(
+                F.col("v").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(
+        F.col("node").alias("suppkey"),
+        F.col("dist").cast("long").alias("dist_cents"),
+    )

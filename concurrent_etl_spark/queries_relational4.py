@@ -1504,3 +1504,151 @@ def q_er_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dirty_id") == F.col("cand_id")).alias("correct"),
         )
     )
+
+
+@query(
+    "bloom_filter_probe_audit",
+    oracle="""
+    WITH keys AS (
+      SELECT c_custkey AS k,
+             c_mktsegment = 'BUILDING' AS member
+      FROM customer),
+    hashes AS (
+      SELECT k, member, i,
+             ('0x' || substr(md5('bf' || i || '_' || k), 1, 8))::BIGINT
+               % 4096 AS pos
+      FROM keys, unnest(range(0, 4)) u(i)),
+    words AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
+               AS bits
+      FROM hashes WHERE member GROUP BY 1),
+    probe AS (
+      SELECT h.k, h.member,
+             CAST(SUM(CASE WHEN (COALESCE(w.bits, 0)
+                                 & (CAST(1 AS BIGINT)
+                                    << CAST(h.pos % 32 AS INTEGER)))
+                            = (CAST(1 AS BIGINT)
+                               << CAST(h.pos % 32 AS INTEGER))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM hashes h LEFT JOIN words w ON w.word = h.pos // 32
+      GROUP BY 1, 2)
+    SELECT CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserted,
+           CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN n_hits = 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_maybe,
+           CAST(SUM(CASE WHEN member AND n_hits < 4
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_neg,
+           CAST(SUM(CASE WHEN NOT member AND n_hits = 4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST((SUM(CASE WHEN NOT member AND n_hits = 4
+                          THEN 1 ELSE 0 END) * 2000000
+                 + SUM(CASE WHEN NOT member THEN 1 ELSE 0 END))
+                // (2 * SUM(CASE WHEN NOT member THEN 1 ELSE 0 END))
+                AS BIGINT) AS fp_rate_e6
+    FROM probe
+    """,
+)
+def q_bloom_filter_probe_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed Bloom filter build + probe with exact false-
+    positive accounting — the runtime join-pruning primitive (Spark's
+    own runtime row-group filters and semi-join pushdowns are Bloom
+    filters; this query certifies the mechanics with a deterministic
+    md5 hash family so both engines build bit-identical filters).
+
+    Build: the 'BUILDING' customer segment is inserted into an
+    m=4096-bit / k=4 filter materialized as <=128 32-bit-packed (word, bits) longs
+    via a bit_or aggregation — the filter is A DATAFRAME, built in
+    one shuffle, mergeable across partitions by construction (bit_or
+    is commutative), never a driver-side bitmap. Probe: every
+    customer checks its 4 word/mask pairs with a broadcast join
+    against the word table; missing words read as 0. The audit
+    proves: zero false negatives (a Bloom filter's hard guarantee —
+    asserted as a COUNT, not a boolean, so any nonzero leaks into the
+    hash), and the exact false-positive rate (e6 half-up) against
+    ground-truth membership.
+
+    Scale shape: filter size is constant (<=128 rows broadcast
+    everywhere); build and probe are each one scan + one
+    map-side-combinable agg. At 100 TB this is exactly how a
+    dimension-built filter prunes a fact scan before a shuffle join.
+
+    Reference parity: none — join-infrastructure surface (Bloom
+    1970, public).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_mktsegment") == "BUILDING").alias("member"),
+    )
+    idx = spark.range(0, 4).select(F.col("id").cast("int").alias("i"))
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bf"),
+                        F.col("i").cast("string"),
+                        F.lit("_"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4096
+    )
+    hashes = keys.crossJoin(F.broadcast(idx)).select(
+        "k", "member", pos.alias("pos")
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    words = (
+        hashes.where("member")
+        .groupBy(F.expr("pos div 32").alias("word"))
+        .agg(F.bit_or(mask).alias("bits"))
+    )
+    probe = (
+        hashes.withColumn("word", F.expr("pos div 32"))
+        .join(F.broadcast(words), "word", "left")
+        .groupBy("k", "member")
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(mask)
+                    == mask,
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    maybe = F.col("n_hits") == 4
+    neg = ~F.col("member")
+    return probe.agg(
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+        F.count(F.lit(1)).cast("long").alias("n_probed"),
+        F.sum(F.when(maybe, 1).otherwise(0)).cast("long").alias("n_maybe"),
+        F.sum(F.when(F.col("member") & ~maybe, 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_neg"),
+        F.sum(F.when(neg & maybe, 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.expr(
+            "CAST((SUM(CASE WHEN (NOT member) AND n_hits = 4"
+            " THEN 1 ELSE 0 END) * 2000000"
+            " + SUM(CASE WHEN NOT member THEN 1 ELSE 0 END))"
+            " div (2 * SUM(CASE WHEN NOT member THEN 1 ELSE 0 END))"
+            " AS BIGINT)"
+        ).alias("fp_rate_e6"),
+    )

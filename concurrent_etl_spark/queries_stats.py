@@ -1388,3 +1388,339 @@ def q_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("p_e6"),
     )
+
+
+@query(
+    "permutation_test_signflip",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END)
+                  - SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                             THEN CAST(floor(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS d
+      FROM events GROUP BY user_id),
+    reps AS (SELECT unnest(range(0, 64)) AS b),
+    flips AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN ('0x' || substr(md5('perm' || b || '_'
+                                  || user_id), 1, 8))::BIGINT % 2 = 0
+                           THEN d ELSE -d END) AS BIGINT) AS t_b
+      FROM per_user, reps GROUP BY b),
+    obs AS (SELECT CAST(SUM(d) AS BIGINT) AS t_obs,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM per_user)
+    SELECT t_obs, n_users, CAST(64 AS BIGINT) AS n_reps,
+           CAST(SUM(CASE WHEN abs(t_b) >= abs(t_obs)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+           CAST(((SUM(CASE WHEN abs(t_b) >= abs(t_obs)
+                           THEN 1 ELSE 0 END) + 1) * 2000000 + 65)
+                // (2 * 65) AS BIGINT) AS p_e6
+    FROM flips, obs
+    GROUP BY t_obs, n_users
+    """,
+)
+def q_permutation_test_signflip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sign-flip permutation test (Fisher randomization) for the
+    paired pre/post spend difference, with DETERMINISTIC md5-derived
+    sign assignments so both engines run the identical 64 permutations.
+
+    Per user d = post - pre cents (the CUPED pairing). Under H0 the
+    signs of d are exchangeable: replicate b flips user u's sign by
+    parity of md5('perm{b}_{u}'); T_b = sum of signed d is an exact
+    long, the two-sided p-value is the standard add-one estimate
+    (n_ge+1)/(B+1) reported as a half-up e6 integer. Everything is
+    integer arithmetic end to end — no distributional approximation,
+    the test is exact given the sign set.
+
+    Scale shape: one groupBy(user) rollup, then one scan of the
+    user-level table cross-joined with the broadcast 64-row replicate
+    grid into a 64-group map-side-combinable agg — permutations cost
+    B partial sums, NOT B shuffles. The observed statistic enters via
+    crossJoin(broadcast(1-row)).
+
+    Reference parity: none — inferential surface for experiment
+    readouts where the CLT-based z-test (chisq_independence's cousin)
+    is untrusted.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0))
+            - F.sum(F.when(F.col("ts") < cut, cents).otherwise(0))
+        )
+        .cast("long")
+        .alias("d")
+    )
+    reps = spark.range(0, 64).select(F.col("id").alias("b"))
+    sign_even = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("perm"),
+                        F.col("b").cast("string"),
+                        F.lit("_"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    flips = (
+        per_user.crossJoin(F.broadcast(reps))
+        .groupBy("b")
+        .agg(
+            F.sum(
+                F.when(sign_even, F.col("d")).otherwise(-F.col("d"))
+            )
+            .cast("long")
+            .alias("t_b")
+        )
+    )
+    obs = per_user.agg(
+        F.sum("d").cast("long").alias("t_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    return (
+        flips.crossJoin(F.broadcast(obs))
+        .groupBy("t_obs", "n_users")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("t_b")) >= F.abs(F.col("t_obs")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_ge")
+        )
+        .select(
+            "t_obs",
+            "n_users",
+            F.lit(64).cast("long").alias("n_reps"),
+            "n_ge",
+            F.expr(
+                "CAST(((n_ge + 1) * 2000000 + 65) div (2 * 65) AS BIGINT)"
+            ).alias("p_e6"),
+        )
+    )
+
+
+@query(
+    "ab_srm_bucketing_audit",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             ('0x' || substr(md5('ab_' || user_id), 1, 8))::BIGINT % 2
+               AS bucket
+      FROM (SELECT DISTINCT user_id FROM events)),
+    conv AS (
+      SELECT a.bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN p.user_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      FROM assign a
+      LEFT JOIN (SELECT DISTINCT user_id FROM events
+                 WHERE event_type = 'purchase') p
+        ON p.user_id = a.user_id
+      GROUP BY a.bucket),
+    tot AS (
+      SELECT CAST(SUM(n_users) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN bucket = 0 THEN n_users END)
+                  - MAX(CASE WHEN bucket = 1 THEN n_users END)
+                  AS BIGINT) AS diff
+      FROM conv)
+    SELECT bucket, n_users, n_converted,
+           CAST((n_converted * 2000000 + n_users)
+                // (2 * n_users) AS BIGINT) AS conv_rate_e6,
+           CAST(round(CAST(diff * diff AS DOUBLE) * 1000000
+                      / CAST(n AS DOUBLE)) AS BIGINT) AS srm_chisq_e6
+    FROM conv, tot
+    """,
+)
+def q_ab_srm_bucketing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment assignment audit: deterministic md5 hash-split
+    of users into two buckets, per-bucket conversion rates, and the
+    sample-ratio-mismatch (SRM) chi-square — the gate every
+    experimentation platform runs before trusting a readout (a
+    skewed split means the bucketing itself is broken).
+
+    Assignment is md5(user) parity — the industry-standard
+    deterministic bucketing (same user always lands in the same arm,
+    reproducible across engines and reruns, no RNG). For a 50/50
+    design the 2-cell chi-square collapses to (n0-n1)^2/n, computed
+    as ONE double expression over exact longs, e6-rounded.
+    Conversion = user ever fired a 'purchase' event; rates use the
+    integral half-up trick.
+
+    Scale shape: distinct users (one shuffle), a broadcast-able
+    distinct converter set (semi-join shape), one 2-group agg. The
+    SRM scalar re-enters via crossJoin(broadcast(1-row)).
+
+    Reference parity: none — experimentation surface over the same
+    events stream as funnel_conversion/retention_cohorts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    assign = users.select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab_"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("bucket"),
+    )
+    conv_users = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    conv = (
+        assign.join(F.broadcast(conv_users), "user_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0)))
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )
+    tot = conv.agg(
+        F.sum("n_users").cast("long").alias("n"),
+        (
+            F.max(F.when(F.col("bucket") == 0, F.col("n_users")))
+            - F.max(F.when(F.col("bucket") == 1, F.col("n_users")))
+        )
+        .cast("long")
+        .alias("diff"),
+    )
+    return conv.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_users",
+        "n_converted",
+        F.expr(
+            "CAST((n_converted * 2000000 + n_users) div (2 * n_users)"
+            " AS BIGINT)"
+        ).alias("conv_rate_e6"),
+        F.round(
+            (F.col("diff") * F.col("diff")).cast("double")
+            * 1000000
+            / F.col("n").cast("double")
+        )
+        .cast("long")
+        .alias("srm_chisq_e6"),
+    )
+
+
+@query(
+    "seasonality_profile",
+    oracle="""
+    WITH base AS (
+      SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    cell AS (
+      SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM base GROUP BY 1, 2),
+    tot AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS n,
+             CAST(SUM(sum_cents) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM cell)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           n_events, sum_cents,
+           CAST(round(CAST(n_events * n_cells - n AS DOUBLE) * 1000000
+                      / CAST(n AS DOUBLE)) AS BIGINT) AS load_dev_e6,
+           CAST(round(CAST(CAST(sum_cents AS DECIMAL(38,0)) * n
+                           - CAST(s AS DECIMAL(38,0)) * n_events
+                           AS DOUBLE) * 1000000
+                      / (CAST(s AS DOUBLE) * n_events))
+                AS BIGINT) AS value_dev_e6
+    FROM cell, tot
+    """,
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: the (day-of-week x hour-of-day)
+    event-load and mean-value matrix with e6-scaled relative
+    deviations from the uniform/global baseline — the fingerprint a
+    capacity planner or anomaly detector keeps of "normal" traffic.
+
+    Calendar arithmetic is PURE INTEGER epoch math — dow =
+    (days_since_epoch + 4) % 7 (1970-01-01 was a Thursday; 0=Sunday)
+    and hod = in-day microseconds div 3600e6 — so both engines derive
+    identical cells with no calendar/timezone library in the loop.
+    load_dev_e6 = (n_cell * n_cells / n - 1) in e6 (deviation from
+    uniform load); value_dev_e6 = (mean_cell / mean_global - 1) in e6
+    via the cross-multiplied integer form before ONE double division.
+
+    Scale shape: one map-side-combinable groupBy over a 168-cell
+    domain; the global totals re-enter via the approved broadcast
+    scalar. This is the cheapest possible profile at any scale.
+
+    Reference parity: none — time-series surface over events, the
+    static complement of acf_lags.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.unix_micros("ts").alias("_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).select(
+        F.expr("((_us div 86400000000) + 4) % 7").alias("dow"),
+        F.expr("(_us % 86400000000) div 3600000000").alias("hod"),
+        "cents",
+    )
+    cell = base.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    tot = cell.agg(
+        F.sum("n_events").cast("long").alias("n"),
+        F.sum("sum_cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return cell.crossJoin(F.broadcast(tot)).select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hod").cast("long").alias("hod"),
+        "n_events",
+        "sum_cents",
+        F.round(
+            (F.col("n_events") * F.col("n_cells") - F.col("n")).cast(
+                "double"
+            )
+            * 1000000
+            / F.col("n").cast("double")
+        )
+        .cast("long")
+        .alias("load_dev_e6"),
+        F.round(
+            (
+                F.col("sum_cents").cast("decimal(38,0)") * F.col("n")
+                - F.col("s").cast("decimal(38,0)") * F.col("n_events")
+            ).cast("double")
+            * 1000000
+            / (F.col("s").cast("double") * F.col("n_events"))
+        )
+        .cast("long")
+        .alias("value_dev_e6"),
+    )
