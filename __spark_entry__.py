@@ -239,6 +239,9 @@ _CHECK_FIRST = [
     "bellman_ford_weighted_hops",
     "bloom_filter_probe_audit",
     "jsonl_gzip_source_roundtrip",
+    "isotonic_calibration_pav",
+    "weighted_sample_ares",
+    "pmi_collocations_topk",
 ]
 
 def _driver_verified() -> set[str]:

@@ -931,3 +931,105 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+@query(
+    "pmi_collocations_topk",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest({_tok('lower(text)')}) AS tok
+      FROM documents),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+           FROM documents),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY 1),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM dt a JOIN dt b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2),
+    pmi AS (
+      SELECT tok_a, tok_b, c_ab, da.c AS c_a, db.c AS c_b,
+             CAST(CAST(round(ln(CAST(n AS DOUBLE) * c_ab
+                                / (CAST(da.c AS DOUBLE) * db.c)), 12)
+                       AS DECIMAL(24,12)) * 1000000000000 AS BIGINT)
+               AS pmi_e12
+      FROM pairs JOIN df da ON da.tok = pairs.tok_a
+                 JOIN df db ON db.tok = pairs.tok_b
+                 CROSS JOIN nd
+      WHERE c_ab >= 5)
+    SELECT tok_a, tok_b, c_ab, c_a, c_b, pmi_e12
+    FROM pmi
+    ORDER BY pmi_e12 DESC, tok_a, tok_b
+    LIMIT 20
+    """,
+)
+def q_pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information collocations: the 20 token pairs
+    most strongly ASSOCIATED at the document level — pmi =
+    ln(N * c_ab / (c_a * c_b)) over document frequencies, the classic
+    collocation statistic (Church & Hanks 1990, public). High
+    RAW co-occurrence (cooccurrence_topk) just finds frequent pairs;
+    PMI normalizes away both marginals and surfaces pairs that travel
+    together far above chance.
+
+    Determinism: counts are exact; pmi is the repo's round(ln, 12)
+    e12 long; the top-k orders by (pmi_e12, tok_a, tok_b) — a total
+    order on exact values.
+
+    Scale shape: distinct (doc, token) in one shuffle; the pair
+    emitter is a per-document self-join keyed on doc_id (bounded by
+    per-doc DISTINCT vocabulary, the same guard as cooccurrence);
+    document frequencies broadcast into the pair table; min-support
+    c_ab >= 5 prunes the tail before ranking, and the top-k is a
+    TakeOrdered, never a global sort.
+
+    Reference parity: none — corpus-mining surface for tokenizer and
+    phrase-table construction.
+    """
+    from concurrent_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .distinct()
+    )
+    nd = docs.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = dt.select(F.col("doc_id").alias("d"), F.col("tok").alias("tok_a"))
+    b = dt.select(F.col("doc_id").alias("d"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "d")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= 5)
+    )
+    pmi_e12 = (
+        F.round(
+            F.log(
+                F.col("n").cast("double")
+                * F.col("c_ab")
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+            ),
+            12,
+        ).cast("decimal(24,12)")
+        * 1000000000000
+    ).cast("long")
+    return (
+        pairs.join(
+            F.broadcast(df.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(df.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(nd))
+        .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", pmi_e12.alias("pmi_e12"))
+        .orderBy(F.desc("pmi_e12"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(20)
+    )

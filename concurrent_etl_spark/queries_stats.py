@@ -1724,3 +1724,218 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_dev_e6"),
     )
+
+
+@query(
+    "isotonic_calibration_pav",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             (100000 * (length(lower(text))
+                        - length(replace(lower(text), 'e', ''))))
+               // length(text) // 1000 AS bin
+      FROM documents WHERE length(text) > 0),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+             CAST(SUM(y) AS BIGINT) AS pb
+      FROM scored GROUP BY bin),
+    cum AS (
+      SELECT bin, nb, pb,
+             SUM(nb) OVER (ORDER BY bin) AS cn,
+             SUM(pb) OVER (ORDER BY bin) AS cp
+      FROM bins),
+    pairs AS (
+      SELECT a.bin AS j, b.bin AS k,
+             CAST(b.cp - a.cp + a.pb AS DOUBLE)
+               / CAST(b.cn - a.cn + a.nb AS DOUBLE) AS avg_jk
+      FROM cum a JOIN cum b ON b.bin >= a.bin),
+    minsuf AS (
+      SELECT j, MIN(avg_jk) AS ms FROM pairs GROUP BY j),
+    iso AS (
+      SELECT b.bin, MAX(m.ms) AS iso_rate
+      FROM bins b JOIN minsuf m ON m.j <= b.bin
+      GROUP BY b.bin)
+    SELECT CAST(b.bin AS BIGINT) AS bin, b.nb AS n_docs, b.pb AS n_pos,
+           CAST((b.pb * 2000000 + b.nb) // (2 * b.nb) AS BIGINT)
+             AS raw_rate_e6,
+           CAST(round(i.iso_rate * 1000000000) AS BIGINT) AS iso_rate_e9
+    FROM bins b JOIN iso i ON i.bin = b.bin
+    """,
+)
+def q_isotonic_calibration_pav(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic regression (pool-adjacent-violators) calibration of a
+    score against the label, computed by the exact MINIMAX identity
+    iso(i) = max_{j<=i} min_{k>=j} mean(y_j..y_k) — the closed form
+    of PAV (Ayer et al. 1955, public), which turns the sequential
+    pooling algorithm into three BOUNDED relational steps: an
+    all-pairs (j,k) table over the ~14-bin score axis, a per-j suffix
+    min, and a per-i prefix max. The calibrated rate is therefore
+    monotone non-decreasing by construction, the property raw bin
+    rates (classifier_calibration_bins) lack.
+
+    Determinism: each candidate mean is ONE double division of exact
+    longs (identical operands both engines); min/max over identical
+    doubles are identical; iso_rate_e9 is one half-away round.
+
+    Scale shape: the corpus collapses to a per-mille-bounded bin table in one
+    map-side-combinable groupBy; everything after runs on O(B^2)~200
+    rows via broadcast joins — bin count is FIXED by the score
+    domain, not data. At 100 TB the plan is unchanged: one scan, then
+    constant-size algebra (bin count is fixed by the score domain
+    0..100 per-mille, not by data).
+
+    Reference parity: none — the standard score-calibration operator
+    between the reliability diagram and downstream sampling weights.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.where(F.length("text") > 0).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+        F.expr(
+            "((100000 * (length(lower(text))"
+            " - length(replace(lower(text), 'e', ''))))"
+            " div length(text)) div 1000"
+        ).alias("bin"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("pb"),
+    )
+    cum = _cum_by_value(
+        bins.select(F.col("bin").alias("v"), F.col("pb").alias("a"), F.col("nb").alias("t"))
+    ).select(
+        F.col("v").alias("bin"),
+        F.col("a").alias("pb"),
+        F.col("t").alias("nb"),
+        F.col("cum_a").alias("cp"),
+        F.col("cum_t").alias("cn"),
+    )
+    a = cum.select(
+        F.col("bin").alias("j"),
+        F.col("cp").alias("cp_j"),
+        F.col("cn").alias("cn_j"),
+        F.col("pb").alias("pb_j"),
+        F.col("nb").alias("nb_j"),
+    )
+    b = cum.select(
+        F.col("bin").alias("k"),
+        F.col("cp").alias("cp_k"),
+        F.col("cn").alias("cn_k"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("k") >= F.col("j")).select(
+        "j",
+        (
+            (F.col("cp_k") - F.col("cp_j") + F.col("pb_j")).cast("double")
+            / (F.col("cn_k") - F.col("cn_j") + F.col("nb_j")).cast("double")
+        ).alias("avg_jk"),
+    )
+    minsuf = pairs.groupBy("j").agg(F.min("avg_jk").alias("ms"))
+    iso = (
+        bins.select("bin")
+        .join(F.broadcast(minsuf), F.col("j") <= F.col("bin"))
+        .groupBy("bin")
+        .agg(F.max("ms").alias("iso_rate"))
+    )
+    return (
+        bins.join(F.broadcast(iso), "bin")
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("nb").alias("n_docs"),
+            F.col("pb").alias("n_pos"),
+            F.expr(
+                "CAST((pb * 2000000 + nb) div (2 * nb) AS BIGINT)"
+            ).alias("raw_rate_e6"),
+            F.round(F.col("iso_rate") * 1000000000)
+            .cast("long")
+            .alias("iso_rate_e9"),
+        )
+    )
+
+
+@query(
+    "weighted_sample_ares",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS w_cents,
+             ('0x' || substr(md5('ares_' || o_orderkey), 1, 8))::BIGINT
+               AS h
+      FROM orders),
+    keyed AS (
+      SELECT o_orderkey, priority, w_cents,
+             CAST(round(ln((h + 1) / 4294967296.0) * 1000000000000
+                        / w_cents, 12) AS DECIMAL(28,12)) AS k
+      FROM w),
+    ranked AS (
+      SELECT o_orderkey AS orderkey, priority, w_cents,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY k DESC, o_orderkey) AS rnk
+      FROM keyed)
+    SELECT priority, CAST(rnk AS BIGINT) AS rnk, orderkey, w_cents
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, A-Res (Efraimidis &
+    Spirakis 2006, public): per priority stratum, the 10 orders with
+    the largest u^(1/w) key, where u is a DETERMINISTIC md5-derived
+    uniform — so the 'random' sample is reproducible across engines,
+    reruns, and partitionings, the property a 100 TB pipeline needs
+    for auditable sampling.
+
+    The key is compared in log space (ln(u)/w, order-isomorphic to
+    u^(1/w)) and ROUNDED to 12 dp before ranking — the repo's
+    rounded-ln convention applied to an ORDERING: both engines rank
+    identical DECIMAL keys, and the orderkey tiebreak settles exact
+    collisions. u = (h+1)/2^32 in (0, 1] from the md5 32-bit prefix;
+    weights are exact cents (always positive for order totals).
+
+    Scale shape: one scan computes keys; per-stratum top-k is a
+    partitioned window over priority (5 strata). At larger k/strata
+    counts this becomes TakeOrdered per group — never a global sort.
+
+    Reference parity: none — the weighted counterpart of hash_sample
+    / stratified_sample_quota / pps_systematic_sample.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ares_"), F.col("o_orderkey").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("w_cents"),
+        h.alias("h"),
+    ).select(
+        "orderkey",
+        "priority",
+        "w_cents",
+        F.round(
+            F.log((F.col("h") + 1) / F.lit(4294967296.0))
+            * 1000000000000
+            / F.col("w_cents"),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .alias("k"),
+    )
+    w = Window.partitionBy("priority").orderBy(
+        F.col("k").desc(), F.col("orderkey").asc()
+    )
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "priority",
+            F.col("rnk").cast("long").alias("rnk"),
+            "orderkey",
+            "w_cents",
+        )
+    )

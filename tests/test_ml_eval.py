@@ -8,12 +8,17 @@ KM monotonicity, IG non-negativity, transition rows summing to one).
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import duckdb
 import pytest
 
 from tests.conftest import SF_DIR
+
+
+def _md5_32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
 def _rows(spark, name):
@@ -24,7 +29,7 @@ def _rows(spark, name):
 
 def _duck(sql):
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "orders"):
         con.execute(
             f"CREATE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'"
         )
@@ -248,3 +253,98 @@ class TestNaiveBayes:
         # the benchmark is separable by construction: a correct NB
         # recovers (nearly) all of it; majority-class is 1/5
         assert correct >= 0.9 * n_docs
+
+
+class TestIsotonicPav:
+    def test_matches_sklearn_free_pav(self, spark):
+        rows = sorted(
+            _rows(spark, "isotonic_calibration_pav"), key=lambda r: r["bin"]
+        )
+        # classic sequential PAV on the same bins, pooled exactly
+        blocks = []  # (pos, n)
+        for r in rows:
+            blocks.append((r["n_pos"], r["n_docs"]))
+            while len(blocks) > 1 and (
+                blocks[-2][0] * blocks[-1][1]
+                >= blocks[-1][0] * blocks[-2][1]
+            ):
+                p2, n2 = blocks.pop()
+                p1, n1 = blocks.pop()
+                blocks.append((p1 + p2, n1 + n2))
+        # expand: each block covers as many bins as it pooled
+        expanded = []
+        i = 0
+        for p, n in blocks:
+            cnt = 0
+            acc_n = 0
+            while acc_n < n:
+                acc_n += rows[i + cnt]["n_docs"]
+                cnt += 1
+            expanded.extend([(p, n)] * cnt)
+            i += cnt
+        assert len(expanded) == len(rows)
+        for r, (p, n) in zip(rows, expanded):
+            assert r["iso_rate_e9"] == round(p / n * 1e9)
+
+    def test_monotone_and_mean_preserving(self, spark):
+        rows = sorted(
+            _rows(spark, "isotonic_calibration_pav"), key=lambda r: r["bin"]
+        )
+        iso = [r["iso_rate_e9"] for r in rows]
+        assert iso == sorted(iso)
+        assert all(0 <= v <= 10**9 for v in iso)
+        # PAV preserves the weighted mean (up to e9 rounding per bin)
+        tot_n = sum(r["n_docs"] for r in rows)
+        tot_p = sum(r["n_pos"] for r in rows)
+        approx = sum(r["n_docs"] * r["iso_rate_e9"] for r in rows) / 1e9
+        assert abs(approx - tot_p) <= tot_n / 1e9 + 1e-6
+
+
+class TestWeightedSampleAres:
+    def test_matches_python_ares(self, spark):
+        rows = _rows(spark, "weighted_sample_ares")
+        got = {}
+        for r in rows:
+            got.setdefault(r["priority"], []).append((r["rnk"], r["orderkey"]))
+        orders = _duck(
+            """SELECT o_orderkey, o_orderpriority,
+                      CAST(floor(o_totalprice * 100) AS BIGINT)
+               FROM orders"""
+        )
+        by_pri = {}
+        for ok, pri, w in orders:
+            h = _md5_32(f"ares_{ok}")
+            k = round(math.log((h + 1) / 4294967296.0) * 1e12 / w, 12)
+            by_pri.setdefault(pri, []).append((-k, ok))
+        for pri, lst in by_pri.items():
+            lst.sort()
+            exp = [(i + 1, ok) for i, (_, ok) in enumerate(lst[:10])]
+            assert sorted(got[pri]) == exp
+
+    def test_rank_complete_per_stratum(self, spark):
+        rows = _rows(spark, "weighted_sample_ares")
+        by_pri = {}
+        for r in rows:
+            by_pri.setdefault(r["priority"], []).append(r["rnk"])
+        for pri, rnks in by_pri.items():
+            assert sorted(rnks) == list(range(1, 11))
+
+
+class TestPmi:
+    def test_pmi_formula_and_bounds(self, spark):
+        rows = _rows(spark, "pmi_collocations_topk")
+        assert len(rows) == 20
+        [(n_docs,)] = _duck("SELECT COUNT(DISTINCT doc_id) FROM documents")
+        for r in rows:
+            assert r["c_ab"] >= 5
+            assert r["c_ab"] <= min(r["c_a"], r["c_b"])
+            expect = round(
+                round(
+                    math.log(n_docs * r["c_ab"] / (r["c_a"] * r["c_b"])), 12
+                )
+                * 10**12
+            )
+            assert r["pmi_e12"] == expect
+            assert r["tok_a"] < r["tok_b"]
+        vals = [r["pmi_e12"] for r in rows]
+        assert vals == sorted(vals, reverse=True)

@@ -86,6 +86,9 @@ SPOT_CHECK = [
     "cuped_variance_reduction",
     "info_gain_feature_split",
     "naive_bayes_langid",
+    "isotonic_calibration_pav",
+    "weighted_sample_ares",
+    "pmi_collocations_topk",
 ]
 
 
