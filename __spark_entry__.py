@@ -242,6 +242,7 @@ _CHECK_FIRST = [
     "isotonic_calibration_pav",
     "weighted_sample_ares",
     "pmi_collocations_topk",
+    "image_sobel_edges",
 ]
 
 def _driver_verified() -> set[str]:

@@ -1229,3 +1229,71 @@ def y4m_motion_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(gen, MOTION_SCHEMA)
+
+
+SOBEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_mag_l1", LongType()),
+        StructField("max_mag_l1", LongType()),
+        StructField("n_edge_px", LongType()),
+    ]
+)
+
+
+def bmp_sobel_features(media: DataFrame, threshold: int = 300) -> DataFrame:
+    """Sobel edge statistics through the REAL BMP decoder: parse the
+    DIB header + padded bottom-up BGR rows into an intensity raster
+    (intensity = r+g+b, exact int), convolve the 3x3 Sobel kernels
+    over INTERIOR pixels, and report the L1 gradient field — sum,
+    max, and the count of pixels whose |gx|+|gy| clears ``threshold``.
+    All arithmetic is integer, so the statistics are bit-stable at
+    any parallelism; numpy does the convolution vectorized per image
+    inside the Arrow batch (no per-pixel Python).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k.name: [] for k in SOBEL_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:2] != b"BM":
+                    raise ValueError("not a BMP payload")
+                (offset,) = struct.unpack_from("<I", buf, 10)
+                w, h = struct.unpack_from("<ii", buf, 18)
+                bottom_up = h > 0
+                h = abs(h)
+                stride = (3 * w + 3) // 4 * 4
+                raster = np.zeros((h, w), dtype=np.int64)
+                for y in range(h):
+                    src_row = (h - 1 - y) if bottom_up else y
+                    base = offset + src_row * stride
+                    row = np.frombuffer(
+                        buf, dtype=np.uint8, count=3 * w, offset=base
+                    ).astype(np.int64)
+                    raster[y] = row[0::3] + row[1::3] + row[2::3]
+                c = raster
+                gx = (
+                    (c[:-2, 2:] + 2 * c[1:-1, 2:] + c[2:, 2:])
+                    - (c[:-2, :-2] + 2 * c[1:-1, :-2] + c[2:, :-2])
+                )
+                gy = (
+                    (c[2:, :-2] + 2 * c[2:, 1:-1] + c[2:, 2:])
+                    - (c[:-2, :-2] + 2 * c[:-2, 1:-1] + c[:-2, 2:])
+                )
+                mag = np.abs(gx) + np.abs(gy)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_mag_l1"].append(int(mag.sum()))
+                rows["max_mag_l1"].append(int(mag.max()) if mag.size else 0)
+                rows["n_edge_px"].append(int((mag >= threshold).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, SOBEL_SCHEMA)

@@ -254,3 +254,71 @@ class TestMultiChannelWav:
         assert sum(r["sum_sq"] for r in ww) == sum(s * s for s in left)
         zc = wav_zcr_features(df).collect()
         assert sum(r["n_samples"] for r in zc) == 250
+
+
+class TestSobelEdges:
+    def test_matches_pure_python_convolution(self, spark):
+        from concurrent_etl_spark.operators.multimodal import (
+            bmp_bytes,
+            bmp_sobel_features,
+            _bmp_pixel,
+        )
+
+        doc_id = 13  # 13 % 4 == 1: a real fixture member
+        df = spark.createDataFrame(
+            [(doc_id, bmp_bytes(doc_id))], "doc_id bigint, payload binary"
+        )
+        [row] = bmp_sobel_features(df).collect()
+        w, h = 8 + doc_id % 9, 4 + doc_id % 5
+        v = {
+            (x, y): sum(_bmp_pixel(x, y, doc_id))
+            for x in range(w)
+            for y in range(h)
+        }
+        s = mx = ne = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = (
+                    v[x + 1, y - 1] + 2 * v[x + 1, y] + v[x + 1, y + 1]
+                    - v[x - 1, y - 1] - 2 * v[x - 1, y] - v[x - 1, y + 1]
+                )
+                gy = (
+                    v[x - 1, y + 1] + 2 * v[x, y + 1] + v[x + 1, y + 1]
+                    - v[x - 1, y - 1] - 2 * v[x, y - 1] - v[x + 1, y - 1]
+                )
+                m = abs(gx) + abs(gy)
+                s += m
+                mx = max(mx, m)
+                ne += m >= 300
+        assert (row["width"], row["height"]) == (w, h)
+        assert row["sum_mag_l1"] == s
+        assert row["max_mag_l1"] == mx
+        assert row["n_edge_px"] == ne
+
+    def test_flat_image_has_zero_gradient(self, spark):
+        import struct
+
+        from concurrent_etl_spark.operators.multimodal import (
+            bmp_sobel_features,
+        )
+
+        # hand-build a flat 6x5 all-gray BMP: every Sobel response 0
+        w, h = 6, 5
+        stride = (3 * w + 3) // 4 * 4
+        body = bytearray()
+        for _ in range(h):
+            body += bytes([128, 128, 128] * w) + b"\x00" * (stride - 3 * w)
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+            )
+        )
+        df = spark.createDataFrame(
+            [(7, bytes(header + body))], "doc_id bigint, payload binary"
+        )
+        [row] = bmp_sobel_features(df).collect()
+        assert row["sum_mag_l1"] == 0
+        assert row["max_mag_l1"] == 0
+        assert row["n_edge_px"] == 0
