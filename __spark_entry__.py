@@ -243,6 +243,8 @@ _CHECK_FIRST = [
     "weighted_sample_ares",
     "pmi_collocations_topk",
     "image_sobel_edges",
+    "multitouch_attribution_linear",
+    "hits_hub_authority",
 ]
 
 def _driver_verified() -> set[str]:

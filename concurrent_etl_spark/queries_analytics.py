@@ -542,3 +542,118 @@ def q_skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rm"),
     )
     return s.where(F.col("p_size") > F.col("rm")).drop("rm")
+
+
+@query(
+    "multitouch_attribution_linear",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id, event_type AS channel, ts AS touch_ts
+      FROM events WHERE event_type IN ('view', 'click')),
+    matched AS (
+      SELECT c.conv_id, c.cents, t.channel
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.touch_ts < c.conv_ts
+       AND t.touch_ts >= c.conv_ts - INTERVAL 24 HOUR),
+    per_conv AS (
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS k FROM matched
+      GROUP BY conv_id),
+    credit AS (
+      SELECT m.channel,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(COUNT(DISTINCT m.conv_id) AS BIGINT) AS n_conversions,
+             CAST(SUM((m.cents * 2000000 + p.k) // (2 * p.k))
+                  AS BIGINT) AS attributed_e6
+      FROM matched m JOIN per_conv p USING (conv_id)
+      GROUP BY m.channel),
+    direct AS (
+      SELECT 'direct' AS channel,
+             CAST(0 AS BIGINT) AS n_touches,
+             CAST(COUNT(*) AS BIGINT) AS n_conversions,
+             CAST(SUM(cents) * 1000000 AS BIGINT) AS attributed_e6
+      FROM conv c
+      WHERE NOT EXISTS (SELECT 1 FROM matched m
+                        WHERE m.conv_id = c.conv_id))
+    SELECT * FROM credit UNION ALL SELECT * FROM direct
+    """,
+)
+def q_multitouch_attribution_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: every purchase's value is
+    split equally across all view/click touchpoints in its 24-hour
+    lookback window; purchases with no touchpoints credit a 'direct'
+    channel in full — so total attributed value exactly conserves
+    total purchase value (the books balance, asserted in tests).
+
+    Per-touch credit is the exact half-up integral cents*1e6/k — the
+    same rounding both engines — summed per channel as exact longs.
+    Contrast with attribution_left_outer (last-touch pairing): linear
+    credit is the model marketing analytics actually reconciles
+    revenue against.
+
+    Scale shape: the touch-to-conversion match is a lookback-BOUNDED
+    range join on user (the range_join_events discipline: at 100 TB,
+    bucket both sides by user x coarse time so candidates stay
+    window-sized); per-conversion touch counts and channel rollups
+    are map-side-combinable aggs; the 'direct' branch is an anti-join
+    of conversions against the matched set.
+
+    Reference parity: none — product-analytics surface over events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("conv_ts"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    matched = conv.join(
+        touch,
+        (F.col("tu") == F.col("cu"))
+        & (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr("INTERVAL 24 HOURS")
+        ),
+    ).select("conv_id", "cents", "channel")
+    per_conv = matched.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    credit = (
+        matched.join(per_conv, "conv_id")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("conv_id").cast("long").alias("n_conversions"),
+            F.sum(
+                F.expr("(cents * 2000000 + k) div (2 * k)")
+            )
+            .cast("long")
+            .alias("attributed_e6"),
+        )
+    )
+    direct = (
+        conv.join(per_conv, "conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            (F.sum("cents") * 1000000).cast("long").alias("attributed_e6"),
+        )
+        .select(
+            F.lit("direct").alias("channel"),
+            F.lit(0).cast("long").alias("n_touches"),
+            "n_conversions",
+            "attributed_e6",
+        )
+    )
+    return credit.unionByName(direct)

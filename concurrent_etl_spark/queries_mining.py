@@ -467,3 +467,94 @@ def q_bellman_ford_weighted_hops(
         F.col("node").alias("suppkey"),
         F.col("dist").cast("long").alias("dist_cents"),
     )
+
+
+@query(
+    "hits_hub_authority",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    a1 AS (
+      SELECT s, CAST(SUM(1000000) AS BIGINT) AS v FROM e GROUP BY s),
+    a1n AS (
+      SELECT s, CAST(v * 1000000 // (SELECT SUM(v) FROM a1) AS BIGINT)
+        AS v FROM a1),
+    h1 AS (
+      SELECT c, CAST(SUM(a1n.v) AS BIGINT) AS v
+      FROM e JOIN a1n USING (s) GROUP BY c),
+    h1n AS (
+      SELECT c, CAST(v * 1000000 // (SELECT SUM(v) FROM h1) AS BIGINT)
+        AS v FROM h1),
+    a2 AS (
+      SELECT s, CAST(SUM(h1n.v) AS BIGINT) AS v
+      FROM e JOIN h1n USING (c) GROUP BY s),
+    a2n AS (
+      SELECT s, CAST(v * 1000000 // (SELECT SUM(v) FROM a2) AS BIGINT)
+        AS v FROM a2),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_buyers
+            FROM e GROUP BY s)
+    SELECT a2n.s AS suppkey, deg.n_buyers, a2n.v AS auth_e6
+    FROM a2n JOIN deg USING (s)
+    """,
+)
+def q_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999, public) on the customer->supplier
+    purchase graph, two full hub/authority rounds unrolled, with
+    L1 (sum-to-one) normalization carried as exact e6-scaled longs —
+    the truncating nonnegative division both engines share, so every
+    iteration is integer-exact and partition-invariant (float HITS
+    would drift cross-engine).
+
+    a_{k+1}(s) = sum of h_k over buyers of s; h_{k+1}(c) = sum of a
+    over suppliers c buys from; each vector renormalizes to 1e6 total
+    before re-entering the next message pass. Authorities after round
+    2 separate high-fan-in suppliers from the uniform start — the
+    mutual-reinforcement signal PageRank's single score conflates.
+
+    Scale shape: each half-round is ONE equi-join of the edge list
+    against a node-sized score table plus ONE map-side-combinable
+    sum — the same bounded-unrolling discipline as
+    pagerank_bipartite/bfs; normalization totals enter as broadcast
+    scalars. Long bound: score*1e6 <= 1e12 * |nodes| — promotes to
+    DECIMAL beyond ~1e6 nodes per side; exact at every tested SF.
+
+    Reference parity: none — graph-analytics surface.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _norm(scores: DataFrame, key: str) -> DataFrame:
+        tot = scores.agg(F.sum("v").alias("t"))
+        return scores.crossJoin(F.broadcast(tot)).select(
+            key, F.expr("CAST(v * 1000000 div t AS BIGINT)").alias("v")
+        )
+
+    a1 = e.groupBy("s").agg(
+        F.sum(F.lit(1000000)).cast("long").alias("v")
+    )
+    a1n = _norm(a1, "s")
+    h1 = (
+        e.join(a1n, "s")
+        .groupBy("c")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+    h1n = _norm(h1, "c")
+    a2 = (
+        e.join(h1n, "c")
+        .groupBy("s")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+    a2n = _norm(a2, "s")
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n_buyers"))
+    return a2n.join(deg, "s").select(
+        F.col("s").alias("suppkey"), "n_buyers", F.col("v").alias("auth_e6")
+    )

@@ -89,6 +89,8 @@ SPOT_CHECK = [
     "isotonic_calibration_pav",
     "weighted_sample_ares",
     "pmi_collocations_topk",
+    "multitouch_attribution_linear",
+    "hits_hub_authority",
 ]
 
 

@@ -24,7 +24,7 @@ def _rows(spark, name):
 
 def _duck(sql):
     con = duckdb.connect()
-    for t in ("events", "customer", "lineitem", "supplier"):
+    for t in ("events", "customer", "lineitem", "supplier", "orders"):
         con.execute(f"CREATE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'")
     return con.execute(sql).fetchall()
 
@@ -215,3 +215,75 @@ class TestJsonlGzip:
         with gzip.open(parts[0], "rt") as fh:
             first = fh.readline()
         assert first.strip().startswith(("{", "not", '{"'))
+
+
+class TestMultitouchAttribution:
+    def test_value_conservation(self, spark):
+        rows = _rows(spark, "multitouch_attribution_linear")
+        [(total_cents, n_purch)] = _duck(
+            """SELECT SUM(CAST(floor(value * 100) AS BIGINT)), COUNT(*)
+               FROM events WHERE event_type = 'purchase'"""
+        )
+        total_attr = sum(
+            r["attributed_e6"] or 0 for r in rows
+        )
+        # each conversion's k credits round within 1/2 each
+        slack = sum(r["n_touches"] for r in rows)
+        assert abs(total_attr - total_cents * 1000000) <= slack
+        assert {r["channel"] for r in rows} <= {"view", "click", "direct"}
+        assert sum(r["n_conversions"] for r in rows) >= n_purch
+
+    def test_direct_plus_touched_partition_conversions(self, spark):
+        rows = {r["channel"]: r for r in _rows(spark, "multitouch_attribution_linear")}
+        [(n_purch,)] = _duck(
+            "SELECT COUNT(*) FROM events WHERE event_type = 'purchase'"
+        )
+        touched = _duck(
+            """
+            SELECT COUNT(DISTINCT c.event_id)
+            FROM events c JOIN events t
+              ON t.user_id = c.user_id
+             AND c.event_type = 'purchase'
+             AND t.event_type IN ('view', 'click')
+             AND t.ts < c.ts AND t.ts >= c.ts - INTERVAL 24 HOUR
+            """
+        )[0][0]
+        assert rows["direct"]["n_conversions"] == n_purch - touched
+
+
+class TestHits:
+    def test_matches_python_hits(self, spark):
+        got = {
+            r["suppkey"]: (r["n_buyers"], r["auth_e6"])
+            for r in _rows(spark, "hits_hub_authority")
+        }
+        edges = _duck(
+            """SELECT DISTINCT o.o_custkey, l.l_suppkey
+               FROM orders o JOIN lineitem l
+                 ON o.o_orderkey = l.l_orderkey"""
+        )
+        from collections import defaultdict
+
+        by_s, by_c = defaultdict(list), defaultdict(list)
+        for c, s in edges:
+            by_s[s].append(c)
+            by_c[c].append(s)
+        a = {s: 1000000 * len(cs) for s, cs in by_s.items()}
+        t = sum(a.values())
+        a = {s: v * 1000000 // t for s, v in a.items()}
+        h = {c: sum(a[s] for s in ss) for c, ss in by_c.items()}
+        t = sum(h.values())
+        h = {c: v * 1000000 // t for c, v in h.items()}
+        a2 = {s: sum(h[c] for c in cs) for s, cs in by_s.items()}
+        t = sum(a2.values())
+        a2 = {s: v * 1000000 // t for s, v in a2.items()}
+        assert got == {
+            s: (len(by_s[s]), a2[s]) for s in by_s
+        }
+
+    def test_normalized_and_degree_positive(self, spark):
+        rows = _rows(spark, "hits_hub_authority")
+        total = sum(r["auth_e6"] for r in rows)
+        # truncating normalization loses < 1 per node
+        assert 1000000 - len(rows) <= total <= 1000000
+        assert all(r["n_buyers"] >= 1 for r in rows)
