@@ -245,6 +245,7 @@ _CHECK_FIRST = [
     "image_sobel_edges",
     "multitouch_attribution_linear",
     "hits_hub_authority",
+    "power_iteration_top_eigvec",
 ]
 
 def _driver_verified() -> set[str]:

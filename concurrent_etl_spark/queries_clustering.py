@@ -424,3 +424,152 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_dist",
         (F.col("exact_rank") <= _PQ_TOPK).cast("int").alias("in_exact_topk"),
     )
+
+
+def _pi_round_sql(k: int) -> str:
+    """One power-iteration round as oracle CTEs: multiply the exact
+    Gram by v{k-1}, then renormalize to an e6 integer vector by the
+    floor of a double ratio of exactly-representable decimals."""
+    return f"""
+    w{k} AS (
+      SELECT g.i, SUM(g.g * v{k - 1}.v) AS w
+      FROM g JOIN v{k - 1} ON v{k - 1}.i = g.j GROUP BY g.i),
+    m{k} AS (SELECT MAX(abs(w)) AS m FROM w{k}),
+    v{k} AS (
+      SELECT i, CAST(floor(CAST(w AS DOUBLE) * 1000000
+                           / CAST(m AS DOUBLE)) AS BIGINT) AS v
+      FROM w{k}, m{k})"""
+
+
+@query(
+    "power_iteration_top_eigvec",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT))
+               AS qv
+      FROM embeddings),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    tr AS (
+      SELECT vec_id, CAST(ii AS BIGINT) AS i, qv[CAST(ii AS INTEGER)] AS x
+      FROM q, unnest(range(1, len(qv) + 1)) t(ii)),
+    p AS (
+      SELECT a.i, b.i AS j, SUM(CAST(a.x AS DECIMAL(38,0)) * b.x) AS p
+      FROM tr a JOIN tr b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+    s AS (SELECT i, CAST(SUM(x) AS BIGINT) AS s FROM tr GROUP BY i),
+    g AS (
+      SELECT p.i, p.j,
+             CAST(nn.n AS DECIMAL(38,0)) * p.p
+               - CAST(si.s AS DECIMAL(38,0)) * sj.s AS g
+      FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j
+      CROSS JOIN nn),
+    v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS v FROM s),
+    {_pi_round_sql(1)},
+    {_pi_round_sql(2)},
+    {_pi_round_sql(3)}
+    SELECT g.i AS dim,
+           CAST(CAST(g.g AS DECIMAL(38,0)) AS VARCHAR) AS cov_diag_str,
+           v3.v AS eig_e6
+    FROM g JOIN v3 ON v3.i = g.i
+    WHERE g.i = g.j
+    """,
+)
+def q_power_iteration_top_eigvec(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant principal direction of the embedding cloud by POWER
+    ITERATION on the exact centered Gram matrix — the first step of
+    PCA/spectral analysis, run entirely in exact integer arithmetic:
+    embeddings quantize at the k-means fixed-point scale (floor
+    x*2^14), the centered Gram G = n*Sum(q q^T) - (Sum q)(Sum q)^T
+    accumulates in DECIMAL(38,0) long-form (i, j, g) rows, and each
+    of 3 unrolled iterations is ONE join + ONE decimal-sum groupBy
+    followed by an L-inf renormalization to an e6 integer vector
+    (floor of a double ratio of exactly-representable decimals —
+    identical IEEE ops both engines; the iterate re-enters exactly).
+
+    Output: per dimension, the exact covariance diagonal (as string —
+    pandas narrows DECIMAL(38,0)) and the e6 eigvector estimate;
+    tests check Rayleigh-quotient ascent against numpy (the
+    synthetic spectrum is nearly flat, so 3 rounds certify variance
+    CAPTURE, not final eigvector identity).
+
+    Scale shape: the Gram is DIMENSION-bounded (d^2 = 4096 rows),
+    built by a vec_id-keyed self-join whose fan-out is d per row —
+    at 100 TB the same partials come from a mapInPandas per-batch
+    numpy Gram (one pass, mergeable); iterations then run on the
+    4096-row table alone, broadcast everywhere. The d x d shape
+    never depends on corpus size.
+
+    Reference parity: none — embedding-analytics surface above
+    kmeans/SemDeDup/PQ (variance structure before choosing k or PQ
+    subspaces).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT))"
+        ).alias("qv"),
+    )
+    nn = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tr = q.select(
+        "vec_id", F.posexplode("qv").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).cast("long").alias("i"), "x")
+    a = tr.select(F.col("vec_id").alias("va"), F.col("i"), F.col("x").alias("xa"))
+    b = tr.select(F.col("vec_id").alias("va"), F.col("i").alias("j"), F.col("x").alias("xb"))
+    p = (
+        a.join(b, "va")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("p")
+        )
+    )
+    s = tr.groupBy("i").agg(F.sum("x").cast("long").alias("s"))
+    g = (
+        p.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
+        .join(
+            F.broadcast(s.select(F.col("i").alias("j"), F.col("s").alias("sj"))),
+            "j",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("p")
+                - F.col("si").cast("decimal(38,0)") * F.col("sj")
+            )
+            .cast("decimal(38,0)")
+            .alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = s.select("i", F.lit(1000000).cast("long").alias("v"))
+    for _ in range(3):
+        w = (
+            g.join(
+                F.broadcast(v.select(F.col("i").alias("j"), F.col("v"))), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(mx)).select(
+            "i",
+            F.floor(
+                F.col("w").cast("double") * 1000000 / F.col("m").cast("double")
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    return (
+        g.where(F.col("i") == F.col("j"))
+        .join(v, "i")
+        .select(
+            F.col("i").alias("dim"),
+            F.col("g").cast("string").alias("cov_diag_str"),
+            F.col("v").alias("eig_e6"),
+        )
+    )

@@ -91,6 +91,7 @@ SPOT_CHECK = [
     "pmi_collocations_topk",
     "multitouch_attribution_linear",
     "hits_hub_authority",
+    "power_iteration_top_eigvec",
 ]
 
 
