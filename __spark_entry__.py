@@ -246,6 +246,8 @@ _CHECK_FIRST = [
     "multitouch_attribution_linear",
     "hits_hub_authority",
     "power_iteration_top_eigvec",
+    "lateral_topk_per_entity",
+    "hard_negative_mining",
 ]
 
 def _driver_verified() -> set[str]:

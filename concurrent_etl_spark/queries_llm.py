@@ -15,7 +15,7 @@ at every scale factor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
@@ -988,4 +988,106 @@ def q_multimodal_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return M.extract_features_arrow(
         M.synthesize_payloads(_docs(spark, sf_dir))
+    )
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+          FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id,
+             e.label AS neighbor_label,
+             {_oracle_cos('q.qv', 'e.v')} AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    pos AS (
+      SELECT query_id, MAX(cos_sim) AS best_pos_sim
+      FROM scored WHERE neighbor_label = query_label
+      GROUP BY query_id),
+    neg AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+             cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id)
+               AS rnk
+      FROM scored WHERE neighbor_label <> query_label)
+    SELECT n.query_id, n.query_label, n.neighbor_id, n.neighbor_label,
+           n.cos_sim, CAST(n.rnk AS INTEGER) AS rank, p.best_pos_sim,
+           n.cos_sim > p.best_pos_sim AS harder_than_best_pos
+    FROM neg n JOIN pos p USING (query_id)
+    WHERE n.rnk <= 5
+    """,
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query vector, the 5 most-similar vectors with a DIFFERENT
+    label — the negatives that actually teach an embedding model —
+    each annotated with the query's best same-label similarity and a
+    flag for negatives that outrank it (the label-noise /
+    false-negative suspects curation reviews by hand).
+
+    Scale shape: queries broadcast against the corpus stream (one
+    scan, no shuffle on the corpus side); the per-query top-5 is a
+    window PARTITIONED by query; the positive baseline is one
+    map-side-combinable max. At 100 TB the corpus side swaps to the
+    IVF/PQ bucket probes (ivf_ann_topk / pq_ann_topk) with the same
+    different-label predicate pushed into the candidate filter —
+    this query certifies the exact semantics those approximate.
+
+    Determinism: cosine accumulates row-locally in list order
+    (identical IEEE sums both engines, the ann_topk discipline);
+    ties break on neighbor_id.
+
+    Reference parity: none — the training-pair factory of the
+    similarity stack (SURVEY beyond-reference mandate).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            S.cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    pos = (
+        scored.where(F.col("neighbor_label") == F.col("query_label"))
+        .groupBy("query_id")
+        .agg(F.max("cos_sim").alias("best_pos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    neg = (
+        scored.where(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+    return neg.join(F.broadcast(pos), "query_id").select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        "cos_sim",
+        F.col("rank").cast("int").alias("rank"),
+        "best_pos_sim",
+        (F.col("cos_sim") > F.col("best_pos_sim")).alias(
+            "harder_than_best_pos"
+        ),
     )

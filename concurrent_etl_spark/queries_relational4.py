@@ -1652,3 +1652,74 @@ def q_bloom_filter_probe_audit(
             " AS BIGINT)"
         ).alias("fp_rate_e6"),
     )
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+       t.o_orderkey AS orderkey, t.rnk,
+       t.cents AS order_cents
+FROM customer c,
+LATERAL (
+      SELECT * FROM (
+        SELECT o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (ORDER BY o.o_totalprice DESC,
+                                  o.o_orderkey) AS rnk
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey) r
+      WHERE r.rnk <= 2
+    ) t
+WHERE c.c_custkey % 10 = 0
+"""
+
+
+@query(
+    "lateral_topk_per_entity",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           t.o_orderkey AS orderkey, CAST(t.rnk AS BIGINT) AS rnk,
+           t.cents AS order_cents
+    FROM customer c,
+    LATERAL (
+      SELECT * FROM (
+        SELECT o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (ORDER BY o.o_totalprice DESC,
+                                  o.o_orderkey) AS rnk
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey) r
+      WHERE r.rnk <= 2
+    ) t
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def q_lateral_topk_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery through the SQL front-end: each
+    sampled customer's top-2 orders by value, written as the
+    for-each-row-run-a-subquery shape analysts actually type — the
+    LAST major ANSI join form the catalog had not exercised (Spark 4
+    supports lateral correlated subqueries natively; inner-join
+    semantics drop order-less customers).
+
+    Catalyst DECORRELATES the lateral into the same
+    partitioned-window + filter plan `window_topk_per_group` builds
+    by hand (no per-row re-execution survives — verify with
+    .explain: one shuffle on custkey, one Window, no nested loops),
+    which is exactly why the form is safe at 100 TB while a naive
+    row-at-a-time interpretation would be 1.5M subquery runs per SF.
+    The rank tiebreak (price DESC, orderkey) makes top-2 exact.
+
+    Reference parity: none (the reference has no subquery surface);
+    completes the correlated family: scalar_subquery_filter (scalar),
+    exists_correlated (EXISTS), this (LATERAL relation).
+    """
+    from concurrent_etl_spark.engine import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL).select(
+        "custkey",
+        "segment",
+        "orderkey",
+        F.col("rnk").cast("long").alias("rnk"),
+        "order_cents",
+    )

@@ -348,3 +348,54 @@ class TestPmi:
             assert r["tok_a"] < r["tok_b"]
         vals = [r["pmi_e12"] for r in rows]
         assert vals == sorted(vals, reverse=True)
+
+
+class TestHardNegatives:
+    def test_ranked_negatives_only_and_flag_semantics(self, spark):
+        rows = _rows(spark, "hard_negative_mining")
+        by_q = {}
+        for r in rows:
+            assert r["neighbor_label"] != r["query_label"]
+            assert -1.0 - 1e-12 <= r["cos_sim"] <= 1.0 + 1e-12
+            assert r["harder_than_best_pos"] == (
+                r["cos_sim"] > r["best_pos_sim"]
+            )
+            by_q.setdefault(r["query_id"], []).append(r)
+        for q, grp in by_q.items():
+            grp.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in grp] == [1, 2, 3, 4, 5]
+            sims = [r["cos_sim"] for r in grp]
+            assert sims == sorted(sims, reverse=True)
+
+    def test_lateral_topk_matches_window_formulation(self, spark):
+        import __spark_entry__ as entrymod
+        from pyspark.sql import Window
+        import pyspark.sql.functions as F
+        from concurrent_etl_spark.engine import load_table
+
+        got = sorted(
+            tuple(r)
+            for r in _rows(spark, "lateral_topk_per_entity")
+        )
+        cust = load_table(spark, SF_DIR, "customer").where(
+            F.col("c_custkey") % 10 == 0
+        )
+        orders = load_table(spark, SF_DIR, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+        exp = (
+            orders.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 2)
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_mktsegment").alias("segment"),
+                F.col("o_orderkey").alias("orderkey"),
+                F.col("rnk").cast("long"),
+                F.floor(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("order_cents"),
+            )
+        )
+        assert got == sorted(tuple(r) for r in exp.collect())

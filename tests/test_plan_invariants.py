@@ -45,6 +45,13 @@ GLOBAL_WINDOW_OK = {
     # rank window runs AFTER orderBy().limit(50): its input is the
     # 50-row TakeOrdered resample head, never the scored corpus
     "dsir_importance_resample",
+    # FALSE POSITIVE of the spec-text regex, not a global window:
+    # Catalyst's lateral-subquery decorrelation prints the pulled-up
+    # correlation key in the Window operator's partitionSpec argument
+    # (`Window [...rnk...], [o_custkey], [o_totalprice DESC ...]`)
+    # but NOT inside windowspecdefinition(...), which is all this
+    # regex can see. The optimized plan partitions by o_custkey.
+    "lateral_topk_per_entity",
 }
 
 _WSPEC = re.compile(r"windowspecdefinition\(([^,()]*?)[,)]")
