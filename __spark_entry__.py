@@ -248,6 +248,7 @@ _CHECK_FIRST = [
     "power_iteration_top_eigvec",
     "lateral_topk_per_entity",
     "hard_negative_mining",
+    "modularity_communities_eval",
 ]
 
 def _driver_verified() -> set[str]:

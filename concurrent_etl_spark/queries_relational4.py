@@ -1723,3 +1723,156 @@ def q_lateral_topk_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("long").alias("rnk"),
         "order_cents",
     )
+
+
+def _lpa_prefix_sql() -> str:
+    """The LPA CTE chain (shared with _lpa_sql) up to l2."""
+    pick = (
+        "SELECT node, lbl FROM ("
+        "SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node "
+        "ORDER BY wt DESC, lbl) AS rn FROM {src}) WHERE rn = 1"
+    )
+    return f"""
+    raw AS (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    cw AS (SELECT src, dst, COUNT(*) AS w FROM raw GROUP BY 1, 2),
+    ew AS (SELECT src, dst, w FROM cw
+           UNION ALL SELECT dst AS src, src AS dst, w FROM cw),
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ew),
+    v1 AS (SELECT e.src AS node, l.lbl, SUM(e.w) AS wt
+           FROM ew e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2),
+    l1 AS ({pick.format(src='v1')}),
+    v2 AS (SELECT e.src AS node, l.lbl, SUM(e.w) AS wt
+           FROM ew e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2),
+    l2 AS ({pick.format(src='v2')})"""
+
+
+@query(
+    "modularity_communities_eval",
+    oracle=f"""
+    WITH {_lpa_prefix_sql()},
+    m2 AS (SELECT CAST(SUM(w) AS BIGINT) AS m2 FROM ew),
+    deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS d
+            FROM ew GROUP BY 1),
+    cdeg AS (
+      SELECT l.lbl AS community, CAST(SUM(deg.d) AS BIGINT) AS d_c,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg JOIN l2 l ON l.node = deg.node GROUP BY 1),
+    cin AS (
+      SELECT la.lbl AS community, CAST(SUM(e.w) AS BIGINT) AS w_in
+      FROM ew e JOIN l2 la ON la.node = e.src
+                JOIN l2 lb ON lb.node = e.dst
+      WHERE la.lbl = lb.lbl GROUP BY 1),
+    contrib AS (
+      SELECT cd.community, cd.n_nodes, cd.d_c,
+             COALESCE(cin.w_in, 0) AS w_in,
+             CAST(COALESCE(cin.w_in, 0) AS DECIMAL(38,0)) * m2.m2
+               - CAST(cd.d_c AS DECIMAL(38,0)) * cd.d_c AS num
+      FROM cdeg cd LEFT JOIN cin ON cin.community = cd.community
+      CROSS JOIN m2),
+    q AS (
+      SELECT CAST(round(CAST(SUM(num) AS DOUBLE) * 1000000000
+                        / (CAST(m2.m2 AS DOUBLE) * m2.m2)) AS BIGINT)
+               AS modularity_e9
+      FROM contrib, m2 GROUP BY m2.m2)
+    SELECT c.community, c.n_nodes, c.d_c, CAST(c.w_in AS BIGINT) AS w_in,
+           CAST(CAST(c.num AS DECIMAL(38,0)) AS VARCHAR) AS contrib_str,
+           q.modularity_e9
+    FROM contrib c, q
+    """,
+)
+def q_modularity_communities_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newman modularity of the label-propagation communities — the
+    standard 'was this partition any good' score for a community
+    detector, carried exactly: Q*(2m)^2 = sum_c [w_in(c)*2m -
+    d(c)^2] is pure integer arithmetic (DECIMAL(38,0) products), and
+    modularity_e9 is ONE double division of exact operands at the
+    end. Per-community contributions are also emitted exactly (as
+    strings — pandas narrows DECIMAL(38,0)), so a reviewer can see
+    WHICH communities carry the structure.
+
+    Reuses the same deterministic 2-round LPA as
+    label_propagation_communities (operators/graph.py) — this query
+    is its EVALUATOR, the graph analogue of what
+    ann_recall_eval/langid_confusion_eval do for their operators.
+
+    Scale shape: degrees and internal-edge weights are each one
+    map-side-combinable agg over the edge list joined to the
+    node-sized label table (two broadcastable label joins); the
+    community table is bounded by community count. 2m enters as a
+    broadcast scalar.
+
+    Reference parity: none — public formula (Newman & Girvan 2004).
+    """
+    from concurrent_etl_spark.operators.graph import label_propagation
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    cw = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    ew = cw.unionByName(
+        cw.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).localCheckpoint(eager=True)
+    labels = label_propagation(ew, rounds=2)
+    m2 = ew.agg(F.sum("w").cast("long").alias("m2"))
+    deg = ew.groupBy("src").agg(F.sum("w").cast("long").alias("d"))
+    cdeg = (
+        deg.join(labels, deg["src"] == labels["node"])
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.sum("d").cast("long").alias("d_c"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+    )
+    la = labels.select(F.col("node").alias("src"), F.col("lbl").alias("ca"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("lbl").alias("cb"))
+    cin = (
+        ew.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.sum("w").cast("long").alias("w_in"))
+    )
+    contrib = (
+        cdeg.join(cin, "community", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "community",
+            "n_nodes",
+            "d_c",
+            F.coalesce(F.col("w_in"), F.lit(0)).cast("long").alias("w_in"),
+            (
+                F.coalesce(F.col("w_in"), F.lit(0)).cast("decimal(38,0)")
+                * F.col("m2")
+                - F.col("d_c").cast("decimal(38,0)") * F.col("d_c")
+            )
+            .cast("decimal(38,0)")
+            .alias("num"),
+            "m2",
+        )
+    )
+    q = contrib.agg(
+        F.round(
+            F.sum("num").cast("double")
+            * 1000000000
+            / (F.max("m2").cast("double") * F.max("m2"))
+        )
+        .cast("long")
+        .alias("modularity_e9")
+    )
+    return contrib.crossJoin(F.broadcast(q)).select(
+        "community",
+        "n_nodes",
+        "d_c",
+        "w_in",
+        F.col("num").cast("string").alias("contrib_str"),
+        "modularity_e9",
+    )

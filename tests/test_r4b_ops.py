@@ -287,3 +287,30 @@ class TestHits:
         # truncating normalization loses < 1 per node
         assert 1000000 - len(rows) <= total <= 1000000
         assert all(r["n_buyers"] >= 1 for r in rows)
+
+
+class TestModularity:
+    def test_identities_and_bounds(self, spark):
+        rows = _rows(spark, "modularity_communities_eval")
+        [(m2,)] = _duck(
+            """
+            WITH raw AS (
+              SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+            cw AS (SELECT src, dst, COUNT(*) AS w FROM raw GROUP BY 1, 2)
+            SELECT 2 * SUM(w) FROM cw
+            """
+        )
+        # per-row identity: contrib = w_in * 2m - d_c^2 exactly
+        for r in rows:
+            assert int(r["contrib_str"]) == r["w_in"] * m2 - r["d_c"] ** 2
+            assert 0 <= r["w_in"] <= r["d_c"]
+        # degrees partition the total weighted degree
+        assert sum(r["d_c"] for r in rows) == m2
+        # Q in [-0.5, 1], identical on every row, matches the sum
+        qs = {r["modularity_e9"] for r in rows}
+        assert len(qs) == 1
+        q = qs.pop()
+        total = sum(int(r["contrib_str"]) for r in rows)
+        assert q == round(total * 1e9 / (float(m2) * m2))
+        assert -500000000 <= q <= 1000000000
