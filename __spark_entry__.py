@@ -249,6 +249,7 @@ _CHECK_FIRST = [
     "lateral_topk_per_entity",
     "hard_negative_mining",
     "modularity_communities_eval",
+    "stream_static_enrich_roundtrip",
 ]
 
 def _driver_verified() -> set[str]:

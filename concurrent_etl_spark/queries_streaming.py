@@ -818,3 +818,116 @@ def q_stream_stateful_session_roundtrip(
         F.unix_micros("session_end").alias("end_us"),
         "n_events",
     )
+
+
+@query(
+    "stream_static_enrich_roundtrip",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey % 7 = 0
+    GROUP BY n.n_name
+    """,
+)
+def q_stream_static_enrich_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-STATIC dimension join under the oracle gate — the one
+    streaming join type the gated roundtrips had not covered
+    (stream-stream interval join and windowed aggs are gated; this is
+    the broadcast-dimension enrich every streaming ETL starts with).
+    A deterministic customer slice streams from multi-file CSV
+    through a real readStream; each micro-batch joins the STATIC
+    nation dimension (re-planned per batch, broadcast, zero join
+    state); the availableNow checkpointed sink is read back and
+    rolled up, so file discovery, the per-batch broadcast join, and
+    sink commit all sit inside the hash.
+
+    At 100 TB of stream: stream-static joins never shuffle the
+    stream and hold NO state (unlike stream-stream joins' watermarked
+    buffers) — per-batch cost is O(batch), the property this query
+    certifies end to end. Guarded build keyed by application id + sf;
+    a _DONE marker written only after
+    awaitTermination succeeds marks the committed run (the
+    completion-marker discipline).
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.streaming.file_stream import (
+        stream_static_enrich,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    base = _os.path.join(_tempfile.gettempdir(), "ces_streamdim", tag)
+    src = _os.path.join(base, "src")
+    sink = _os.path.join(base, "sink")
+    ckpt = _os.path.join(base, "ckpt")
+    # _DONE completion marker, written only after awaitTermination
+    # returns true: a crash mid-run must not leave a partial sink
+    # that later invocations read as final
+    done = _os.path.join(base, "_DONE")
+    if not _os.path.exists(done):
+        (
+            load_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 7 == 0)
+            .select(
+                F.col("c_custkey").cast("string"),
+                F.col("c_nationkey").cast("string"),
+                F.col("c_acctbal").cast("string"),
+            )
+            .coalesce(3)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(src)
+        )
+        schema = StructType(
+            [
+                StructField(c, StringType())
+                for c in ("c_custkey", "c_nationkey", "c_acctbal")
+            ]
+        )
+        dim = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.col("n_name").alias("nation_name"),
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("header", "true")
+            .csv(src)
+            .select(
+                F.col("c_custkey").try_cast("bigint").alias("custkey"),
+                F.col("c_nationkey").try_cast("bigint").alias("nationkey"),
+                (
+                    F.col("c_acctbal").try_cast("decimal(18,2)") * 100
+                )
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        enriched = stream_static_enrich(stream, dim, ["nationkey"], "inner")
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("stream_static_enrich stream timed out")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    out = spark.read.parquet(sink)
+    return out.groupBy("nation_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
