@@ -250,6 +250,8 @@ _CHECK_FIRST = [
     "hard_negative_mining",
     "modularity_communities_eval",
     "stream_static_enrich_roundtrip",
+    "udtf_table_argument_sessions",
+    "ams_f2_sketch",
 ]
 
 def _driver_verified() -> set[str]:

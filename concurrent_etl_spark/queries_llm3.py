@@ -1927,3 +1927,103 @@ def q_image_sobel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     media = synthesize_bmp(docs, every=4, phase=1)
     return bmp_sobel_features(media)
+
+
+@query(
+    "udtf_table_argument_sessions",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events),
+    lagged AS (
+      SELECT user_id, us,
+             lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+      FROM ev)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(1 + SUM(CASE WHEN prev IS NOT NULL
+                              AND us - prev > 1800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+    FROM lagged GROUP BY user_id
+    """,
+)
+def q_udtf_table_argument_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Python UDTF with a TABLE argument — the third and last piece
+    of the UDTF surface (chunk_documents_udtf: static schema;
+    chunk_columns_udtf_analyze: polymorphic analyze; this: TABLE(...)
+    PARTITION BY ... ORDER BY ... input): the engine feeds whole
+    ordered partitions through ``eval`` and calls ``terminate`` at
+    each partition boundary — the SQL-surfaced form of a per-key
+    sequential fold, here a 30-minute-gap sessionizer emitting one
+    (user, n_events, n_sessions, span) row per partition.
+
+    The oracle restates the fold relationally (lag + gap-count) —
+    the equivalence IS the point: TABLE-argument UDTFs are how users
+    ship genuinely sequential per-key logic to SQL without losing
+    Spark's partitioning (each user's rows arrive ordered; users
+    parallelize freely). Timestamps pre-lower to epoch-us longs so
+    the Python side does integer arithmetic only.
+
+    Scale shape: one shuffle to partition by user (same as any
+    per-user window); state is O(1) per partition; output one row
+    per user. At 100 TB this is the supported path for the
+    reference-style imperative per-entity loops SURVEY §2.7 maps to
+    partitions.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        LongType,
+        StructType,
+    )
+
+    out_schema = (
+        StructType()
+        .add("user_id", LongType())
+        .add("n_events", LongType())
+        .add("n_sessions", LongType())
+        .add("span_us", LongType())
+    )
+
+    class SessionFold:
+        def __init__(self):
+            self._user = None
+            self._n = 0
+            self._sessions = 0
+            self._first = None
+            self._last = None
+
+        def eval(self, row):
+            self._user = row["user_id"]
+            us = row["us"]
+            if self._last is not None and us - self._last > 1800000000:
+                self._sessions += 1
+            if self._first is None:
+                self._first = us
+                self._sessions = 1
+            self._n += 1
+            self._last = us
+
+        def terminate(self):
+            if self._user is not None:
+                yield (
+                    self._user,
+                    self._n,
+                    self._sessions,
+                    self._last - self._first,
+                )
+
+    spark.udtf.register(
+        "ces_session_fold", udtf(SessionFold, returnType=out_schema)
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    ev.createOrReplaceTempView("ces_ev_us")
+    return spark.sql(
+        """
+        SELECT * FROM ces_session_fold(
+          TABLE(ces_ev_us) PARTITION BY user_id ORDER BY us)
+        """
+    )

@@ -1939,3 +1939,135 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_cents",
         )
     )
+
+
+@query(
+    "ams_f2_sketch",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+                                '\\s+'), t -> t <> '')) AS t
+      FROM documents),
+    freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t),
+    reps AS (SELECT unnest(range(0, 16)) AS j),
+    z AS (
+      SELECT j,
+             CAST(SUM(CASE WHEN ('0x' || substr(md5('ams' || j || '_'
+                                  || t), 1, 8))::BIGINT % 2 = 0
+                           THEN f ELSE -f END) AS BIGINT) AS z
+      FROM freq, reps GROUP BY j),
+    est AS (SELECT j, z * z AS e FROM z),
+    ranked AS (
+      SELECT a.e,
+             CAST(COUNT(*) AS BIGINT) AS rnk
+      FROM est a JOIN est b
+        ON b.e < a.e OR (b.e = a.e AND b.j <= a.j)
+      GROUP BY a.e, a.j),
+    med AS (SELECT e AS f2_est FROM ranked WHERE rnk = 8),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(f * f) AS BIGINT) AS f2_exact
+      FROM freq)
+    SELECT ex.n_distinct, ex.f2_exact, med.f2_est,
+           CAST(round(abs(CAST(med.f2_est - ex.f2_exact AS DOUBLE))
+                      * 1000000 / CAST(ex.f2_exact AS DOUBLE))
+                AS BIGINT) AS rel_err_e6
+    FROM ex, med
+    """,
+)
+def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment (F2) sketch (Alon-Matias-Szegedy 1996,
+    public) with EXACT self-verification — the sketch family member
+    CMS/HLL/KMV don't cover: 16 independent +/-1-hash estimators
+    z_j = sum sign_j(t)*f(t), each squaring to an unbiased F2
+    estimate, combined by the LOWER MEDIAN (exact integer — no
+    averaging) and reported against the exact F2 = sum f^2 with the
+    relative error, so the hash fails if the estimator ever drifts
+    (the approx_median_bounded / ann_recall_eval self-certifying
+    pattern).
+
+    Determinism: signs are md5 parity (identical both engines); every
+    z_j is an exact long; the 16-estimator median comes from a
+    broadcast rank self-join over 16 rows with a (value, j) total
+    order — no global window.
+
+    Scale shape: ONE groupBy(token) frequency shuffle, then a 16-way
+    conditional-sum agg (map-side combinable — the permutation-test
+    discipline: replicates cost partials, not shuffles). At 100 TB
+    the sketch is mergeable by construction: z vectors add across
+    partitions.
+
+    Reference parity: none — sketch surface (SURVEY beyond-reference
+    mandate).
+    """
+    from concurrent_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    reps = spark.range(0, 16).select(F.col("id").alias("j"))
+    sign_even = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ams"),
+                        F.col("j").cast("string"),
+                        F.lit("_"),
+                        F.col("t"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    z = (
+        freq.crossJoin(F.broadcast(reps))
+        .groupBy("j")
+        .agg(
+            F.sum(F.when(sign_even, F.col("f")).otherwise(-F.col("f")))
+            .cast("long")
+            .alias("z")
+        )
+    )
+    est = z.select("j", (F.col("z") * F.col("z")).alias("e"))
+    a = est.select(F.col("j").alias("ja"), F.col("e").alias("ea"))
+    b = est.select(F.col("j").alias("jb"), F.col("e").alias("eb"))
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("eb") < F.col("ea"))
+            | ((F.col("eb") == F.col("ea")) & (F.col("jb") <= F.col("ja"))),
+        )
+        .groupBy("ja", "ea")
+        .agg(F.count(F.lit(1)).alias("rnk"))
+    )
+    med = ranked.where(F.col("rnk") == 8).select(
+        F.col("ea").alias("f2_est")
+    )
+    ex = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact"),
+    )
+    return ex.crossJoin(F.broadcast(med)).select(
+        "n_distinct",
+        "f2_exact",
+        "f2_est",
+        F.round(
+            F.abs((F.col("f2_est") - F.col("f2_exact")).cast("double"))
+            * 1000000
+            / F.col("f2_exact").cast("double")
+        )
+        .cast("long")
+        .alias("rel_err_e6"),
+    )

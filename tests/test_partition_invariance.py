@@ -92,6 +92,8 @@ SPOT_CHECK = [
     "multitouch_attribution_linear",
     "hits_hub_authority",
     "power_iteration_top_eigvec",
+    "ams_f2_sketch",
+    "udtf_table_argument_sessions",
 ]
 
 
