@@ -252,6 +252,8 @@ _CHECK_FIRST = [
     "stream_static_enrich_roundtrip",
     "udtf_table_argument_sessions",
     "ams_f2_sketch",
+    "conformal_threshold_coverage",
+    "diff_in_differences",
 ]
 
 def _driver_verified() -> set[str]:

@@ -2071,3 +2071,226 @@ def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rel_err_e6"),
     )
+
+
+@query(
+    "conformal_threshold_coverage",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    mu AS (
+      SELECT event_type,
+             CAST((SUM(cents) * 2 + COUNT(*))
+                  // (2 * COUNT(*)) AS BIGINT) AS mean_cents
+      FROM base WHERE event_id % 2 = 0 GROUP BY event_type),
+    cal AS (
+      SELECT abs(b.cents - m.mean_cents) AS s
+      FROM base b JOIN mu m USING (event_type)
+      WHERE b.event_id % 2 = 0),
+    n_cal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cal),
+    thr AS (
+      SELECT s AS threshold FROM (
+        SELECT s, ROW_NUMBER() OVER (ORDER BY s, s) AS rn FROM cal),
+        n_cal
+      WHERE rn = CAST(ceil((n + 1) * 0.9) AS BIGINT)),
+    test AS (
+      SELECT abs(b.cents - m.mean_cents) AS s
+      FROM base b JOIN mu m USING (event_type)
+      WHERE b.event_id % 2 = 1)
+    SELECT n_cal.n AS n_calibration,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM test) AS n_test,
+           thr.threshold,
+           (SELECT CAST(SUM(CASE WHEN s <= thr.threshold
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM test) AS n_covered,
+           CAST(((SELECT SUM(CASE WHEN s <= thr.threshold
+                                  THEN 1 ELSE 0 END) FROM test)
+                 * 2000000 + (SELECT COUNT(*) FROM test))
+                // (2 * (SELECT COUNT(*) FROM test)) AS BIGINT)
+             AS coverage_e6
+    FROM n_cal, thr
+    """,
+)
+def q_conformal_threshold_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split conformal prediction (Vovk et al.; Angelopoulos & Bates
+    2021 tutorial — public): calibrate a distribution-free 90%
+    prediction band for event value around a per-type mean predictor
+    on the even-id half, then AUDIT empirical coverage on the odd-id
+    half. The threshold is the ceil((n+1)*0.9)-th smallest
+    nonconformity score — an EXACT order statistic (integer cents),
+    found here without a global sort: the bucket-offset cumsum gives
+    each distinct score its exact rank, and the target rank selects
+    the threshold (the oracle states it with DuckDB's single-node
+    row_number instead).
+
+    Everything is integer: per-type means use the half-up integral
+    trick, scores are absolute cent deviations, coverage is an e6
+    ratio of exact counts. The conformal guarantee (coverage >=
+    90% in expectation) shows up as an auditable number, not a
+    belief — tests assert the threshold's defining rank property on
+    the calibration set.
+
+    Scale shape: one groupBy(type) for the predictor; score
+    computation is a broadcast join; the rank lookup rides the
+    bounded-collect cumsum; the coverage audit is one
+    map-side-combinable agg. No global sort at any size.
+
+    Reference parity: none — uncertainty-quantification surface for
+    the model-evaluation family (auc/calibration/isotonic).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cal_half = base.where(F.col("event_id") % 2 == 0)
+    mu = cal_half.groupBy("event_type").agg(
+        F.expr(
+            "CAST((SUM(cents) * 2 + COUNT(*)) div (2 * COUNT(*))"
+            " AS BIGINT)"
+        ).alias("mean_cents")
+    )
+    cal = cal_half.join(F.broadcast(mu), "event_type").select(
+        F.abs(F.col("cents") - F.col("mean_cents")).alias("v")
+    )
+    n_cal = cal.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pv = cal.groupBy("v").agg(
+        F.lit(0).cast("long").alias("a"), F.count(F.lit(1)).alias("t")
+    )
+    # exact order statistic via the bucket-offset cumsum: the
+    # threshold is the smallest distinct score whose inclusive
+    # cumulative count reaches rank = ceil((n+1)*0.9)
+    ranked = _cum_by_value(pv).crossJoin(F.broadcast(n_cal))
+    rank_target = F.ceil((F.col("n") + 1) * 0.9).cast("long")
+    thr = (
+        ranked.where(F.col("cum_t") >= rank_target)
+        .agg(F.min("v").alias("threshold"))
+    )
+    test = (
+        base.where(F.col("event_id") % 2 == 1)
+        .join(F.broadcast(mu), "event_type")
+        .select(F.abs(F.col("cents") - F.col("mean_cents")).alias("s"))
+    )
+    cov = test.crossJoin(F.broadcast(thr)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(F.col("s") <= F.col("threshold"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.max("threshold").alias("threshold"),
+    )
+    return n_cal.crossJoin(F.broadcast(cov)).select(
+        F.col("n").alias("n_calibration"),
+        "n_test",
+        "threshold",
+        "n_covered",
+        F.expr(
+            "CAST((n_covered * 2000000 + n_test) div (2 * n_test)"
+            " AS BIGINT)"
+        ).alias("coverage_e6"),
+    )
+
+
+@query(
+    "diff_in_differences",
+    oracle="""
+    WITH cells AS (
+      SELECT ('0x' || substr(md5('ab_' || user_id), 1, 8))::BIGINT % 2
+               AS treated,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+               AS post,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    agg AS (
+      SELECT treated, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM cells GROUP BY treated, post),
+    did AS (
+      SELECT CAST(round(
+               (MAX(CASE WHEN treated = 1 AND post = 1
+                         THEN CAST(s AS DOUBLE) / n END)
+                - MAX(CASE WHEN treated = 1 AND post = 0
+                           THEN CAST(s AS DOUBLE) / n END))
+               - (MAX(CASE WHEN treated = 0 AND post = 1
+                           THEN CAST(s AS DOUBLE) / n END)
+                  - MAX(CASE WHEN treated = 0 AND post = 0
+                             THEN CAST(s AS DOUBLE) / n END)))
+             AS BIGINT) AS did_cents
+      FROM agg)
+    SELECT treated, post, n, s,
+           CAST((s * 200 + n) // (2 * n) AS BIGINT) AS mean_e2,
+           did.did_cents
+    FROM agg, did
+    """,
+)
+def q_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the hash-assigned
+    experiment (ab_srm_bucketing_audit's md5 arms x the CUPED
+    pre/post split): DID = (treated_post - treated_pre) -
+    (control_post - control_pre), the workhorse causal readout when
+    assignment is clean but a time trend contaminates the naive
+    post-only comparison.
+
+    The 2x2 cell table is exact integers (counts + cent sums); each
+    cell mean is one double division of exact longs and the DID
+    estimate one rounded combination of the four — identical IEEE
+    ops both engines. Per-cell e2 means use the integral half-up
+    trick so the table itself is integer-auditable.
+
+    Scale shape: one map-side-combinable groupBy to the 4-cell
+    table; the estimate is constant-size algebra on it. The cheapest
+    possible causal readout at any scale.
+
+    Reference parity: none — completes the experimentation family
+    (SRM gate -> CUPED sensitivity -> permutation significance ->
+    DID effect estimate).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    treated = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab_"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cells = ev.select(
+        treated.alias("treated"),
+        F.when(F.col("ts") >= cut, 1).otherwise(0).cast("long").alias("post"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    mean_of = lambda t, p: F.max(
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p),
+            F.col("s").cast("double") / F.col("n"),
+        )
+    )
+    did = agg.agg(
+        F.round(
+            (mean_of(1, 1) - mean_of(1, 0)) - (mean_of(0, 1) - mean_of(0, 0))
+        )
+        .cast("long")
+        .alias("did_cents")
+    )
+    return agg.crossJoin(F.broadcast(did)).select(
+        "treated",
+        "post",
+        "n",
+        "s",
+        F.expr("CAST((s * 200 + n) div (2 * n) AS BIGINT)").alias("mean_e2"),
+        "did_cents",
+    )

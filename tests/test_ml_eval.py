@@ -399,3 +399,55 @@ class TestHardNegatives:
             )
         )
         assert got == sorted(tuple(r) for r in exp.collect())
+
+
+class TestConformal:
+    def test_threshold_is_exact_order_statistic(self, spark):
+        [row] = _rows(spark, "conformal_threshold_coverage")
+        scores = [
+            s for (s,) in _duck(
+                """
+                WITH base AS (
+                  SELECT event_id, event_type,
+                         CAST(floor(value * 100) AS BIGINT) AS cents
+                  FROM events),
+                mu AS (
+                  SELECT event_type,
+                         CAST((SUM(cents) * 2 + COUNT(*))
+                              // (2 * COUNT(*)) AS BIGINT) AS m
+                  FROM base WHERE event_id % 2 = 0 GROUP BY event_type)
+                SELECT abs(b.cents - mu.m)
+                FROM base b JOIN mu USING (event_type)
+                WHERE b.event_id % 2 = 0
+                """
+            )
+        ]
+        n = len(scores)
+        assert row["n_calibration"] == n
+        rank = math.ceil((n + 1) * 0.9)
+        assert row["threshold"] == sorted(scores)[rank - 1]
+        # conformal guarantee holds empirically on exchangeable halves
+        assert row["coverage_e6"] >= 850000
+        assert (
+            row["coverage_e6"]
+            == (row["n_covered"] * 2000000 + row["n_test"])
+            // (2 * row["n_test"])
+        )
+
+
+class TestDiffInDifferences:
+    def test_did_combines_cell_means(self, spark):
+        rows = _rows(spark, "diff_in_differences")
+        assert len(rows) == 4
+        cells = {(r["treated"], r["post"]): r for r in rows}
+        assert set(cells) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+        mean = lambda t, p: cells[(t, p)]["s"] / cells[(t, p)]["n"]
+        expect = round(
+            (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+        )
+        dids = {r["did_cents"] for r in rows}
+        assert dids == {expect}
+        for r in rows:
+            assert r["mean_e2"] == (r["s"] * 200 + r["n"]) // (2 * r["n"])
+        [(n_events,)] = _duck("SELECT COUNT(*) FROM events")
+        assert sum(r["n"] for r in rows) == n_events
