@@ -254,6 +254,8 @@ _CHECK_FIRST = [
     "ams_f2_sketch",
     "conformal_threshold_coverage",
     "diff_in_differences",
+    "k_anonymity_audit",
+    "crosscorr_lead_lag",
 ]
 
 def _driver_verified() -> set[str]:

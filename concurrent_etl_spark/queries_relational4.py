@@ -1876,3 +1876,89 @@ def q_modularity_communities_eval(
         F.col("num").cast("string").alias("contrib_str"),
         "modularity_e9",
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS sensitive
+      FROM customer),
+    grp AS (
+      SELECT segment, nationkey,
+             CAST(COUNT(*) AS BIGINT) AS grp_size,
+             CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l_div
+      FROM qi GROUP BY segment, nationkey),
+    tot AS (SELECT CAST(SUM(grp_size) AS BIGINT) AS n FROM grp)
+    SELECT CAST(5 AS BIGINT) AS k,
+           tot.n AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(grp_size) AS BIGINT) AS min_group,
+           CAST(SUM(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+                AS BIGINT) AS n_rows_violating,
+           CAST((SUM(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)
+                 * 2000000 + tot.n) // (2 * tot.n) AS BIGINT)
+             AS violation_rate_e6,
+           CAST(MIN(l_div) AS BIGINT) AS min_l_diversity,
+           CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_l_homogeneous
+    FROM grp, tot GROUP BY tot.n
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit (Sweeney 2002;
+    Machanavajjhala et al. 2007 — public): treat (segment, nation) as
+    the quasi-identifier, bucketed balance as the sensitive
+    attribute, and report the re-identification surface of a would-be
+    data release — rows in QI groups smaller than k=5 (linkable) and
+    QI groups where the sensitive value is homogeneous (l < 2:
+    membership alone discloses the attribute). The governance gate
+    that sits beside gdpr_erasure_audit and pii_redaction in a
+    release pipeline.
+
+    All counts exact; the violation rate is the e6 half-up ratio.
+
+    Scale shape: ONE map-side-combinable groupBy over the
+    QI-cardinality-bounded group domain (|segments| x |nations|),
+    then constant-size algebra. COUNT(DISTINCT sensitive) inside the
+    group agg expands to the standard two-level aggregate — still
+    QI-bounded. At 100 TB this audit costs one scan.
+
+    Reference parity: none — data-governance surface.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("sensitive"),
+    )
+    grp = qi.groupBy("segment", "nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("grp_size"),
+        F.countDistinct("sensitive").cast("long").alias("l_div"),
+    )
+    return grp.agg(
+        F.lit(5).cast("long").alias("k"),
+        F.sum("grp_size").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("grp_size").cast("long").alias("min_group"),
+        F.sum(
+            F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_rows_violating"),
+        F.expr(
+            "CAST((SUM(CASE WHEN grp_size < 5 THEN grp_size ELSE 0 END)"
+            " * 2000000 + SUM(grp_size)) div (2 * SUM(grp_size))"
+            " AS BIGINT)"
+        ).alias("violation_rate_e6"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+        F.sum(F.when(F.col("l_div") < 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_l_homogeneous"),
+    )

@@ -2294,3 +2294,119 @@ def q_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((s * 200 + n) div (2 * n) AS BIGINT)").alias("mean_e2"),
         "did_cents",
     )
+
+
+@query(
+    "crosscorr_lead_lag",
+    oracle="""
+    WITH daily AS (
+      SELECT (epoch_us(ts) // 86400000000) AS d,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(floor(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+      FROM daily),
+    dd AS (
+      SELECT SUM(CAST(n * x - sx AS DECIMAL(38,0)) * (n * x - sx)) AS dx,
+             SUM(CAST(n * y - sy AS DECIMAL(38,0)) * (n * y - sy)) AS dy
+      FROM daily, st),
+    lags AS (SELECT unnest(range(-3, 4)) AS k),
+    num AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(st.n * a.x - st.sx AS DECIMAL(38,0))
+                 * (st.n * b.y - st.sy)) AS nn
+      FROM daily a
+      CROSS JOIN lags
+      JOIN daily b ON b.d = a.d + k
+      CROSS JOIN st
+      GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS k, n_pairs,
+           CAST(round(CAST(nn AS DOUBLE) * 1000000
+                      / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)))
+                AS BIGINT) AS xcorr_e6
+    FROM num, dd
+    ORDER BY k
+    """,
+)
+def q_crosscorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily VIEW and PURCHASE
+    revenue series at lags -3..+3 — the do-views-lead-purchases
+    question, the bivariate counterpart of acf_lags. A positive-lag
+    peak means x leads y; the asymmetry across k is the directional
+    signal autocorrelation cannot express.
+
+    Same exactness scheme as acf_lags: the N^2-scaled demeaned
+    cross-moment sum((N*x_t - Sx)(N*y_{t+k} - Sy)) accumulates in
+    DECIMAL(38,0); the normalizer sqrt(dx*dy) and one division happen
+    once per lag in double on exact operands, rounded to e6.
+
+    Scale shape: one map-side-combinable daily rollup (conditional
+    sums split the two series in the same pass — no second scan);
+    each lag is an equi-join of the date-bounded series against
+    itself with a broadcast 7-row lag table. Day arithmetic is pure
+    epoch integer math.
+
+    Reference parity: none — time-series surface over events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    devx = F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("sx")
+    devy = F.col("n").cast("decimal(38,0)") * F.col("y") - F.col("sy")
+    dd = daily.crossJoin(F.broadcast(st)).agg(
+        F.sum(devx * devx).alias("dx"), F.sum(devy * devy).alias("dy")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("k"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("dt", F.col("da") + F.col("k"))
+        .join(b, F.col("db") == F.col("dt"))
+        .crossJoin(F.broadcast(st))
+    )
+    deva = F.col("n").cast("decimal(38,0)") * F.col("xa") - F.col("sx")
+    devb = F.col("n").cast("decimal(38,0)") * F.col("yb") - F.col("sy")
+    num = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(deva * devb).alias("nn"),
+    )
+    return (
+        num.crossJoin(F.broadcast(dd))
+        .select(
+            "k",
+            "n_pairs",
+            F.round(
+                F.col("nn").cast("double")
+                * 1000000
+                / F.sqrt(
+                    F.col("dx").cast("double") * F.col("dy").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("xcorr_e6"),
+        )
+        .orderBy("k")
+    )

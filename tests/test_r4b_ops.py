@@ -314,3 +314,39 @@ class TestModularity:
         total = sum(int(r["contrib_str"]) for r in rows)
         assert q == round(total * 1e9 / (float(m2) * m2))
         assert -500000000 <= q <= 1000000000
+
+
+class TestKAnonymity:
+    def test_counts_and_rate(self, spark):
+        [row] = _rows(spark, "k_anonymity_audit")
+        groups = _duck(
+            """SELECT COUNT(*), COUNT(DISTINCT CASE
+                 WHEN c_acctbal < 0 THEN 'neg'
+                 WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END)
+               FROM customer GROUP BY c_mktsegment, c_nationkey"""
+        )
+        sizes = [g for g, _ in groups]
+        assert row["n_groups"] == len(groups)
+        assert row["n_rows"] == sum(sizes)
+        assert row["min_group"] == min(sizes)
+        viol = sum(g for g in sizes if g < 5)
+        assert row["n_rows_violating"] == viol
+        assert row["violation_rate_e6"] == (
+            viol * 2000000 + row["n_rows"]
+        ) // (2 * row["n_rows"])
+        assert row["min_l_diversity"] == min(l for _, l in groups)
+        assert row["n_groups_l_homogeneous"] == sum(
+            1 for _, l in groups if l < 2
+        )
+
+
+class TestCrossCorrelation:
+    def test_symmetric_domain_and_bounds(self, spark):
+        rows = sorted(_rows(spark, "crosscorr_lead_lag"), key=lambda r: r["k"])
+        assert [r["k"] for r in rows] == list(range(-3, 4))
+        for r in rows:
+            assert -1000000 <= r["xcorr_e6"] <= 1000000
+            assert r["n_pairs"] >= 1
+        # pair counts shrink symmetrically with |k| over a dense axis
+        n0 = dict((r["k"], r["n_pairs"]) for r in rows)
+        assert n0[-1] == n0[1] and n0[-3] == n0[3]
