@@ -125,6 +125,13 @@ class TestBareSessionPortability:
             "tumbling_window_full",        # events TIMESTAMP(NANOS) + tz
             "asof_join_prior_click",       # events + window semantics
             "flagship_confirmation",       # the entry() headline path
+            # round-4 second tranche: session-state-touching newcomers
+            "udtf_table_argument_sessions",  # udtf.register + temp view
+            "lateral_topk_per_entity",       # temp views + LATERAL SQL
+            "stream_static_enrich_roundtrip",  # readStream + dim join
+            "jsonl_gzip_source_roundtrip",   # gzip write/read fixture
+            "kaplan_meier_survival",         # events tz + cumsum collect
+            "cuped_variance_reduction",      # timestamp-literal cutoff
         ]:
             rows = q[name](bare, "/root/testdata/sf0.001").collect()
             assert rows, name
