@@ -171,6 +171,11 @@ class TestSideEffectfulQueryIdempotence:
             # WARC archive fixture
             "schema_evolution_merge_read",
             "warc_source_roundtrip",
+            # round-4 second tranche: fixed-width text, gzip JSONL,
+            # stream-static sink (all _SUCCESS/_DONE-guarded)
+            "fixed_width_source_roundtrip",
+            "jsonl_gzip_source_roundtrip",
+            "stream_static_enrich_roundtrip",
         ]:
             first = sorted(
                 tuple(r) for r in q[name](spark, "/root/testdata/sf0.001").collect()
