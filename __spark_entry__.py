@@ -256,6 +256,7 @@ _CHECK_FIRST = [
     "diff_in_differences",
     "k_anonymity_audit",
     "crosscorr_lead_lag",
+    "txn_vacuum_retention_audit",
 ]
 
 def _driver_verified() -> set[str]:

@@ -2591,3 +2591,132 @@ def q_jsonl_gzip_source_roundtrip(
         F.lit(0).cast("long").alias("sum_comment_len"),
     )
     return agg.unionByName(dead)
+
+
+@query(
+    "txn_vacuum_retention_audit",
+    oracle="""
+    WITH cur AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_nationkey * 4) AS BIGINT) AS keysum
+      FROM nation),
+    prev AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(n_nationkey * 3) AS BIGINT) AS keysum
+      FROM nation)
+    SELECT CAST(4 AS BIGINT) AS latest_version,
+           CAST(2 AS BIGINT) AS n_versions_vacuumed,
+           CAST(1 AS BIGINT) AS n_orphans_removed,
+           cur.n_rows AS rows_latest, cur.keysum AS keysum_latest,
+           prev.n_rows AS rows_retained_v3,
+           prev.keysum AS keysum_retained_v3
+    FROM cur, prev
+    """,
+)
+def q_txn_vacuum_retention_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VACUUM / retention on the commit-log table format: four
+    versions are committed (v_k scales the key column by k), an
+    ORPHAN data directory is planted (a crashed writer's leftovers —
+    the thing CAS losers leave behind), then ``txn_vacuum``
+    (sources/txn.py) expires everything but the last two versions
+    and sweeps the orphan. The audit proves the retention CONTRACT:
+    the vacuumed-version and orphan counts from the vacuum report,
+    plus full reads of BOTH retained versions through the custom
+    Python DataSource — latest (v4) and time-travel v3 — whose
+    rollups the oracle recomputes from the parquet source. Expired
+    v1/v2 data is gone; the log records remain so version numbering
+    is stable (the Delta/Iceberg VACUUM semantics).
+
+    Guarded build keyed by application id + sf; the vacuum report is
+    persisted beside the table at build time so re-invocations
+    return identical numbers (the guarded-fixture idempotence
+    discipline).
+
+    Scale shape: vacuum is log-sized directory arithmetic (no data
+    scan); the audit reads are ordinary file-partitioned Arrow
+    scans of the retained versions.
+    """
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.sources import pyds
+    from concurrent_etl_spark.sources.txn import (
+        txn_commit,
+        txn_latest,
+        txn_vacuum,
+    )
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}|vac".encode()).hexdigest()[:12]
+    path = _os.path.join(_tempfile.gettempdir(), "ces_pyds_vac", tag)
+    report_path = _os.path.join(path, "_vacuum_report.json")
+    base = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.col("n_name").alias("name"),
+    )
+    if not _os.path.exists(report_path):
+        for mult in (1, 2, 3, 4):
+            if txn_latest(path) < mult:
+                txn_commit(
+                    base.select(
+                        (F.col("k") * mult).alias("k"), "name"
+                    ),
+                    path,
+                )
+        orphan = _os.path.join(path, "d-orphan-crashed-writer")
+        _os.makedirs(orphan, exist_ok=True)
+        with open(_os.path.join(orphan, "junk.bin"), "wb") as fh:
+            fh.write(b"\x00" * 64)
+        report = txn_vacuum(path, keep_last=2)
+        with open(report_path, "w") as fh:
+            _json.dump(
+                {
+                    "latest": txn_latest(path),
+                    "n_versions": len(report["versions"]),
+                    "n_orphans": len(report["orphans"]),
+                },
+                fh,
+            )
+    with open(report_path) as fh:
+        rep = _json.load(fh)
+    pyds.register(spark)
+    v4 = (
+        spark.read.format("ces_txn")
+        .option("path", path)
+        .load()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_latest"),
+            F.sum("k").cast("long").alias("keysum_latest"),
+        )
+    )
+    v3 = (
+        spark.read.format("ces_txn")
+        .option("path", path)
+        .option("version", "3")
+        .load()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows_retained_v3"),
+            F.sum("k").cast("long").alias("keysum_retained_v3"),
+        )
+    )
+    return (
+        v4.crossJoin(F.broadcast(v3))
+        .select(
+            F.lit(rep["latest"]).cast("long").alias("latest_version"),
+            F.lit(rep["n_versions"])
+            .cast("long")
+            .alias("n_versions_vacuumed"),
+            F.lit(rep["n_orphans"]).cast("long").alias("n_orphans_removed"),
+            "rows_latest",
+            "keysum_latest",
+            "rows_retained_v3",
+            "keysum_retained_v3",
+        )
+    )

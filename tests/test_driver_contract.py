@@ -176,6 +176,7 @@ class TestSideEffectfulQueryIdempotence:
             "fixed_width_source_roundtrip",
             "jsonl_gzip_source_roundtrip",
             "stream_static_enrich_roundtrip",
+            "txn_vacuum_retention_audit",
         ]:
             first = sorted(
                 tuple(r) for r in q[name](spark, "/root/testdata/sf0.001").collect()
