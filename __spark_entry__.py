@@ -257,6 +257,8 @@ _CHECK_FIRST = [
     "k_anonymity_audit",
     "crosscorr_lead_lag",
     "txn_vacuum_retention_audit",
+    "spearman_rank_correlation",
+    "mutual_information_binned",
 ]
 
 def _driver_verified() -> set[str]:

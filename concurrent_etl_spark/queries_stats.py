@@ -2410,3 +2410,194 @@ def q_crosscorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "spearman_rank_correlation",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x,
+             CAST(length(o_orderpriority) * 1000
+                  + o_orderkey % 97 AS BIGINT) AS y
+      FROM orders),
+    rkx AS (
+      SELECT x, CAST(2 * cum - t + 1 AS BIGINT) AS rx2 FROM (
+        SELECT x, COUNT(*) AS t,
+               SUM(COUNT(*)) OVER (ORDER BY x) AS cum
+        FROM vals GROUP BY x)),
+    rky AS (
+      SELECT y, CAST(2 * cum - t + 1 AS BIGINT) AS ry2 FROM (
+        SELECT y, COUNT(*) AS t,
+               SUM(COUNT(*)) OVER (ORDER BY y) AS cum
+        FROM vals GROUP BY y)),
+    r AS (
+      SELECT rkx.rx2, rky.ry2 FROM vals
+      JOIN rkx USING (x) JOIN rky USING (y)),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx2) AS BIGINT) AS sx,
+             CAST(SUM(ry2) AS BIGINT) AS sy,
+             SUM(CAST(rx2 AS DECIMAL(38,0)) * rx2) AS sxx,
+             SUM(CAST(ry2 AS DECIMAL(38,0)) * ry2) AS syy,
+             SUM(CAST(rx2 AS DECIMAL(38,0)) * ry2) AS sxy
+      FROM r)
+    SELECT n,
+           CAST(round(
+             CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                  - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) * 1000000
+             / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                         - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                    * CAST(CAST(n AS DECIMAL(38,0)) * syy
+                           - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)))
+             AS BIGINT) AS spearman_e6
+    FROM m
+    """,
+)
+def q_spearman_rank_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation, exact with ties: both variables map
+    to DOUBLED average ranks (2*cum - t + 1 per distinct value — the
+    mann_whitney_u identity), every row gets its rank pair by joining
+    the rank tables back, and rho is Pearson on the exact integer
+    ranks — DECIMAL(38,0) cross-moments, ONE double expression at the
+    end. The monotone-dependence measure corr_family_exact's linear
+    Pearson cannot see.
+
+    No global sort: per-distinct-value rank tables come from the
+    bucket-offset cumsum (value-domain-bounded), then broadcast back
+    onto the rows. The oracle states the ranks with single-node
+    cumulative windows instead.
+
+    Scale shape: two groupBys (one per variable's distinct values) +
+    two rank joins + one 1-row moment aggregate. At 100 TB the rank
+    tables are value-domain-sized, not row-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("x"),
+        (
+            F.length("o_orderpriority") * 1000
+            + F.col("o_orderkey") % 97
+        )
+        .cast("long")
+        .alias("y"),
+    )
+
+    def _ranks(col: str) -> DataFrame:
+        pv = vals.groupBy(F.col(col).alias("v")).agg(
+            F.lit(0).cast("long").alias("a"),
+            F.count(F.lit(1)).alias("t"),
+        )
+        return _cum_by_value(pv).select(
+            F.col("v").alias(col),
+            (2 * F.col("cum_t") - F.col("t") + 1).alias(f"r{col}2"),
+        )
+
+    # rank tables are value-domain-sized: small enough for AQE to
+    # broadcast at test scale, shuffle-joinable when the domain is
+    # large — no forced hint (the no-forced-broadcast-on-scaled-
+    # tables rule, SCALE.md section 12)
+    r = vals.join(_ranks("x"), "x").join(_ranks("y"), "y")
+    rx = F.col("rx2").cast("decimal(38,0)")
+    ry = F.col("ry2").cast("decimal(38,0)")
+    m = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(rx * F.col("rx2")).alias("sxx"),
+        F.sum(ry * F.col("ry2")).alias("syy"),
+        F.sum(rx * F.col("ry2")).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    cxy = (nd * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")).cast("double")
+    cxx = (nd * F.col("sxx") - F.col("sx").cast("decimal(38,0)") * F.col("sx")).cast("double")
+    cyy = (nd * F.col("syy") - F.col("sy").cast("decimal(38,0)") * F.col("sy")).cast("double")
+    return m.select(
+        "n",
+        F.round(cxy * 1000000 / F.sqrt(cxx * cyy))
+        .cast("long")
+        .alias("spearman_e6"),
+    )
+
+
+@query(
+    "mutual_information_binned",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS px,
+             CAST(l_quantity AS BIGINT) // 10 AS qy
+      FROM lineitem),
+    cells AS (
+      SELECT px, qy, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY px, qy),
+    rt AS (SELECT px, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY px),
+    ct AS (SELECT qy, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY qy),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT cells.px, cells.qy, c, r, t,
+             CAST(c AS DECIMAL(38,0))
+               * CAST(CAST(round(ln(CAST(n AS DOUBLE) * c
+                                    / (CAST(r AS DOUBLE) * t)), 12)
+                           AS DECIMAL(24,12)) * 1000000000000 AS BIGINT)
+               AS term
+      FROM cells JOIN rt USING (px) JOIN ct USING (qy) CROSS JOIN nn)
+    SELECT nn.n AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(term) AS BIGINT) AS mi_n_e12
+    FROM terms, nn GROUP BY nn.n
+    """,
+)
+def q_mutual_information_binned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information between binned price and quantity — the
+    nonlinear-dependence measure completing the trio (Pearson:
+    linear; Spearman: monotone; MI: any): n*I(X;Y) = sum_cells
+    c * ln(n*c/(r*t)), each term an exact count times a rounded-ln
+    e12 long (the info_gain identity extended to two dimensions), so
+    the statistic is integer-exact and partition-invariant.
+
+    Scale shape: ONE map-side-combinable groupBy to the bin-domain-
+    bounded contingency table; marginals broadcast back onto it;
+    constant-size algebra after. Bin widths are fixed by the data
+    model (price/10000, quantity/10), not data-derived.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("px"),
+        F.expr("CAST(l_quantity AS BIGINT) div 10").alias("qy"),
+    )
+    cells = b.groupBy("px", "qy").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rt = cells.groupBy("px").agg(F.sum("c").cast("long").alias("r"))
+    ct = cells.groupBy("qy").agg(F.sum("c").cast("long").alias("t"))
+    nn = cells.agg(F.sum("c").cast("long").alias("n"))
+    term = F.col("c").cast("decimal(38,0)") * (
+        F.round(
+            F.log(
+                F.col("n").cast("double")
+                * F.col("c")
+                / (F.col("r").cast("double") * F.col("t"))
+            ),
+            12,
+        ).cast("decimal(24,12)")
+        * 1000000000000
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(rt), "px")
+        .join(F.broadcast(ct), "qy")
+        .crossJoin(F.broadcast(nn))
+        .select("n", term.alias("term"))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("term").cast("long").alias("mi_n_e12"),
+        )
+        .select(
+            F.col("n").alias("n_rows"),
+            "n_cells",
+            "mi_n_e12",
+        )
+    )

@@ -29,7 +29,7 @@ def _rows(spark, name):
 
 def _duck(sql):
     con = duckdb.connect()
-    for t in ("documents", "events", "orders"):
+    for t in ("documents", "events", "orders", "lineitem"):
         con.execute(
             f"CREATE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'"
         )
@@ -451,3 +451,68 @@ class TestDiffInDifferences:
             assert r["mean_e2"] == (r["s"] * 200 + r["n"]) // (2 * r["n"])
         [(n_events,)] = _duck("SELECT COUNT(*) FROM events")
         assert sum(r["n"] for r in rows) == n_events
+
+
+class TestSpearmanMi:
+    def test_spearman_matches_scipy_free_recompute(self, spark):
+        [row] = _rows(spark, "spearman_rank_correlation")
+        vals = _duck(
+            """SELECT CAST(floor(o_totalprice * 100) AS BIGINT),
+                      CAST(length(o_orderpriority) * 1000
+                           + o_orderkey % 97 AS BIGINT)
+               FROM orders"""
+        )
+
+        def ranks2(xs):
+            from collections import Counter
+
+            cnt = Counter(xs)
+            cum = 0
+            r = {}
+            for v in sorted(cnt):
+                t = cnt[v]
+                cum += t
+                r[v] = 2 * cum - t + 1
+            return [r[v] for v in xs]
+
+        rx = ranks2([x for x, _ in vals])
+        ry = ranks2([y for _, y in vals])
+        n = len(vals)
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(v * v for v in rx)
+        syy = sum(v * v for v in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        num = n * sxy - sx * sy
+        den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+        assert row["n"] == n
+        assert row["spearman_e6"] == round(float(num) * 1e6 / den)
+        assert -1000000 <= row["spearman_e6"] <= 1000000
+
+    def test_mi_nonnegative_and_term_identity(self, spark):
+        [row] = _rows(spark, "mutual_information_binned")
+        cells = _duck(
+            """
+            WITH b AS (
+              SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS px,
+                     CAST(l_quantity AS BIGINT) // 10 AS qy
+              FROM lineitem)
+            SELECT px, qy, COUNT(*) FROM b GROUP BY 1, 2
+            """
+        )
+        n = sum(c for _, _, c in cells)
+        from collections import Counter
+
+        r = Counter()
+        t = Counter()
+        for px, qy, c in cells:
+            r[px] += c
+            t[qy] += c
+        total = 0
+        for px, qy, c in cells:
+            term = round(round(math.log(n * c / (r[px] * t[qy])), 12) * 10**12)
+            total += c * term
+        assert row["n_rows"] == n
+        assert row["n_cells"] == len(cells)
+        assert row["mi_n_e12"] == total
+        # MI >= 0 up to per-cell rounding slack
+        assert row["mi_n_e12"] >= -len(cells)

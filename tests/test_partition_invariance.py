@@ -94,6 +94,8 @@ SPOT_CHECK = [
     "power_iteration_top_eigvec",
     "ams_f2_sketch",
     "udtf_table_argument_sessions",
+    "spearman_rank_correlation",
+    "mutual_information_binned",
 ]
 
 
