@@ -259,6 +259,7 @@ _CHECK_FIRST = [
     "txn_vacuum_retention_audit",
     "spearman_rank_correlation",
     "mutual_information_binned",
+    "quantile_normalization_sources",
 ]
 
 def _driver_verified() -> set[str]:

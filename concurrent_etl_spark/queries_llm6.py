@@ -1033,3 +1033,115 @@ def q_pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_e12"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(20)
     )
+
+
+@query(
+    "quantile_normalization_sources",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, n_chars FROM documents),
+    pooled AS (
+      SELECT n_chars AS v, COUNT(*) AS t,
+             SUM(COUNT(*)) OVER (ORDER BY n_chars) AS cum
+      FROM d GROUP BY n_chars),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    per_src AS (
+      SELECT source, n_chars AS v, COUNT(*) AS t,
+             SUM(COUNT(*)) OVER (PARTITION BY source ORDER BY n_chars)
+               AS cum
+      FROM d GROUP BY source, n_chars),
+    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+           FROM d GROUP BY source),
+    mapped AS (
+      SELECT p.source, p.v, p.t,
+             CAST((p.cum * 2 * nn.n + ns.n_s) // (2 * ns.n_s)
+                  AS BIGINT) AS target_rank
+      FROM per_src p JOIN ns USING (source) CROSS JOIN nn),
+    xlat AS (
+      SELECT m.source, m.v, m.t, m.target_rank,
+             (SELECT MIN(pl.v) FROM pooled pl
+              WHERE pl.cum >= m.target_rank) AS v_norm
+      FROM mapped m)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_vals,
+           CAST(SUM(t) AS BIGINT) AS n_docs,
+           CAST(SUM(t * v) AS BIGINT) AS sum_raw,
+           CAST(SUM(t * v_norm) AS BIGINT) AS sum_normalized
+    FROM xlat GROUP BY source
+    """,
+)
+def q_quantile_normalization_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization across sources (the batch-effect
+    remover of bioinformatics/data-mixing, Bolstad et al. 2003 —
+    public): every document's length maps to the POOLED corpus
+    value at its own source-relative rank, so after mapping each
+    source's length distribution matches the pooled one — the
+    normalization a mixture pipeline applies before comparing
+    per-source quality thresholds. Reported as per-source
+    raw-vs-normalized sums (exact longs), the auditable footprint of
+    the full mapping.
+
+    Exact rank machinery end to end: per-source ranks and the pooled
+    rank->value lookup both ride the bucket-offset cumsum
+    (length-domain-bounded); target_rank = round(cum/n_s * N) via the
+    nonnegative half-up trick; the lookup is min v with pooled
+    cum >= rank — an exact order statistic, no interpolation, no
+    global sort (the oracle states both cumulations with single-node
+    windows and a correlated MIN).
+
+    Scale shape: two bounded-domain groupBys + one join of
+    domain-sized tables. At 100 TB nothing row-sized shuffles twice.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("v")
+    )
+    from concurrent_etl_spark.queries_stats import _cum_by_value
+
+    pooled = _cum_by_value(
+        docs.groupBy("v").agg(
+            F.lit(0).cast("long").alias("a"), F.count(F.lit(1)).alias("t")
+        )
+    ).select(F.col("v").alias("pv"), F.col("cum_t").alias("pcum"))
+    nn = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ns = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    # per-source cumulative counts: partitioned window per source over
+    # the length-domain-bounded distinct-value table
+    per_src = docs.groupBy("source", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    per_src = per_src.withColumn("cum", F.sum("t").over(w))
+    mapped = (
+        per_src.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "v",
+            "t",
+            F.expr(
+                "CAST((cum * 2 * n + n_s) div (2 * n_s) AS BIGINT)"
+            ).alias("target_rank"),
+        )
+    )
+    # exact order-statistic lookup: smallest pooled value whose
+    # cumulative count reaches the target rank (non-equi join on the
+    # domain-sized pooled table, then a min per mapped row)
+    xlat = (
+        mapped.join(
+            F.broadcast(pooled), F.col("pcum") >= F.col("target_rank")
+        )
+        .groupBy("source", "v", "t")
+        .agg(F.min("pv").alias("v_norm"))
+    )
+    return xlat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_vals"),
+        F.sum("t").cast("long").alias("n_docs"),
+        F.sum(F.col("t") * F.col("v")).cast("long").alias("sum_raw"),
+        F.sum(F.col("t") * F.col("v_norm"))
+        .cast("long")
+        .alias("sum_normalized"),
+    )

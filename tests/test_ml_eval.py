@@ -516,3 +516,48 @@ class TestSpearmanMi:
         assert row["mi_n_e12"] == total
         # MI >= 0 up to per-cell rounding slack
         assert row["mi_n_e12"] >= -len(cells)
+
+
+class TestQuantileNormalization:
+    def test_normalized_distributions_converge_and_identity(self, spark):
+        rows = _rows(spark, "quantile_normalization_sources")
+        # 20 sources at the test scales
+        assert len(rows) >= 2
+        [(n_docs,)] = _duck("SELECT COUNT(*) FROM documents")
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        # after normalization, per-source MEAN lengths must be far
+        # closer together than before (that's what the op is for)
+        def spread(key):
+            means = [r[key] / r["n_docs"] for r in rows]
+            return max(means) - min(means)
+
+        assert spread("sum_normalized") <= spread("sum_raw") * 0.5
+
+    def test_mapping_is_exact_order_statistic(self, spark):
+        rows = {r["source"]: r for r in _rows(spark, "quantile_normalization_sources")}
+        pairs = _duck("SELECT source, n_chars FROM documents")
+        from collections import Counter, defaultdict
+
+        pooled = Counter(v for _, v in pairs)
+        pcum = {}
+        cum = 0
+        for v in sorted(pooled):
+            cum += pooled[v]
+            pcum[v] = cum
+        pooled_sorted = sorted(pcum)
+        n = len(pairs)
+        by_src = defaultdict(Counter)
+        for s, v in pairs:
+            by_src[s][v] += 1
+        for s, cnt in by_src.items():
+            n_s = sum(cnt.values())
+            cumv = 0
+            total = 0
+            for v in sorted(cnt):
+                cumv += cnt[v]
+                tr = (cumv * 2 * n + n_s) // (2 * n_s)
+                vn = next(
+                    pv for pv in pooled_sorted if pcum[pv] >= tr
+                )
+                total += cnt[v] * vn
+            assert rows[s]["sum_normalized"] == total
