@@ -260,6 +260,7 @@ _CHECK_FIRST = [
     "spearman_rank_correlation",
     "mutual_information_binned",
     "quantile_normalization_sources",
+    "negative_sampling_table",
 ]
 
 def _driver_verified() -> set[str]:

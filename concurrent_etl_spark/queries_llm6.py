@@ -1145,3 +1145,90 @@ def q_quantile_normalization_sources(
         .cast("long")
         .alias("sum_normalized"),
     )
+
+
+@query(
+    "negative_sampling_table",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_tok('lower(text)')}) AS t FROM documents),
+    freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t),
+    pow34 AS (
+      SELECT t, f,
+             CAST(round(sqrt(sqrt(CAST(f AS DOUBLE) * f * f)) * 1000000)
+                  AS BIGINT) AS w_e6
+      FROM freq),
+    tot AS (SELECT CAST(SUM(w_e6) AS BIGINT) AS tw FROM pow34),
+    ranked AS (
+      SELECT t, f, w_e6,
+             -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL
+             -- routes through DOUBLE and loses exactness
+             CAST((CAST(w_e6 AS HUGEINT) * 2000000000 + tw)
+                  // (2 * tw) AS BIGINT) AS p_e9,
+             ROW_NUMBER() OVER (ORDER BY w_e6 DESC, t) AS rn
+      FROM pow34, tot)
+    SELECT t AS token, f AS freq, w_e6, p_e9
+    FROM ranked WHERE rn <= 30
+    """,
+)
+def q_negative_sampling_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """word2vec/NCE negative-sampling distribution (Mikolov et al.
+    2013 — public): token weights proportional to unigram
+    frequency^(3/4), the exponent that keeps frequent words from
+    dominating the negative pool. The top-30 table with e9-scaled
+    probabilities is what a training loop aliases into its sampler.
+
+    The only fractional power in the repo, made deterministic
+    WITHOUT the rounded-ln/exp chain: f^(3/4) = sqrt(sqrt(f^3)), and
+    IEEE-754 requires sqrt to be correctly rounded — so both engines
+    compute the identical double, which is then rounded ONCE to an
+    e6 long so the normalizing sum is exact integer arithmetic
+    (a float sum would be partition-order-dependent). p_e9 uses the
+    nonnegative half-up integral trick.
+
+    Scale shape: one token-count shuffle; the weight map is
+    vocabulary-sized row-local math; the top-30 is a TakeOrdered.
+
+    Reference parity: none — tokenizer/embedding-training
+    infrastructure (SURVEY beyond-reference mandate).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    w_e6 = (
+        F.round(
+            F.sqrt(
+                F.sqrt(
+                    F.col("f").cast("double") * F.col("f") * F.col("f")
+                )
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("w_e6")
+    )
+    pow34 = freq.select("t", "f", w_e6)
+    tot = pow34.agg(F.sum("w_e6").cast("long").alias("tw"))
+    return (
+        pow34.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("token"),
+            F.col("f").alias("freq"),
+            "w_e6",
+            # DECIMAL(38,0): w_e6*2e9 can pass 2^63 once corpus
+            # frequencies reach ~1e6 (f^0.75 * 1e6 * 2e9)
+            F.expr(
+                "CAST((CAST(w_e6 AS DECIMAL(38,0)) * 2000000000 + tw)"
+                " div (2 * tw) AS BIGINT)"
+            ).alias("p_e9"),
+        )
+        .orderBy(F.desc("w_e6"), F.asc("token"))
+        .limit(30)
+    )

@@ -561,3 +561,15 @@ class TestQuantileNormalization:
                 )
                 total += cnt[v] * vn
             assert rows[s]["sum_normalized"] == total
+
+
+class TestNegativeSampling:
+    def test_pow34_weights_exact(self, spark):
+        rows = _rows(spark, "negative_sampling_table")
+        assert len(rows) == 30
+        for r in rows:
+            w = round(math.sqrt(math.sqrt(float(r["freq"]) ** 3)) * 1e6)
+            assert r["w_e6"] == w
+            assert 0 < r["p_e9"] <= 10**9
+        ws = [r["w_e6"] for r in rows]
+        assert ws == sorted(ws, reverse=True)
