@@ -261,6 +261,8 @@ _CHECK_FIRST = [
     "mutual_information_binned",
     "quantile_normalization_sources",
     "negative_sampling_table",
+    "apriori_frequent_triples",
+    "conversion_latency_quantiles",
 ]
 
 def _driver_verified() -> set[str]:

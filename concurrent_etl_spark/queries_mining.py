@@ -558,3 +558,103 @@ def q_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a2n.join(deg, "s").select(
         F.col("s").alias("suppkey"), "n_buyers", F.col("v").alias("auth_e6")
     )
+
+
+@query(
+    "apriori_frequent_triples",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_suppkey AS it FROM lineitem),
+    pairs AS (
+      SELECT a.it AS i1, b.it AS i2, CAST(COUNT(*) AS BIGINT) AS sup
+      FROM items a JOIN items b ON a.ok = b.ok AND a.it < b.it
+      GROUP BY 1, 2),
+    fp AS (SELECT i1, i2 FROM pairs WHERE sup >= 6),
+    cand AS (
+      SELECT p.i1, p.i2, q.i2 AS i3
+      FROM fp p JOIN fp q ON p.i1 = q.i1 AND p.i2 < q.i2
+      WHERE EXISTS (SELECT 1 FROM fp r
+                    WHERE r.i1 = p.i2 AND r.i2 = q.i2)),
+    tri AS (
+      SELECT c.i1, c.i2, c.i3, CAST(COUNT(*) AS BIGINT) AS support
+      FROM cand c
+      JOIN items a ON a.it = c.i1
+      JOIN items b ON b.ok = a.ok AND b.it = c.i2
+      JOIN items d ON d.ok = a.ok AND d.it = c.i3
+      GROUP BY 1, 2, 3)
+    SELECT i1, i2, i3, support FROM tri WHERE support >= 6
+    """,
+)
+def q_apriori_frequent_triples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frequent 3-itemsets by the APRIORI candidate-pruning step
+    (Agrawal & Srikant 1994 — public): a triple can only be frequent
+    if ALL THREE of its sub-pairs are, so candidates are generated by
+    self-joining the frequent-pair set on a shared prefix and
+    EXISTS-checking the third pair — the pruning that keeps k-itemset
+    mining from enumerating the k-combinatorial space. Candidate
+    triples are then support-counted against the basket table and
+    thresholded (min-support 6 keeps the frequent set non-trivial
+    at every gate scale).
+
+    Scale shape: the basket self-join for pairs is bounded by basket
+    size (the cooccurrence_topk guard); the candidate generator runs
+    ENTIRELY on the frequent-pair table (support-thresholded, tiny);
+    the final count joins candidates back through order-key
+    co-location. This is exactly the distributed Apriori layering —
+    corpus-sized work only at k=2, prefix-join pruning above it.
+
+    Determinism: all counts exact; min-support 6 fixed.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("it"))
+        .distinct()
+    )
+    a = items.select(F.col("ok"), F.col("it").alias("i1"))
+    b = items.select(F.col("ok"), F.col("it").alias("i2"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).cast("long").alias("sup"))
+    )
+    fp = pairs.where(F.col("sup") >= 6).select("i1", "i2").localCheckpoint(
+        eager=True
+    )
+    cand = (
+        fp.alias("p")
+        .join(
+            fp.select(
+                F.col("i1").alias("q1"), F.col("i2").alias("i3")
+            ).alias("q"),
+            (F.col("p.i1") == F.col("q1")) & (F.col("p.i2") < F.col("i3")),
+        )
+        .select("p.i1", "p.i2", "i3")
+        .join(
+            fp.select(
+                F.col("i1").alias("r1"), F.col("i2").alias("r2")
+            ),
+            (F.col("p.i2") == F.col("r1")) & (F.col("i3") == F.col("r2")),
+            "left_semi",
+        )
+    )
+    t1 = items.select("ok", F.col("it").alias("i1"))
+    t2 = items.select(F.col("ok").alias("ok2"), F.col("it").alias("i2"))
+    t3 = items.select(F.col("ok").alias("ok3"), F.col("it").alias("i3"))
+    tri = (
+        cand.join(t1, "i1")
+        .join(
+            t2,
+            (F.col("ok2") == F.col("ok")) & (t2["i2"] == cand["i2"]),
+        )
+        .join(
+            t3,
+            (F.col("ok3") == F.col("ok")) & (t3["i3"] == cand["i3"]),
+        )
+        .groupBy(cand["i1"], cand["i2"], cand["i3"])
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= 6)
+    )
+    return tri

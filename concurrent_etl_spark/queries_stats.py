@@ -2601,3 +2601,87 @@ def q_mutual_information_binned(
             "mi_n_e12",
         )
     )
+
+
+@query(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(ts) END) AS tv,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS tp
+      FROM events GROUP BY user_id),
+    lat AS (
+      SELECT (tp - tv) // 60000000 AS mins FROM pu
+      WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp > tv),
+    n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lat),
+    ranked AS (
+      SELECT mins, COUNT(*) AS t,
+             SUM(COUNT(*)) OVER (ORDER BY mins) AS cum
+      FROM lat GROUP BY mins),
+    qs AS (SELECT unnest(ARRAY[25, 50, 90]) AS q),
+    picks AS (
+      SELECT q,
+             (SELECT MIN(mins) FROM ranked, n_tot
+              WHERE cum * 100 >= q * n) AS latency_mins
+      FROM qs)
+    SELECT CAST(q AS BIGINT) AS q, n_tot.n AS n_converters,
+           CAST(latency_mins AS BIGINT) AS latency_mins
+    FROM picks, n_tot
+    """,
+)
+def q_conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-convert distribution: exact p25/p50/p90 of the
+    first-view -> first-purchase latency in whole minutes — the
+    funnel's 'how long does conversion take' readout, with every
+    quantile an EXACT order statistic (smallest value whose
+    cumulative count covers q% of converters — the integer-safe
+    cum*100 >= q*n form, no interpolation, no floats).
+
+    No global sort: the latency axis is groupBy'd per distinct
+    minute and ranked by the bucket-offset cumsum; the three
+    quantile probes are a broadcast 3-row grid joined against the
+    (domain-bounded) ranked table.
+
+    Scale shape: one groupBy(user) with conditional MINs (both
+    funnel stages in one pass), one latency-domain groupBy, bounded
+    algebra after. Complements funnel_conversion (who converts) and
+    retention_cohorts (when they return).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("tv"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.unix_micros("ts")
+            )
+        ).alias("tp"),
+    )
+    lat = pu.where(
+        F.col("tv").isNotNull()
+        & F.col("tp").isNotNull()
+        & (F.col("tp") > F.col("tv"))
+    ).select(F.expr("(tp - tv) div 60000000").alias("v"))
+    n_tot = lat.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pv = lat.groupBy("v").agg(
+        F.lit(0).cast("long").alias("a"), F.count(F.lit(1)).alias("t")
+    )
+    ranked = _cum_by_value(pv).crossJoin(F.broadcast(n_tot))
+    qs = spark.createDataFrame([(25,), (50,), (90,)], "q long")
+    picks = (
+        ranked.crossJoin(F.broadcast(qs))
+        .where(F.col("cum_t") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("q", "n")
+        .agg(F.min("v").alias("latency_mins"))
+    )
+    return picks.select(
+        F.col("q").cast("long").alias("q"),
+        F.col("n").alias("n_converters"),
+        F.col("latency_mins").cast("long").alias("latency_mins"),
+    )

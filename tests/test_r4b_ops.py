@@ -350,3 +350,60 @@ class TestCrossCorrelation:
         # pair counts shrink symmetrically with |k| over a dense axis
         n0 = dict((r["k"], r["n_pairs"]) for r in rows)
         assert n0[-1] == n0[1] and n0[-3] == n0[3]
+
+
+class TestAprioriTriples:
+    def test_downward_closure_and_exact_supports(self, spark):
+        rows = _rows(spark, "apriori_frequent_triples")
+        assert rows
+        baskets = _duck(
+            "SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem"
+        )
+        from collections import defaultdict
+
+        by_ok = defaultdict(set)
+        for ok, it in baskets:
+            by_ok[ok].add(it)
+
+        def support(items):
+            return sum(1 for s in by_ok.values() if items <= s)
+
+        for r in rows:
+            tri = {r["i1"], r["i2"], r["i3"]}
+            assert r["i1"] < r["i2"] < r["i3"]
+            assert r["support"] == support(tri)
+            assert r["support"] >= 6
+            # downward closure: every sub-pair at least as frequent
+            for a in tri:
+                assert support(tri - {a}) >= r["support"]
+
+
+class TestConversionLatency:
+    def test_quantiles_are_exact_order_statistics(self, spark):
+        rows = {r["q"]: r for r in _rows(spark, "conversion_latency_quantiles")}
+        lats = [
+            m for (m,) in _duck(
+                """
+                WITH pu AS (
+                  SELECT user_id,
+                         MIN(CASE WHEN event_type = 'view'
+                                  THEN epoch_us(ts) END) AS tv,
+                         MIN(CASE WHEN event_type = 'purchase'
+                                  THEN epoch_us(ts) END) AS tp
+                  FROM events GROUP BY user_id)
+                SELECT (tp - tv) // 60000000 FROM pu
+                WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp > tv
+                """
+            )
+        ]
+        lats.sort()
+        n = len(lats)
+        for q in (25, 50, 90):
+            rank = math.ceil(q * n / 100)
+            assert rows[q]["latency_mins"] == lats[rank - 1]
+            assert rows[q]["n_converters"] == n
+        assert (
+            rows[25]["latency_mins"]
+            <= rows[50]["latency_mins"]
+            <= rows[90]["latency_mins"]
+        )
