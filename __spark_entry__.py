@@ -263,6 +263,8 @@ _CHECK_FIRST = [
     "negative_sampling_table",
     "apriori_frequent_triples",
     "conversion_latency_quantiles",
+    "dbscan_core_border_noise",
+    "weighted_median_exact",
 ]
 
 def _driver_verified() -> set[str]:

@@ -573,3 +573,115 @@ def q_power_iteration_top_eigvec(
             F.col("v").alias("eig_e6"),
         )
     )
+
+
+@query(
+    "dbscan_core_border_noise",
+    oracle="""
+    WITH pts AS (
+      SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings),
+    nbrs AS (
+      SELECT a.vec_id,
+             CAST(SUM(CASE WHEN b.vec_id <> a.vec_id
+                            AND (a.x - b.x) * (a.x - b.x)
+                              + (a.y - b.y) * (a.y - b.y) <= 0.0025
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_nbrs
+      FROM pts a, pts b GROUP BY a.vec_id),
+    core AS (SELECT vec_id FROM nbrs WHERE n_nbrs + 1 >= 4),
+    border AS (
+      SELECT DISTINCT p.vec_id
+      FROM pts p JOIN pts c
+        ON (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y)
+             <= 0.0025
+       AND p.vec_id <> c.vec_id
+      JOIN core ON core.vec_id = c.vec_id
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM core)),
+    role AS (
+      SELECT vec_id, 'core' AS role FROM core
+      UNION ALL SELECT vec_id, 'border' FROM border
+      UNION ALL
+      SELECT vec_id, 'noise' FROM pts
+      WHERE vec_id NOT IN (SELECT vec_id FROM core)
+        AND vec_id NOT IN (SELECT vec_id FROM border))
+    SELECT role, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+    FROM role GROUP BY role
+    """,
+)
+def q_dbscan_core_border_noise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DBSCAN role classification (Ester et al. 1996 — public): every
+    point in the 2D embedding projection is labeled CORE (>= minPts=4
+    points within eps=0.05, self included), BORDER (non-core within
+    eps of a core), or NOISE — the density work that is 90% of
+    DBSCAN, the member of the clustering family (k-means: centroid;
+    LPA: graph; this: density) that needs no centroids and finds no
+    cluster where there is none.
+
+    The Spark side computes neighborhoods via the grid-bucketed
+    radius join (radius_pairs_grid — cell-size eps, 3x3 neighborhood
+    equi-join, exact distance verify on candidates only), so the
+    O(n^2) brute-force NEVER materializes; the oracle IS that
+    brute-force definition, which is the point: grid bucketing is a
+    plan optimization, not an approximation. Roles aggregate to
+    exact counts + id checksums, so one misclassified point fails
+    the hash.
+
+    Scale shape: one explode(x9) + one integer-cell shuffle for
+    candidates, two map-side-combinable aggs for degrees and roles.
+    Density-bounded per cell, uniform keys — the spatial_radius_pairs
+    scale story. (Cluster MERGING over core points is iterative
+    pointer-jumping — dedup_clusters' machinery — deliberately out of
+    scope here; role assignment is the per-point data-parallel part.)
+    """
+    from concurrent_etl_spark.operators.similarity import radius_pairs_grid
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("x"),
+        F.element_at("embedding", 2).alias("y"),
+    )
+    pairs = radius_pairs_grid(pts, radius=0.05).select(
+        "vec_lo", "vec_hi"
+    )
+    sym = pairs.select(
+        F.col("vec_lo").alias("a_id"), F.col("vec_hi").alias("b_id")
+    ).unionByName(
+        pairs.select(
+            F.col("vec_hi").alias("a_id"), F.col("vec_lo").alias("b_id")
+        )
+    )
+    deg = sym.groupBy(F.col("a_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nbrs")
+    )
+    all_pts = pts.select("vec_id").join(deg, "vec_id", "left").select(
+        "vec_id", F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs")
+    )
+    core = all_pts.where(F.col("n_nbrs") + 1 >= 4).select("vec_id")
+    # border: non-core with at least one CORE neighbor
+    border = (
+        sym.join(
+            core.select(F.col("vec_id").alias("b_id")), "b_id", "left_semi"
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .join(core, "vec_id", "left_anti")
+    )
+    role = (
+        core.select("vec_id", F.lit("core").alias("role"))
+        .unionByName(border.select("vec_id", F.lit("border").alias("role")))
+        .unionByName(
+            all_pts.select("vec_id")
+            .join(core, "vec_id", "left_anti")
+            .join(border, "vec_id", "left_anti")
+            .select("vec_id", F.lit("noise").alias("role"))
+        )
+    )
+    return role.groupBy("role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("vec_id").cast("long").alias("id_checksum"),
+    )

@@ -2685,3 +2685,72 @@ def q_conversion_latency_quantiles(
         F.col("n").alias("n_converters"),
         F.col("latency_mins").cast("long").alias("latency_mins"),
     )
+
+
+@query(
+    "weighted_median_exact",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    g AS (
+      SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS w
+      FROM v GROUP BY flag, cents),
+    c AS (
+      SELECT flag, cents, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM g)
+    SELECT flag, CAST(MIN(tot) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT)
+             AS wmedian_cents
+    FROM c GROUP BY flag
+    """,
+)
+def q_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group: the smallest price whose
+    cumulative quantity-weight covers half the group's total weight
+    (lower weighted median, 2*cum >= tot in pure integers) — the
+    robust 'typical price per unit SOLD' that the unweighted median
+    (approx_median_bounded) and the mean (groupby_agg_pricing) both
+    misstate when cheap items move in bulk.
+
+    The cumulative weight runs over the DISTINCT (group, price) table
+    — price-domain-bounded, not row-bounded — with a window
+    PARTITIONED by group; weights and the threshold comparison are
+    exact longs, so the median is an exact order statistic at any
+    partitioning.
+
+    Scale shape: one map-side-combinable groupBy to the domain table,
+    one partitioned window, one rollup. No global sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    wc = Window.partitionBy("flag").orderBy("cents")
+    wt = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return c.groupBy("flag").agg(
+        F.min("tot").cast("long").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("wmedian_cents"),
+    )

@@ -96,6 +96,9 @@ SPOT_CHECK = [
     "udtf_table_argument_sessions",
     "spearman_rank_correlation",
     "mutual_information_binned",
+    "dbscan_core_border_noise",
+    "weighted_median_exact",
+    "conversion_latency_quantiles",
 ]
 
 
