@@ -265,6 +265,8 @@ _CHECK_FIRST = [
     "conversion_latency_quantiles",
     "dbscan_core_border_noise",
     "weighted_median_exact",
+    "rate_burst_windows",
+    "seasonal_zscore_anomalies",
 ]
 
 def _driver_verified() -> set[str]:

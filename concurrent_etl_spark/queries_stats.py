@@ -2754,3 +2754,146 @@ def q_weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wmedian_cents"),
     )
+
+
+@query(
+    "rate_burst_windows",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n_events) AS BIGINT) AS total
+      FROM hourly)
+    SELECT CAST(h AS BIGINT) AS hour_epoch, n_events,
+           CAST((total * 200 + n_hours) // (2 * n_hours) AS BIGINT)
+             AS baseline_e2,
+           CAST(n_events * n_hours AS BIGINT) AS rate_num,
+           CAST(2 * total AS BIGINT) AS rate_den_2x
+    FROM hourly, base
+    WHERE n_events * n_hours > 2 * total
+    """,
+)
+def q_rate_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: hours whose event rate exceeds TWICE the
+    all-corpus hourly baseline — the paging threshold of a rate
+    monitor, stated as the pure integer cross-product test
+    n_events * n_hours > 2 * total (no division decides a flag).
+    Emitted with the e2-scaled baseline and both comparison sides so
+    the alert is auditable.
+
+    Scale shape: one map-side-combinable hourly rollup (hour domain
+    bounded by the time span); the baseline is a broadcast scalar.
+    The streaming form is the same rollup under a tumbling window —
+    this is its batch certification.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    base = hourly.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n_events").cast("long").alias("total"),
+    )
+    return (
+        hourly.crossJoin(F.broadcast(base))
+        .where(F.col("n_events") * F.col("n_hours") > 2 * F.col("total"))
+        .select(
+            F.col("h").cast("long").alias("hour_epoch"),
+            "n_events",
+            F.expr(
+                "CAST((total * 200 + n_hours) div (2 * n_hours)"
+                " AS BIGINT)"
+            ).alias("baseline_e2"),
+            (F.col("n_events") * F.col("n_hours"))
+            .cast("long")
+            .alias("rate_num"),
+            (2 * F.col("total")).cast("long").alias("rate_den_2x"),
+        )
+    )
+
+
+@query(
+    "seasonal_zscore_anomalies",
+    oracle="""
+    WITH base AS (
+      SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hod,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    cell AS (
+      SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS ss
+      FROM base GROUP BY dow, hod),
+    flagged AS (
+      SELECT b.dow, b.hod, c.n,
+             CAST(SUM(CASE WHEN c.n >= 2
+                   AND CAST(c.n AS DECIMAL(38,0))
+                       * (CAST(c.n AS DECIMAL(38,0)) * b.cents - c.s)
+                       * (CAST(c.n AS DECIMAL(38,0)) * b.cents - c.s)
+                     > 9 * (CAST(c.n AS DECIMAL(38,0)) * c.ss
+                            - CAST(c.s AS DECIMAL(38,0)) * c.s)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      FROM base b JOIN cell c ON c.dow = b.dow AND c.hod = b.hod
+      GROUP BY b.dow, b.hod, c.n)
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           n AS n_events, n_anomalies
+    FROM flagged WHERE n_anomalies > 0
+    """,
+)
+def q_seasonal_zscore_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality-adjusted anomaly counts: an event is anomalous if
+    its value sits more than 3 population-sigma from ITS OWN
+    (day-of-week x hour) cell mean — the baseline seasonality_profile
+    tabulates — with the 3-sigma test stated ENTIRELY in integers:
+    n*(n*x - s)^2 > 9*(n*ss - s^2) cross-multiplies the z-score
+    definition so no division, sqrt, or float ever decides a flag
+    (DECIMAL(38,0) products; cells with n < 2 cannot flag).
+
+    Scale shape: one groupBy to the 168-cell moment table, one
+    broadcast join back onto the stream, one map-side-combinable
+    flag count. The two scans are inherent (moments must exist
+    before any row can be judged); at 100 TB the cell table is a
+    constant-size broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr("((unix_micros(ts) div 86400000000) + 4) % 7").alias("dow"),
+        F.expr("(unix_micros(ts) % 86400000000) div 3600000000").alias(
+            "hod"
+        ),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cd = F.col("cents").cast("decimal(38,0)")
+    cell = base.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(cd * F.col("cents")).alias("ss"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    dev = nd * F.col("cents") - F.col("s")
+    var_n2 = nd * F.col("ss") - F.col("s").cast("decimal(38,0)") * F.col("s")
+    flagged = (
+        base.join(F.broadcast(cell), ["dow", "hod"])
+        .groupBy("dow", "hod", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("n") >= 2) & (nd * dev * dev > 9 * var_n2), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies")
+        )
+    )
+    return flagged.where(F.col("n_anomalies") > 0).select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("hod").cast("long").alias("hod"),
+        F.col("n").alias("n_events"),
+        "n_anomalies",
+    )
