@@ -407,3 +407,53 @@ class TestConversionLatency:
             <= rows[50]["latency_mins"]
             <= rows[90]["latency_mins"]
         )
+
+
+class TestBurstAndSeasonalAnomalies:
+    def test_burst_flag_is_the_integer_test(self, spark):
+        rows = _rows(spark, "rate_burst_windows")
+        hourly = _duck(
+            """SELECT epoch_us(ts) // 3600000000, COUNT(*)
+               FROM events GROUP BY 1"""
+        )
+        n_hours = len(hourly)
+        total = sum(c for _, c in hourly)
+        expect = {
+            int(h): c for h, c in hourly if c * n_hours > 2 * total
+        }
+        got = {r["hour_epoch"]: r["n_events"] for r in rows}
+        assert got == expect
+        for r in rows:
+            assert r["rate_num"] > r["rate_den_2x"]
+
+    def test_seasonal_anomalies_match_python_zscore(self, spark):
+        rows = {
+            (r["dow"], r["hod"]): r
+            for r in _rows(spark, "seasonal_zscore_anomalies")
+        }
+        base = _duck(
+            """SELECT ((epoch_us(ts) // 86400000000) + 4) % 7,
+                      (epoch_us(ts) % 86400000000) // 3600000000,
+                      CAST(floor(value * 100) AS BIGINT)
+               FROM events"""
+        )
+        from collections import defaultdict
+
+        cells = defaultdict(list)
+        for dow, hod, c in base:
+            cells[(int(dow), int(hod))].append(int(c))
+        expect = {}
+        for key, vals in cells.items():
+            n = len(vals)
+            if n < 2:
+                continue
+            s = sum(vals)
+            ss = sum(v * v for v in vals)
+            cnt = sum(
+                1
+                for v in vals
+                if n * (n * v - s) ** 2 > 9 * (n * ss - s * s)
+            )
+            if cnt:
+                expect[key] = cnt
+        assert {k: r["n_anomalies"] for k, r in rows.items()} == expect
