@@ -267,6 +267,8 @@ _CHECK_FIRST = [
     "weighted_median_exact",
     "rate_burst_windows",
     "seasonal_zscore_anomalies",
+    "rfm_segmentation",
+    "link_prediction_jaccard",
 ]
 
 def _driver_verified() -> set[str]:

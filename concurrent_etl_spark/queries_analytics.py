@@ -657,3 +657,121 @@ def q_multitouch_attribution_linear(
         )
     )
     return credit.unionByName(direct)
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH endt AS (SELECT MAX(epoch_us(ts)) AS e FROM events),
+    pu AS (
+      SELECT user_id,
+             (e - MAX(epoch_us(ts))) // 86400000000 AS r_days,
+             CAST(COUNT(*) AS BIGINT) AS f_events,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM events, endt GROUP BY user_id, e),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pu),
+    q AS (
+      SELECT user_id,
+             5 - CAST(((SELECT COUNT(*) FROM pu p2
+                        WHERE p2.r_days < pu.r_days
+                           OR (p2.r_days = pu.r_days
+                               AND p2.user_id < pu.user_id)) * 5)
+                      // nn.n AS BIGINT) AS r_q,
+             1 + CAST(((SELECT COUNT(*) FROM pu p2
+                        WHERE p2.f_events < pu.f_events
+                           OR (p2.f_events = pu.f_events
+                               AND p2.user_id < pu.user_id)) * 5)
+                      // nn.n AS BIGINT) AS f_q,
+             1 + CAST(((SELECT COUNT(*) FROM pu p2
+                        WHERE p2.m_cents < pu.m_cents
+                           OR (p2.m_cents = pu.m_cents
+                               AND p2.user_id < pu.user_id)) * 5)
+                      // nn.n AS BIGINT) AS m_q
+      FROM pu, nn)
+    SELECT r_q, f_q, m_q,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM q GROUP BY r_q, f_q, m_q
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value cube: every user
+    scored 1..5 on Recency (days since last event; recent = 5),
+    Frequency, and Monetary (quintile rank each), then counted per
+    (R,F,Q) segment. Quintiles are EXACT rank arithmetic with a
+    user_id tiebreak — q = floor(rank*5/n) — so the bucketing is an
+    order statistic, deterministic at any partitioning (never an
+    ntile over a global sort; the per-user rank comes from a window
+    PARTITIONED by nothing row-sized: ranks are computed by sorting
+    only the per-user table... which is user-bounded, and here
+    derived via row_number over a user-count-bounded table — at
+    100 TB users are ~1e9: this would become the bucket-offset
+    cumsum over each measure's value domain, the same shape as
+    conversion_latency_quantiles).
+
+    The oracle states the same ranks as correlated counts (the
+    rank definition itself), immune to window-implementation
+    differences.
+    """
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events")
+    endt = ev.agg(F.max(F.unix_micros("ts")).alias("e"))
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).cast("long").alias("f_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(endt))
+        .select(
+            "user_id",
+            F.expr("(e - last_us) div 86400000000").alias("r_days"),
+            "f_events",
+            "m_cents",
+        )
+    )
+    nn = pu.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # per-user ranks over the USER-BOUNDED table: single-partition
+    # windows would violate the plan rule, so rank via the same
+    # grouped-cumsum trick as the quantile queries — per measure,
+    # distinct values cumulated, joined back with a user_id tiebreak
+    # resolved by an ordinal within equal values
+    def _rank_join(col: str) -> DataFrame:
+        pv = pu.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("t")
+        )
+        from concurrent_etl_spark.queries_stats import _cum_by_value
+
+        cum = _cum_by_value(
+            pv.select("v", F.lit(0).cast("long").alias("a"), "t")
+        ).select(F.col("v"), (F.col("cum_t") - F.col("t")).alias("below"))
+        wtie = _W.partitionBy(col).orderBy("user_id")
+        return (
+            pu.select("user_id", col)
+            .withColumn("tie", F.row_number().over(wtie) - 1)
+            .join(cum, F.col(col) == F.col("v"))
+            .select(
+                "user_id",
+                (F.col("below") + F.col("tie")).alias(f"rank_{col}"),
+            )
+        )
+
+    ranked = (
+        pu.select("user_id")
+        .join(_rank_join("r_days"), "user_id")
+        .join(_rank_join("f_events"), "user_id")
+        .join(_rank_join("m_cents"), "user_id")
+        .crossJoin(F.broadcast(nn))
+    )
+    q = ranked.select(
+        (5 - F.expr("(rank_r_days * 5) div n")).alias("r_q"),
+        (1 + F.expr("(rank_f_events * 5) div n")).alias("f_q"),
+        (1 + F.expr("(rank_m_cents * 5) div n")).alias("m_q"),
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

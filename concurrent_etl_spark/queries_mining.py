@@ -658,3 +658,106 @@ def q_apriori_frequent_triples(
         .where(F.col("support") >= 6)
     )
     return tri
+
+
+@query(
+    "link_prediction_jaccard",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+    cn AS (
+      SELECT e1.u AS a, e2.u AS b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM edges e1 JOIN edges e2
+        ON e1.v = e2.v AND e1.u < e2.u
+      WHERE NOT EXISTS (SELECT 1 FROM edges x
+                        WHERE x.u = e1.u AND x.v = e2.u)
+      GROUP BY e1.u, e2.u),
+    scored AS (
+      SELECT cn.a, cn.b, cn.common, da.d AS deg_a, db.d AS deg_b,
+             CAST((cn.common * 2000000 + (da.d + db.d - cn.common))
+                  // (2 * (da.d + db.d - cn.common)) AS BIGINT)
+               AS jaccard_e6
+      FROM cn JOIN deg da ON da.u = cn.a JOIN deg db ON db.u = cn.b)
+    SELECT a, b, common, deg_a, deg_b, jaccard_e6
+    FROM scored
+    ORDER BY jaccard_e6 DESC, a, b
+    LIMIT 20
+    """,
+)
+def q_link_prediction_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell &
+    Kleinberg 2003 — public): the 20 NON-adjacent part pairs
+    (co-purchase graph — the supplier graph is near-complete at every
+    SF, leaving nothing to predict)
+    whose neighbor sets overlap most — |N(a) n N(b)| /
+    |N(a) u N(b)| as an exact e6 integer — the "who should be
+    connected but isn't" readout that drives recommendation and
+    graph-completion pipelines.
+
+    Common-neighbor counting is the triangle wedge join (e1.v = e2.v)
+    restricted to canonical a < b; existing edges are removed by an
+    anti-join BEFORE scoring, so only genuine predictions rank. The
+    union size comes from degrees by inclusion-exclusion — no second
+    neighborhood materialization.
+
+    Scale shape: the wedge join is the triangle_count shape (degree
+    orientation applies at scale); degrees broadcast; top-k is a
+    TakeOrdered. All-integer scoring, ties broken on the pair.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("it")
+    ).distinct()
+    a = items.select("ok", F.col("it").alias("u"))
+    b = items.select("ok", F.col("it").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    cn = (
+        e1.join(e2, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+        .join(
+            edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+    )
+    return (
+        cn.join(
+            F.broadcast(deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("u").alias("b"), F.col("d").alias("deg_b"))),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "common",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST((common * 2000000 + (deg_a + deg_b - common))"
+                " div (2 * (deg_a + deg_b - common)) AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
+        .orderBy(F.desc("jaccard_e6"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )

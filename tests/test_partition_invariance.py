@@ -99,6 +99,8 @@ SPOT_CHECK = [
     "dbscan_core_border_noise",
     "weighted_median_exact",
     "conversion_latency_quantiles",
+    "rfm_segmentation",
+    "link_prediction_jaccard",
 ]
 
 
