@@ -269,6 +269,9 @@ _CHECK_FIRST = [
     "seasonal_zscore_anomalies",
     "rfm_segmentation",
     "link_prediction_jaccard",
+    "cohort_ltv_curve",
+    "event_path_trigrams",
+    "embedding_centroid_drift",
 ]
 
 def _driver_verified() -> set[str]:

@@ -775,3 +775,130 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    first_wk AS (
+      SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM first_wk GROUP BY cohort),
+    rev AS (
+      SELECT f.cohort, e.wk - f.cohort AS age_weeks,
+             CAST(SUM(e.cents) AS BIGINT) AS rev_cents
+      FROM e JOIN first_wk f ON f.user_id = e.user_id
+      GROUP BY f.cohort, e.wk - f.cohort),
+    cum AS (
+      SELECT cohort, age_weeks, rev_cents,
+             SUM(rev_cents) OVER (PARTITION BY cohort
+                                  ORDER BY age_weeks) AS cum_rev
+      FROM rev)
+    SELECT CAST(c.cohort AS BIGINT) AS cohort_week,
+           CAST(c.age_weeks AS BIGINT) AS age_weeks,
+           s.n_users, c.rev_cents,
+           CAST(c.cum_rev AS BIGINT) AS cum_rev_cents,
+           CAST((c.cum_rev * 200 + s.n_users) // (2 * s.n_users)
+                AS BIGINT) AS ltv_per_user_e2
+    FROM cum c JOIN sizes s ON s.cohort = c.cohort
+    """,
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by first-activity
+    week, revenue accumulated per cohort-age — the LTV trajectory a
+    growth team projects payback from, and the value-weighted
+    companion of retention_cohorts (which counts who returns; this
+    sums what they spend).
+
+    Exact cents end to end; the cumulative runs over a window
+    PARTITIONED by cohort on the WEEK-bounded age axis; per-user LTV
+    is the e2 half-up integral.
+
+    Scale shape: one groupBy(user) for cohorts, one
+    (cohort x age)-bounded rollup, one partitioned cumsum. Week
+    arithmetic is pure epoch integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 604800000000").alias("wk"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    first_wk = e.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sizes = first_wk.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rev = (
+        e.join(first_wk, "user_id")
+        .groupBy("cohort", (F.col("wk") - F.col("cohort")).alias("age_weeks"))
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age_weeks")
+    cum = rev.withColumn("cum_rev", F.sum("rev_cents").over(w))
+    return cum.join(F.broadcast(sizes), "cohort").select(
+        F.col("cohort").cast("long").alias("cohort_week"),
+        F.col("age_weeks").cast("long").alias("age_weeks"),
+        "n_users",
+        "rev_cents",
+        F.col("cum_rev").cast("long").alias("cum_rev_cents"),
+        F.expr(
+            "CAST((cum_rev * 200 + n_users) div (2 * n_users) AS BIGINT)"
+        ).alias("ltv_per_user_e2"),
+    )
+
+
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (
+      SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+             CAST(COUNT(*) AS BIGINT) AS n_paths
+      FROM seq WHERE p2 IS NOT NULL
+      GROUP BY 1, 2, 3)
+    SELECT step1, step2, step3, n_paths
+    FROM tri
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT 20
+    """,
+)
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys — the Sankey-diagram counts a
+    product team reads paths from, one order of memory above
+    markov_transition_matrix's first-order pairs (paths expose
+    sequences like view->click->purchase that the transition matrix
+    factorizes away).
+
+    Two lags over the same user-partitioned window (deterministic
+    (ts, event_id) order), one |event_types|^3-bounded count, one
+    TakeOrdered with full-path tiebreak.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("step3"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.lag("event_type", 2).over(w).alias("step1"),
+    )
+    return (
+        seq.where(F.col("step1").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"),
+            F.asc("step1"),
+            F.asc("step2"),
+            F.asc("step3"),
+        )
+        .limit(20)
+    )

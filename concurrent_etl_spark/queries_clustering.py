@@ -685,3 +685,91 @@ def q_dbscan_core_border_noise(
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.sum("vec_id").cast("long").alias("id_checksum"),
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, vec_id % 2 AS half,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT))
+               AS qv
+      FROM embeddings),
+    tr AS (
+      SELECT half, CAST(ii AS BIGINT) AS i,
+             qv[CAST(ii AS INTEGER)] AS x
+      FROM q, unnest(range(1, len(qv) + 1)) t(ii)),
+    sums AS (
+      SELECT i,
+             CAST(SUM(CASE WHEN half = 0 THEN x ELSE 0 END) AS BIGINT)
+               AS s0,
+             CAST(SUM(CASE WHEN half = 1 THEN x ELSE 0 END) AS BIGINT)
+               AS s1
+      FROM tr GROUP BY i),
+    mom AS (
+      SELECT SUM(CAST(s0 AS DECIMAL(38,0)) * s1) AS dot01,
+             SUM(CAST(s0 AS DECIMAL(38,0)) * s0) AS n0,
+             SUM(CAST(s1 AS DECIMAL(38,0)) * s1) AS n1
+      FROM sums)
+    SELECT CAST(64 AS BIGINT) AS n_dims,
+           CAST(round(CAST(dot01 AS DOUBLE) * 1000000000
+                      / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)))
+                AS BIGINT) AS centroid_cos_e9
+    FROM mom
+    """,
+)
+def q_embedding_centroid_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space drift check: the cosine between the mean
+    vectors of two deterministic corpus halves (vec_id parity) —
+    near 1.0 means the halves share a distribution; a falling value
+    is the cheapest possible detector that a new embedding batch
+    drifted (the embedding-space analogue of kl_mixture_drift).
+
+    Exactness: per-dimension QUANTIZED sums per half are exact longs
+    (the k-means fixed-point scale), so the two centroid directions
+    are exact integer vectors (unnormalized means — cosine is
+    scale-invariant, so dividing by the half sizes cancels); the
+    cosine is one double expression over DECIMAL(38,0) moments.
+
+    Scale shape: one posexplode + one 64-row-per-half conditional-sum
+    agg (map-side combinable); constant-size algebra after. At 100 TB
+    this is a single pass however large the corpus.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    tr = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding,"
+                " x -> CAST(floor(CAST(x AS DOUBLE) * 16384.0) AS BIGINT))"
+            )
+        ).alias("i0", "x"),
+    )
+    sums = tr.groupBy(F.col("i0").alias("i")).agg(
+        F.sum(F.when(F.col("half") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("half") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+    )
+    s0d = F.col("s0").cast("decimal(38,0)")
+    s1d = F.col("s1").cast("decimal(38,0)")
+    mom = sums.agg(
+        F.sum(s0d * F.col("s1")).alias("dot01"),
+        F.sum(s0d * F.col("s0")).alias("n0"),
+        F.sum(s1d * F.col("s1")).alias("n1"),
+    )
+    return mom.select(
+        F.lit(64).cast("long").alias("n_dims"),
+        F.round(
+            F.col("dot01").cast("double")
+            * 1000000000
+            / F.sqrt(F.col("n0").cast("double") * F.col("n1").cast("double"))
+        )
+        .cast("long")
+        .alias("centroid_cos_e9"),
+    )
