@@ -272,6 +272,9 @@ _CHECK_FIRST = [
     "cohort_ltv_curve",
     "event_path_trigrams",
     "embedding_centroid_drift",
+    "mix_shift_decomposition",
+    "key_skew_gini",
+    "session_bounce_rate",
 ]
 
 def _driver_verified() -> set[str]:

@@ -902,3 +902,268 @@ def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "mix_shift_decomposition",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+               AS period,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    cell AS (
+      SELECT event_type, period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM base GROUP BY event_type, period),
+    tot AS (
+      SELECT period, CAST(SUM(n) AS BIGINT) AS nt
+      FROM cell GROUP BY period),
+    wide AS (
+      SELECT c.event_type,
+             MAX(CASE WHEN c.period = 0 THEN c.n END) AS n_a,
+             MAX(CASE WHEN c.period = 1 THEN c.n END) AS n_b,
+             MAX(CASE WHEN c.period = 0 THEN c.s END) AS s_a,
+             MAX(CASE WHEN c.period = 1 THEN c.s END) AS s_b,
+             MAX(CASE WHEN t.period = 0 THEN t.nt END) AS nt_a,
+             MAX(CASE WHEN t.period = 1 THEN t.nt END) AS nt_b
+      FROM cell c JOIN tot t ON t.period = c.period
+      GROUP BY c.event_type)
+    SELECT event_type, n_a, n_b, s_a, s_b,
+           -- rate effect at period-A mix + mix effect at period-B
+           -- rate: exact Laspeyres/Paasche split of the per-event
+           -- mean shift, each ONE double expression rounded to e2
+           CAST(round((CAST(s_b AS DOUBLE) / n_b
+                       - CAST(s_a AS DOUBLE) / n_a)
+                      * (CAST(n_a AS DOUBLE) / nt_a) * 100)
+                AS BIGINT) AS rate_effect_e2,
+           CAST(round((CAST(n_b AS DOUBLE) / nt_b
+                       - CAST(n_a AS DOUBLE) / nt_a)
+                      * (CAST(s_b AS DOUBLE) / n_b) * 100)
+                AS BIGINT) AS mix_effect_e2
+    FROM wide
+    """,
+)
+def q_mix_shift_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mix-shift decomposition — the BI answer to 'did the average
+    move because segments changed their RATE or because the MIX of
+    segments changed': per event type, the contribution of its
+    per-event mean shift at old mix (rate effect) and of its share
+    shift at new rate (mix effect), the Laspeyres/Paasche split every
+    revenue-review deck runs.
+
+    The 2x|types| cell table is exact integers; each effect is one
+    double expression over exact operands, rounded to e2 — identical
+    IEEE ops both engines. Effects sum (up to per-type rounding) to
+    the total per-event mean shift, asserted in tests.
+
+    Scale shape: one map-side-combinable groupBy to the bounded cell
+    table; constant-size algebra after.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    base = ev.select(
+        "event_type",
+        F.when(F.col("ts") < cut, 0).otherwise(1).alias("period"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cell = base.groupBy("event_type", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    tot = cell.groupBy("period").agg(F.sum("n").cast("long").alias("nt"))
+    wide = (
+        cell.join(F.broadcast(tot), "period")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("period") == 0, F.col("n"))).alias("n_a"),
+            F.max(F.when(F.col("period") == 1, F.col("n"))).alias("n_b"),
+            F.max(F.when(F.col("period") == 0, F.col("s"))).alias("s_a"),
+            F.max(F.when(F.col("period") == 1, F.col("s"))).alias("s_b"),
+            F.max(F.when(F.col("period") == 0, F.col("nt"))).alias("nt_a"),
+            F.max(F.when(F.col("period") == 1, F.col("nt"))).alias("nt_b"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")
+    return wide.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_a").cast("long").alias("s_a"),
+        F.col("s_b").cast("long").alias("s_b"),
+        F.round(
+            (d("s_b") / F.col("n_b") - d("s_a") / F.col("n_a"))
+            * (d("n_a") / F.col("nt_a"))
+            * 100
+        )
+        .cast("long")
+        .alias("rate_effect_e2"),
+        F.round(
+            (d("n_b") / F.col("nt_b") - d("n_a") / F.col("nt_a"))
+            * (d("s_b") / F.col("n_b"))
+            * 100
+        )
+        .cast("long")
+        .alias("mix_effect_e2"),
+    )
+
+
+@query(
+    "key_skew_gini",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS rnk FROM f),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS tot,
+             CAST(SUM(rnk * c) AS BIGINT) AS wsum
+      FROM r)
+    SELECT n AS n_keys, tot AS n_rows,
+           CAST(round((2.0 * wsum / (CAST(n AS DOUBLE) * tot)
+                       - (n + 1.0) / n) * 1000000) AS BIGINT)
+             AS gini_e6
+    FROM m
+    """,
+)
+def q_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the order-per-customer key distribution —
+    the single-number skew metric that tells a planner whether a
+    shuffle on this key needs salting BEFORE the job runs (0 =
+    perfectly even keys; near 1 = a celebrity key owns the shuffle).
+    Complements skew_diagnostics (which lists the heavy keys) with
+    the standardized inequality score.
+
+    Exact Lorenz arithmetic: keys ranked ascending by count (id
+    tiebreak), G = 2*sum(rank*count)/(n*total) - (n+1)/n — rank*count
+    sums are exact longs from the bucket-offset rank machinery (the
+    oracle states ranks with a single-node window); one double
+    expression at the end.
+
+    Scale shape: one groupBy(key), ranks over the count-DOMAIN-
+    bounded distinct-count table (per-count blocks rank contiguously;
+    within a block ranks are an arithmetic series — summed in closed
+    form, no per-key window at scale). Here keys are ranked directly;
+    the closed-form block optimization is noted for the 1e9-key case.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # rank via per-count blocks: block offset from the bounded cumsum,
+    # within-block ordinal by key id (partitioned window)
+    from concurrent_etl_spark.queries_stats import _cum_by_value
+
+    pv = f.groupBy(F.col("c").alias("v")).agg(
+        F.lit(0).cast("long").alias("a"), F.count(F.lit(1)).alias("t")
+    )
+    blocks = _cum_by_value(pv).select(
+        F.col("v").alias("c"), (F.col("cum_t") - F.col("t")).alias("below")
+    )
+    wtie = Window.partitionBy("c").orderBy("k")
+    ranked = (
+        f.withColumn("ord", F.row_number().over(wtie))
+        .join(blocks, "c")
+        .select("c", (F.col("below") + F.col("ord")).alias("rnk"))
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("tot"),
+        F.sum(F.col("rnk") * F.col("c")).cast("long").alias("wsum"),
+    )
+    return m.select(
+        F.col("n").alias("n_keys"),
+        F.col("tot").alias("n_rows"),
+        F.round(
+            (
+                2.0 * F.col("wsum") / (F.col("n").cast("double") * F.col("tot"))
+                - (F.col("n") + 1.0) / F.col("n")
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("gini_e6"),
+    )
+
+
+@query(
+    "session_bounce_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+      FROM events),
+    marked AS (
+      SELECT user_id, us,
+             CASE WHEN prev IS NULL OR us - prev > 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM seq),
+    sess AS (
+      SELECT user_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY us)
+               AS sid
+      FROM marked),
+    per_sess AS (
+      SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           CAST((SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 * 2000000 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS bounce_rate_e6,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM per_sess
+    """,
+)
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over 30-minute-gap sessions: the share of sessions
+    containing exactly ONE event — the single most-watched engagement
+    metric, computed on the same gap-cumsum sessionization as
+    sessionize_gap_cumsum (session id = running count of gap starts,
+    a user-PARTITIONED prefix sum; per-user sequences are
+    session-sized, never corpus-sized).
+
+    All counts exact; the rate is the e6 half-up integral.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev"),
+    )
+    marked = seq.select(
+        "user_id",
+        "us",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("us") - F.col("prev") > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("us")
+    sess = marked.withColumn("sid", F.sum("is_start").over(ws))
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.expr(
+            "CAST((SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)"
+            " * 2000000 + COUNT(*)) div (2 * COUNT(*)) AS BIGINT)"
+        ).alias("bounce_rate_e6"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )

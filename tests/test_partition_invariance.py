@@ -101,6 +101,9 @@ SPOT_CHECK = [
     "conversion_latency_quantiles",
     "rfm_segmentation",
     "link_prediction_jaccard",
+    "key_skew_gini",
+    "mix_shift_decomposition",
+    "embedding_centroid_drift",
 ]
 
 

@@ -457,3 +457,47 @@ class TestBurstAndSeasonalAnomalies:
             if cnt:
                 expect[key] = cnt
         assert {k: r["n_anomalies"] for k, r in rows.items()} == expect
+
+
+class TestMixShiftAndGini:
+    def test_effects_reconcile_to_total_shift(self, spark):
+        rows = _rows(spark, "mix_shift_decomposition")
+        agg = _duck(
+            """SELECT CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN 0 ELSE 1 END AS p,
+                      COUNT(*), SUM(CAST(floor(value*100) AS BIGINT))
+               FROM events GROUP BY 1 ORDER BY 1"""
+        )
+        (_, na, sa), (_, nb, sb) = agg
+        total_shift_e2 = (sb / nb - sa / na) * 100
+        recon = sum(
+            r["rate_effect_e2"] + r["mix_effect_e2"] for r in rows
+        )
+        # per-type e2 rounding leaves at most 1 cent-percent per term
+        assert abs(recon - total_shift_e2) <= 2 * len(rows) + 1
+
+    def test_gini_matches_python_lorenz(self, spark):
+        [row] = _rows(spark, "key_skew_gini")
+        counts = sorted(
+            (c, k)
+            for k, c in _duck(
+                "SELECT o_custkey, COUNT(*) FROM orders GROUP BY 1"
+            )
+        )
+        n = len(counts)
+        tot = sum(c for c, _ in counts)
+        wsum = sum((i + 1) * c for i, (c, _) in enumerate(counts))
+        expect = round((2.0 * wsum / (n * tot) - (n + 1.0) / n) * 1e6)
+        assert (row["n_keys"], row["n_rows"]) == (n, tot)
+        assert row["gini_e6"] == expect
+        assert 0 <= row["gini_e6"] < 1000000
+
+
+class TestBounceRate:
+    def test_rate_identity_and_bounds(self, spark):
+        [row] = _rows(spark, "session_bounce_rate")
+        assert 0 <= row["n_bounces"] <= row["n_sessions"]
+        assert row["bounce_rate_e6"] == (
+            row["n_bounces"] * 2000000 + row["n_sessions"]
+        ) // (2 * row["n_sessions"])
+        assert row["max_session_events"] >= 1
