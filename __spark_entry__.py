@@ -275,6 +275,9 @@ _CHECK_FIRST = [
     "mix_shift_decomposition",
     "key_skew_gini",
     "session_bounce_rate",
+    "stream_multibatch_incremental_roundtrip",
+    "revenue_concentration_deciles",
+    "popularity_recsys_hitrate",
 ]
 
 def _driver_verified() -> set[str]:

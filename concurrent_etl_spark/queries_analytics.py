@@ -1167,3 +1167,190 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bounce_rate_e6"),
         F.max("n_events").cast("long").alias("max_session_events"),
     )
+
+
+@query(
+    "revenue_concentration_deciles",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, k) AS rnk
+      FROM per_cust),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS tot FROM r),
+    dec AS (
+      SELECT CAST(((rnk - 1) * 10) // n AS BIGINT) + 1 AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM r, m GROUP BY 1)
+    SELECT decile, n_cust, cents,
+           CAST((cents * 2000000 + tot) // (2 * tot) AS BIGINT)
+             AS share_e6
+    FROM dec, m
+    """,
+)
+def q_revenue_concentration_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue concentration: customers ranked by spend, bucketed
+    into deciles (decile 1 = top spenders), each with its exact
+    revenue share — the '10% of customers drive X% of revenue'
+    readout, the tabular companion of key_skew_gini's single number.
+
+    Ranks are exact order statistics (spend-domain cumsum + key
+    tiebreak ordinal, the rfm_segmentation machinery — the oracle
+    states them with a single-node window); decile = floor(10 *
+    0-based-rank / n) + 1; shares are e6 half-up integrals of exact
+    cent sums.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    from concurrent_etl_spark.queries_stats import _cum_by_value
+
+    # descending spend rank: rank ascending on NEGATED cents
+    pv = per_cust.groupBy((-F.col("cents")).alias("v")).agg(
+        F.lit(0).cast("long").alias("a"), F.count(F.lit(1)).alias("t")
+    )
+    blocks = _cum_by_value(pv).select(
+        (-F.col("v")).alias("cents_b"),
+        (F.col("cum_t") - F.col("t")).alias("below"),
+    )
+    wtie = Window.partitionBy("cents").orderBy("k")
+    ranked = (
+        per_cust.withColumn("ord", F.row_number().over(wtie))
+        .join(blocks, F.col("cents") == F.col("cents_b"))
+        .select(
+            "cents", (F.col("below") + F.col("ord") - 1).alias("rnk0")
+        )
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(m))
+        .groupBy(
+            (F.expr("(rnk0 * 10) div n") + 1).alias("decile"), "tot"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    return dec.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_cust",
+        "cents",
+        F.expr(
+            "CAST((cents * 2000000 + tot) div (2 * tot) AS BIGINT)"
+        ).alias("share_e6"),
+    )
+
+
+@query(
+    "popularity_recsys_hitrate",
+    oracle="""
+    WITH train AS (
+      SELECT l.l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate < DATE '1996-01-01'
+      GROUP BY l.l_partkey),
+    topk AS (
+      SELECT part FROM (
+        SELECT part, ROW_NUMBER() OVER (ORDER BY n DESC, part) AS rnk
+        FROM train)
+      WHERE rnk <= 20),
+    test AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= DATE '1996-01-01'),
+    hits AS (
+      SELECT cust,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN topk.part IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM test LEFT JOIN topk ON topk.part = test.part
+      GROUP BY cust)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_users,
+           CAST(SUM(n_test) AS BIGINT) AS n_test_pairs,
+           CAST(SUM(n_hit) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_users_hit,
+           CAST((SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) * 2000000
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+             AS user_hitrate_e6
+    FROM hits
+    """,
+)
+def q_popularity_recsys_hitrate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Popularity-recommender baseline evaluation: train = part
+    purchase counts before 1996; recommend the global top-20; test =
+    whether post-1996 buyers actually bought a recommended part
+    (hit-rate@20 per user, the floor every recommender must beat —
+    the recsys counterpart of the majority-class baseline in
+    classification).
+
+    Temporal train/test split on order date (no leakage — the
+    evaluation discipline train_eval_split certifies for documents,
+    applied to the transactional stream); top-k is a TakeOrdered on
+    exact counts with part tiebreak; hits are a broadcast join of
+    the 20-row recommendation set.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    cut = F.lit("1996-01-01").cast("date")
+    train = (
+        j.where(F.to_date("o_orderdate") < cut)
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    topk = (
+        train.orderBy(F.desc("n"), F.asc("part"))
+        .limit(20)
+        .select("part", F.lit(1).alias("rec"))
+    )
+    test = (
+        j.where(F.to_date("o_orderdate") >= cut)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+        )
+        .distinct()
+    )
+    hits = (
+        test.join(F.broadcast(topk), "part", "left")
+        .groupBy("cust")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.coalesce(F.col("rec"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_users"),
+        F.sum("n_test").cast("long").alias("n_test_pairs"),
+        F.sum("n_hit").cast("long").alias("n_hits"),
+        F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_hit"),
+        F.expr(
+            "CAST((SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) * 2000000"
+            " + COUNT(*)) div (2 * COUNT(*)) AS BIGINT)"
+        ).alias("user_hitrate_e6"),
+    )

@@ -931,3 +931,112 @@ def q_stream_static_enrich_roundtrip(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+@query(
+    "stream_multibatch_incremental_roundtrip",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(3 AS BIGINT) AS n_microbatches
+    FROM customer WHERE c_custkey % 3 = 0
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_multibatch_incremental_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL multi-micro-batch processing under the gate: the
+    fixture stages exactly 3 CSV files and the stream runs with
+    maxFilesPerTrigger=1, so availableNow drains it in exactly THREE
+    micro-batches (not one) — state continuity, offset tracking, and
+    exactly-once composition ACROSS batch boundaries are what this
+    certifies, where the other roundtrips process one batch. The
+    batch count is read back from the checkpoint's committed offsets
+    and pinned in the result row (a wrong trigger setup or a
+    re-processed file changes it), alongside the sink rollup the
+    oracle recomputes from the source.
+
+    At 100 TB: maxFilesPerTrigger (or maxBytesPerTrigger) is how a
+    backfill bounds per-batch memory — the stream is a sequence of
+    bounded jobs, each checkpointed; this query is that shape in
+    miniature. _DONE completion-marker discipline.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}".encode()).hexdigest()[:12]
+    base = _os.path.join(_tempfile.gettempdir(), "ces_multibatch", tag)
+    src = _os.path.join(base, "src")
+    sink = _os.path.join(base, "sink")
+    ckpt = _os.path.join(base, "ckpt")
+    done = _os.path.join(base, "_DONE")
+    if not _os.path.exists(done):
+        (
+            load_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 3 == 0)
+            .select(
+                F.col("c_custkey").cast("string"),
+                F.col("c_mktsegment").alias("seg"),
+                F.col("c_acctbal").cast("string"),
+            )
+            .repartition(3)
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(src)
+        )
+        schema = StructType(
+            [
+                StructField(c, StringType())
+                for c in ("c_custkey", "seg", "c_acctbal")
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("header", "true")
+            .option("maxFilesPerTrigger", "1")
+            .csv(src)
+            .select(
+                F.col("seg").alias("segment"),
+                (
+                    F.col("c_acctbal").try_cast("decimal(18,2)") * 100
+                )
+                .cast("bigint")
+                .alias("cents"),
+            )
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("multibatch stream timed out")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    # committed batch count from the checkpoint's offset log
+    commits_dir = _os.path.join(ckpt, "commits")
+    n_batches = len(
+        [
+            f
+            for f in _os.listdir(commits_dir)
+            if not f.startswith(".")
+        ]
+    )
+    out = spark.read.parquet(sink)
+    return out.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.lit(n_batches).cast("long").alias("n_microbatches"),
+    )

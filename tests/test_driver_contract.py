@@ -177,6 +177,7 @@ class TestSideEffectfulQueryIdempotence:
             "jsonl_gzip_source_roundtrip",
             "stream_static_enrich_roundtrip",
             "txn_vacuum_retention_audit",
+            "stream_multibatch_incremental_roundtrip",
         ]:
             first = sorted(
                 tuple(r) for r in q[name](spark, "/root/testdata/sf0.001").collect()

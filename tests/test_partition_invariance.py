@@ -104,6 +104,7 @@ SPOT_CHECK = [
     "key_skew_gini",
     "mix_shift_decomposition",
     "embedding_centroid_drift",
+    "revenue_concentration_deciles",
 ]
 
 
