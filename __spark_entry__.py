@@ -29,6 +29,7 @@ from concurrent_etl_spark import queries_relational2  # noqa: F401 — registers
 from concurrent_etl_spark import queries_relational3  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_relational4  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_stats  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_stats2  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_streaming  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_temporal  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_tpch  # noqa: F401 — registers queries
@@ -278,6 +279,21 @@ _CHECK_FIRST = [
     "stream_multibatch_incremental_roundtrip",
     "revenue_concentration_deciles",
     "popularity_recsys_hitrate",
+    # r4 final tranche: rank statistics (Kendall dominance grid,
+    # Kruskal-Wallis, block-pessimistic AP, Ljung-Box, Theil-Sen),
+    # graph/embedding diagnostics, decontamination, LSH S-curve,
+    # write-audit-publish
+    "kendall_tau_concordance",
+    "kruskal_wallis_rank_test",
+    "average_precision_exact",
+    "ljung_box_whiteness",
+    "theilsen_robust_slope",
+    "degree_assortativity",
+    "personalized_pagerank_seeded",
+    "ann_hubness_audit",
+    "decontaminate_ngram_windows",
+    "lsh_scurve_tuning_audit",
+    "write_audit_publish_txn",
 ]
 
 def _driver_verified() -> set[str]:

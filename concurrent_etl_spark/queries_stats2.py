@@ -1,0 +1,676 @@
+"""Rank-statistics tranche (round 4, final batch): Kendall tau-b by
+2-D dominance counting, Kruskal-Wallis across k groups, exact
+average-precision over score blocks, Ljung-Box whiteness, and the
+Theil-Sen robust trend — the remaining classical statistics a corpus
+drift/evaluation pipeline runs that the earlier batteries (KS,
+Mann-Whitney, chi-square, ACF, AUC) don't cover.
+
+The reference has no statistics at all (SURVEY §2.4 — its only
+aggregate is COUNT, case_2/Normal.py:280-282); this whole module is
+engine surface the 100 TB training-data platform needs.
+
+House determinism rules apply throughout: every statistic is carried
+as exact integers (counts, cents, DECIMAL(38,0) cross-moments) until
+a final float step built only from exactly-rounded IEEE ops (one
+division, sqrt, or a literal-factor product) evaluated in the same
+operation order by both engines, then rounded to a fixed scale.
+No global sorts: cumulations run on the bucket-offset cumsum
+(``queries_stats._cum_by_value``) or value-domain-bounded grids with
+PARTITIONED windows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.engine import load_table
+from concurrent_etl_spark.queries_stats import _cum_by_value
+
+
+@query(
+    "kendall_tau_concordance",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice / 1000) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    marg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS txy
+      FROM cells),
+    tx AS (SELECT CAST(SUM(r * (r - 1) // 2) AS BIGINT) AS tx
+           FROM (SELECT SUM(c) AS r FROM cells GROUP BY x)),
+    ty AS (SELECT CAST(SUM(r * (r - 1) // 2) AS BIGINT) AS ty
+           FROM (SELECT SUM(c) AS r FROM cells GROUP BY y)),
+    cd AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN a.y < b.y THEN a.c * b.c END), 0)
+                  AS BIGINT) AS c_pairs,
+             CAST(COALESCE(SUM(CASE WHEN a.y > b.y THEN a.c * b.c END), 0)
+                  AS BIGINT) AS d_pairs
+      FROM cells a JOIN cells b ON a.x < b.x)
+    SELECT n, c_pairs, d_pairs,
+           tx AS ties_x, ty AS ties_y, txy AS ties_xy,
+           (c_pairs + d_pairs + tx + ty - txy) = n * (n - 1) // 2
+             AS pair_identity_ok,
+           CAST(round(CAST(c_pairs - d_pairs AS DOUBLE)
+                / sqrt(CAST(n * (n - 1) // 2 - tx AS DOUBLE)
+                       * CAST(n * (n - 1) // 2 - ty AS DOUBLE))
+                * 1000000) AS BIGINT) AS tau_b_e6
+    FROM cd, marg, tx, ty
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between order quantity and
+    price bucket, exact with ties, WITHOUT an O(n^2) pair join.
+
+    All n(n-1)/2 observation pairs are classified through the
+    (quantity x price-bucket) CONTINGENCY GRID — value-domain-bounded
+    (50 x ~105 here), independent of row count. Concordant pairs per
+    cell are c(x,y) * A(x,y) where A = #observations strictly smaller
+    in both coordinates = the 2-D dominance prefix sum D(x-1, y-1);
+    discordant use B = Cx(x-1) - D(x-1, y). D comes from two chained
+    PARTITIONED windows over the dense grid (cum over y within each
+    x, then cum over x within each y) — the separable 2-D prefix-sum
+    decomposition; the strict-shift lookups are equi-joins of the
+    grid against itself at (x+1, y+1) / (x+1, y) / (x+1, y_max). Tie
+    terms come from the cell and marginal counts. The pair-accounting
+    identity C + D + (Tx - Txy) + (Ty - Txy) + Txy = n(n-1)/2 is
+    carried IN the result — it only holds if every dominance count is
+    right, so a off-by-one in any prefix sum fails the hash.
+
+    tau_b = (C - D) / sqrt((T - Tx)(T - Ty)): exact longs into one
+    IEEE product/sqrt/division chain, rounded to 1e-6. Long carriage
+    is safe while pair counts < 2^53 (n up to ~9e7 rows; promote the
+    final expression to DECIMAL beyond).
+
+    The oracle states the same statistic from its definition — a cell
+    PAIR join (bounded: cells^2, legal single-node) — independent of
+    the dominance decomposition, so the two derivations check each
+    other.
+
+    100 TB shape: one map-side-combinable groupBy to the bounded cell
+    table; everything after runs on grid-sized data (thousands of
+    rows) regardless of input scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    # bounded collect: 4 scalars of the value domain (quantity /
+    # price-bucket ranges), the same class as pagerank's n_nodes
+    b = cells.agg(
+        F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+        F.min("y").alias("y0"),
+        F.max("y").alias("y1"),
+    ).collect()[0]
+    x0, x1, y0, y1 = int(b["x0"]), int(b["x1"]), int(b["y0"]), int(b["y1"])
+    ny = y1 - y0 + 1
+    nx = x1 - x0 + 1
+    # dense integer grid from ONE range (no cross join): id -> (x, y)
+    grid = spark.range(nx * ny).select(
+        (F.lit(x0) + F.expr(f"id div {ny}")).alias("x"),
+        (F.lit(y0) + F.col("id") % ny).alias("y"),
+    )
+    g = grid.join(F.broadcast(cells), ["x", "y"], "left").select(
+        "x", "y", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    wy = Window.partitionBy("x").orderBy("y")
+    wx = Window.partitionBy("y").orderBy("x")
+    dom = (
+        g.withColumn("dy", F.sum("c").over(wy))
+        .withColumn("dom", F.sum("dy").over(wx))
+        .select("x", "y", "dom")
+        .persist()
+    )
+    a_shift = dom.select(
+        (F.col("x") + 1).alias("x"),
+        (F.col("y") + 1).alias("y"),
+        F.col("dom").alias("a_cnt"),
+    )
+    left_shift = dom.select(
+        (F.col("x") + 1).alias("x"), "y", F.col("dom").alias("d_left")
+    )
+    cx_shift = dom.where(F.col("y") == y1).select(
+        (F.col("x") + 1).alias("x"), F.col("dom").alias("cx_left")
+    )
+    per = (
+        cells.join(F.broadcast(a_shift), ["x", "y"], "left")
+        .join(F.broadcast(left_shift), ["x", "y"], "left")
+        .join(F.broadcast(cx_shift), ["x"], "left")
+        .select(
+            "c",
+            F.coalesce("a_cnt", F.lit(0)).alias("a_cnt"),
+            (
+                F.coalesce("cx_left", F.lit(0))
+                - F.coalesce("d_left", F.lit(0))
+            ).alias("b_cnt"),
+        )
+    )
+    sums = per.agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("a_cnt"))
+        .cast("long")
+        .alias("c_pairs"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("b_cnt"))
+        .cast("long")
+        .alias("d_pairs"),
+    )
+    marg = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("txy"),
+    )
+    txr = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("r"))
+        .agg(F.sum(F.expr("r * (r - 1) div 2")).cast("long").alias("tx"))
+    )
+    tyr = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("r"))
+        .agg(F.sum(F.expr("r * (r - 1) div 2")).cast("long").alias("ty"))
+    )
+    t_all = F.expr("n * (n - 1) div 2")
+    return (
+        sums.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(txr))
+        .crossJoin(F.broadcast(tyr))
+        .select(
+            "n",
+            "c_pairs",
+            "d_pairs",
+            F.col("tx").alias("ties_x"),
+            F.col("ty").alias("ties_y"),
+            F.col("txy").alias("ties_xy"),
+            (
+                F.col("c_pairs")
+                + F.col("d_pairs")
+                + F.col("tx")
+                + F.col("ty")
+                - F.col("txy")
+                == t_all
+            ).alias("pair_identity_ok"),
+            F.round(
+                (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+                / F.sqrt(
+                    (t_all - F.col("tx")).cast("double")
+                    * (t_all - F.col("ty")).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("tau_b_e6"),
+        )
+    )
+
+
+@query(
+    "kruskal_wallis_rank_test",
+    oracle="""
+    WITH vals AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+    pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM vals GROUP BY v),
+    ranked AS (
+      SELECT v, 2 * (SUM(t) OVER (ORDER BY v) - t) + t + 1 AS rank2
+      FROM pv),
+    grp AS (
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(r.rank2) AS BIGINT) AS r_x2
+      FROM vals JOIN ranked r USING (v) GROUP BY priority),
+    ties AS (SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS ties_cubed
+             FROM pv),
+    contrib AS (
+      SELECT priority, n_g, r_x2,
+             CAST(round(CAST(CAST(r_x2 AS DECIMAL(38,0)) * r_x2 AS DOUBLE)
+                        / (4.0 * n_g)) AS BIGINT) AS contrib_r2
+      FROM grp),
+    tc AS (SELECT CAST(SUM(contrib_r2) AS BIGINT) AS total_c FROM contrib)
+    SELECT priority, n_g, r_x2, contrib_r2, ties_cubed,
+           CAST(round(
+             (12.0 / (CAST(n AS DOUBLE) * (n + 1)) * total_c
+              - 3.0 * (n + 1))
+             / (1.0 - CAST(ties_cubed AS DOUBLE)
+                / CAST(CAST(n AS DECIMAL(38,0)) * n * n - n AS DOUBLE))
+             * 1000000) AS BIGINT) AS h_e6
+    FROM contrib, tc, tot, ties
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order priorities on order
+    value — the k-group generalization of mann_whitney_u, exact with
+    the tie correction.
+
+    Doubled average ranks ride the same bucket-offset cumulative
+    machinery (``_cum_by_value`` — bounded collect + partitioned
+    windows, never a global sort): for a distinct value with total
+    count t and strictly-smaller count cb, each member's doubled rank
+    is 2*cb + t + 1; per-group doubled rank sums R_g_x2 are exact
+    longs. H's group term R_g^2 / n_g squares in DECIMAL(38,0)
+    (R_x2^2 ~ 5e20 at sf0.1 — outside int64) before its one double
+    division, rounded to integers whose sum is exact; the final
+    H = [12/(N(N+1)) * sum - 3(N+1)] / (1 - sum(t^3-t)/(N^3-N))
+    is a fixed chain of exactly-rounded IEEE ops over exact operands,
+    identical cross-engine, reported at 1e-6.
+
+    100 TB shape: one shuffle to the per-value table, one to the
+    5-row group table; the rank join streams the fact side against
+    the per-value rank map. N^3 is carried in DECIMAL so no scale
+    overflows the tie correction.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    tot = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pv = vals.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    ).withColumn("a", F.col("t"))
+    cum = _cum_by_value(pv)
+    ranked = cum.select(
+        "v",
+        (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1).alias("rank2"),
+    )
+    grp = (
+        vals.join(ranked, "v")
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("rank2").cast("long").alias("r_x2"),
+        )
+    )
+    ties = cum.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("ties_cubed")
+    )
+    contrib = grp.select(
+        "priority",
+        "n_g",
+        "r_x2",
+        F.round(
+            (F.col("r_x2").cast("decimal(38,0)") * F.col("r_x2")).cast(
+                "double"
+            )
+            / (4.0 * F.col("n_g"))
+        )
+        .cast("long")
+        .alias("contrib_r2"),
+    )
+    tc = contrib.agg(F.sum("contrib_r2").cast("long").alias("total_c"))
+    n = F.col("n")
+    h = (
+        F.lit(12.0) / (n.cast("double") * (n + 1)) * F.col("total_c")
+        - 3.0 * (n + 1)
+    ) / (
+        F.lit(1.0)
+        - F.col("ties_cubed").cast("double")
+        / (n.cast("decimal(38,0)") * n * n - n).cast("double")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(tc))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "priority",
+            "n_g",
+            "r_x2",
+            "contrib_r2",
+            "ties_cubed",
+            F.round(h * 1000000).cast("long").alias("h_e6"),
+        )
+    )
+
+
+@query(
+    "average_precision_exact",
+    oracle="""
+    WITH d AS (
+      SELECT 1024 - n_chars AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+      FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(rel) AS BIGINT) AS n_rel FROM d),
+    pv AS (SELECT v, CAST(SUM(rel) AS BIGINT) AS a,
+                  CAST(COUNT(*) AS BIGINT) AS t
+           FROM d GROUP BY v),
+    cum AS (SELECT v, a, t,
+                   SUM(a) OVER (ORDER BY v) AS ca,
+                   SUM(t) OVER (ORDER BY v) AS ct
+            FROM pv),
+    blocks AS (
+      SELECT CAST(round(CAST(a * ca AS DOUBLE)
+                        / (CAST(ct AS DOUBLE) * n_rel)
+                        * 1000000000) AS BIGINT) AS contrib_e9,
+             CAST(2 * ca AS DOUBLE) / (ct + n_rel) AS f1,
+             ca, ct
+      FROM cum, tot)
+    SELECT n_docs, n_rel,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(contrib_e9) AS BIGINT) AS ap_e9,
+           CAST(round(MAX(f1) * 1000000) AS BIGINT) AS best_f1_e6,
+           MAX(ca) = n_rel AND MAX(ct) = n_docs AS totals_ok
+    FROM blocks, tot
+    GROUP BY n_docs, n_rel
+    """,
+)
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact block-pessimistic average precision (and best threshold
+    F1) of a document scorer against a relevance label, via the
+    rank-sum family's per-distinct-score blocks — no per-row ranking.
+
+    Scorer = n_chars (the length prior a curation pipeline starts
+    from), relevance = lang = 'en'. Under ties the pessimistic
+    convention charges every relevant doc its BLOCK-END precision
+    (cum_rel / cum_total at the block boundary, descending score) —
+    well-defined without an intra-block order, so the whole curve
+    exists on the per-distinct-score table: AP = sum_blocks
+    a * ca / (ct * P). Scores invert (v = 1024 - n_chars) so the
+    ascending bucket-offset cumsum walks descending score; per-block
+    contributions are one exact integer product into one IEEE
+    division, rounded to e9 integers whose sum is exact. best_f1
+    maximizes 2*ca/(ct + P) over blocks — each value one division of
+    exact longs, max over identical doubles cross-engine. totals_ok
+    pins the last block's cumulatives against the global totals: the
+    cumsum machinery must land exactly on (n_rel, n_docs).
+
+    100 TB shape: one groupBy to the score-domain table (bounded by
+    the score's value range, not rows), bounded-collect cumsum,
+    one-row output. The same plan evaluates any (score, label) pair —
+    this is the evaluation surface for the trained quality classifier
+    (classifier_calibration_bins evaluates calibration; this ranks).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.lit(1024) - F.col("n_chars")).cast("long").alias("v"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("rel"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("rel").cast("long").alias("n_rel"),
+    )
+    pv = d.groupBy("v").agg(
+        F.sum("rel").cast("long").alias("a"),
+        F.count(F.lit(1)).cast("long").alias("t"),
+    )
+    cum = _cum_by_value(pv, width_bits=8).crossJoin(F.broadcast(tot))
+    blocks = cum.select(
+        "n_docs",
+        "n_rel",
+        F.round(
+            (F.col("a") * F.col("cum_a")).cast("double")
+            / (F.col("cum_t").cast("double") * F.col("n_rel"))
+            * 1000000000
+        )
+        .cast("long")
+        .alias("contrib_e9"),
+        (
+            (2 * F.col("cum_a")).cast("double")
+            / (F.col("cum_t") + F.col("n_rel"))
+        ).alias("f1"),
+        F.col("cum_a").alias("ca"),
+        F.col("cum_t").alias("ct"),
+    )
+    return blocks.groupBy("n_docs", "n_rel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("contrib_e9").cast("long").alias("ap_e9"),
+        F.round(F.max("f1") * 1000000).cast("long").alias("best_f1_e6"),
+        (
+            (F.max("ca") == F.first("n_rel"))
+            & (F.max("ct") == F.first("n_docs"))
+        ).alias("totals_ok"),
+    )
+
+
+@query(
+    "ljung_box_whiteness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS s FROM daily),
+    den AS (
+      SELECT SUM(CAST(n * x - s AS DECIMAL(38,0)) * (n * x - s)) AS dd
+      FROM daily, st),
+    lags AS (SELECT unnest(range(1, 8)) AS k),
+    num AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(st.n * a.x - st.s AS DECIMAL(38,0))
+                 * (st.n * b.x - st.s)) AS nn
+      FROM daily a
+      CROSS JOIN lags
+      JOIN daily b ON b.d = a.d + CAST(k AS INTEGER)
+      CROSS JOIN st
+      GROUP BY k),
+    per AS (
+      SELECT CAST(k AS BIGINT) AS k, n_pairs,
+             CAST(round(
+               (CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE))
+               * (CAST(nn AS DOUBLE) / CAST(dd AS DOUBLE))
+               * (CAST(n AS DOUBLE) * (n + 2) / (n - k))
+               * 1000000000) AS BIGINT) AS contrib_e9
+      FROM num, den, st)
+    SELECT k, n_pairs, contrib_e9,
+           CAST(SUM(contrib_e9) OVER () AS BIGINT) AS q_e9
+    FROM per
+    ORDER BY k
+    """,
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness statistic over the daily
+    revenue series, lags 1..7 — "is there ANY autocorrelation
+    structure left", the joint test on top of acf_lags' per-lag
+    readout (Ljung & Box 1978, public).
+
+    Q = n(n+2) * sum_k rho_k^2 / (n - k). rho_k reuses acf_lags'
+    exact machinery verbatim: N^2-scaled demeaned cross-moments
+    accumulated in DECIMAL(38,0) over date-equi-joined lag pairs (the
+    7-row lag table broadcasts; the daily rollup is bounded by the
+    date domain). Each lag's contribution is a fixed chain of
+    exactly-rounded IEEE ops on exact operands — (nn/dd)^2 times the
+    integer-ratio factor — rounded to e9; Q is their exact sum,
+    attached to every row (oracle: one global window over 7 rows;
+    Spark: crossJoin of the broadcast 1-row total — the approved
+    pattern).
+
+    Missing days drop pairs, same convention as acf_lags (n_pairs
+    records how many survive); the statistic is over the observed
+    series both ways.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s")
+    den = daily.crossJoin(F.broadcast(st)).agg(F.sum(dev * dev).alias("dd"))
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("k"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    bdf = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("dt", F.date_add(F.col("da"), F.col("k").cast("int")))
+        .join(bdf, F.col("db") == F.col("dt"))
+        .crossJoin(F.broadcast(st))
+    )
+    deva = F.col("n").cast("decimal(38,0)") * F.col("xa") - F.col("s")
+    devb = F.col("n").cast("decimal(38,0)") * F.col("xb") - F.col("s")
+    num = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(deva * devb).alias("nn"),
+    )
+    rho = F.col("nn").cast("double") / F.col("dd").cast("double")
+    per = (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "k",
+            "n_pairs",
+            F.round(
+                rho
+                * rho
+                * (
+                    F.col("n").cast("double")
+                    * (F.col("n") + 2)
+                    / (F.col("n") - F.col("k"))
+                )
+                * 1000000000
+            )
+            .cast("long")
+            .alias("contrib_e9"),
+        )
+    )
+    total = per.agg(F.sum("contrib_e9").cast("long").alias("q_e9"))
+    return per.crossJoin(F.broadcast(total)).orderBy("k")
+
+
+@query(
+    "theilsen_robust_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                     CAST(MIN(d) AS BIGINT) AS dmin FROM daily),
+    pairs AS (
+      SELECT (b.x - a.x) * 10000 AS num, b.d - a.d AS k
+      FROM daily a JOIN daily b ON b.d > a.d),
+    slopes AS (
+      SELECT (num - ((num % k) + k) % k) // k AS sl FROM pairs),
+    pv AS (SELECT sl AS v, CAST(COUNT(*) AS BIGINT) AS t
+           FROM slopes GROUP BY 1),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS n_pairs FROM pv),
+    cum AS (SELECT v, SUM(t) OVER (ORDER BY v) AS ct FROM pv),
+    med AS (SELECT CAST(MIN(v) AS BIGINT) AS slope_e4
+            FROM cum, tot WHERE 2 * ct >= n_pairs),
+    resid AS (
+      SELECT x * 10000 - slope_e4 * (d - dmin) AS rv
+      FROM daily, med, stats),
+    rpv AS (SELECT rv, CAST(COUNT(*) AS BIGINT) AS t
+            FROM resid GROUP BY 1),
+    rcum AS (SELECT rv, SUM(t) OVER (ORDER BY rv) AS ct FROM rpv),
+    imed AS (SELECT CAST(MIN(rv) AS BIGINT) AS intercept_e4
+             FROM rcum, stats WHERE 2 * ct >= n_days)
+    SELECT n_days, n_pairs,
+           n_pairs = n_days * (n_days - 1) // 2 AS pairs_ok,
+           slope_e4, intercept_e4
+    FROM stats, tot, med, imed
+    """,
+)
+def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the median of all
+    pairwise slopes (Theil 1950 / Sen 1968, public) — the
+    breakdown-resistant trend estimate an anomaly-tolerant revenue
+    monitor fits instead of OLS (one outlier day moves OLS; it takes
+    29% contamination to move Theil-Sen).
+
+    Exactness: slopes are floor((x_j - x_i) * 1e4 / (d_j - d_i)) in
+    cents-e4 per day, computed with the sign-safe floormod identity
+    (num - ((num % k) + k) % k) / k — truncating '%' agrees between
+    Spark and DuckDB, the adjusted numerator divides exactly, so the
+    quotient is the true floor in both engines with no float anywhere.
+    The median is the exact lower order statistic via the
+    bucket-offset cumsum (33-bit buckets — slope domain / 2^33 keeps
+    the offset collect bounded); the intercept is a second exact
+    median over the per-day residuals at the fitted slope (the
+    1-scalar collect between passes is the dims-max-id pattern).
+    pairs_ok carries n_pairs = C(n_days, 2) — every observed day pair
+    must enter exactly once or the hash fails.
+
+    100 TB shape: the pair set is DAY-domain-bounded (C(|days|, 2) —
+    ~2.9M at a 6.5-year range, constant in row count); pairs build as
+    a broadcast lag-table equi-join (gap k = 1..max range), the same
+    shape as acf_lags, never an inequality self-join of data-scaled
+    tables.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .persist()
+    )
+    b = daily.agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        F.count(F.lit(1)).alias("nd"),
+    ).collect()[0]
+    dmin, dmax, n_days = int(b["d0"]), int(b["d1"]), int(b["nd"])
+    lags = spark.range(1, dmax - dmin + 1).select(F.col("id").alias("k"))
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    bb = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(bb, F.col("db") == F.col("da") + F.col("k"))
+        .select(
+            ((F.col("xb") - F.col("xa")) * 10000).alias("num"), "k"
+        )
+    )
+    slopes = pairs.select(
+        F.expr("(num - ((num % k) + k) % k) div k").alias("v")
+    )
+    pv = slopes.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    ).withColumn("a", F.col("t"))
+    tot = pv.agg(F.sum("t").cast("long").alias("n_pairs"))
+    cum = _cum_by_value(pv, width_bits=33).crossJoin(F.broadcast(tot))
+    med = cum.where(2 * F.col("cum_t") >= F.col("n_pairs")).agg(
+        F.min("v").cast("long").alias("slope_e4")
+    )
+    # bounded 1-scalar collect between the two median passes (the
+    # dims max-id pattern): the fitted slope re-enters as a literal
+    slope_e4 = int(med.collect()[0]["slope_e4"])
+    resid = daily.select(
+        (F.col("x") * 10000 - F.lit(slope_e4) * (F.col("d") - dmin)).alias(
+            "v"
+        )
+    )
+    rpv = resid.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    ).withColumn("a", F.col("t"))
+    rcum = _cum_by_value(rpv, width_bits=33)
+    imed = rcum.where(2 * F.col("cum_t") >= n_days).agg(
+        F.min("v").cast("long").alias("intercept_e4")
+    )
+    return (
+        tot.crossJoin(F.broadcast(imed))
+        .select(
+            F.lit(n_days).cast("long").alias("n_days"),
+            "n_pairs",
+            (
+                F.col("n_pairs")
+                == F.lit(n_days * (n_days - 1) // 2).cast("long")
+            ).alias("pairs_ok"),
+            F.lit(slope_e4).cast("long").alias("slope_e4"),
+            "intercept_e4",
+        )
+    )
