@@ -25,6 +25,7 @@ from concurrent_etl_spark import queries_llm4  # noqa: F401 — registers querie
 from concurrent_etl_spark import queries_llm5  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_llm6  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_mining  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_mining2  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_relational2  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_relational3  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_relational4  # noqa: F401 — registers queries
