@@ -318,3 +318,361 @@ def q_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("epochs_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination: n-gram window overlap between eval and train splits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decontaminate_ngram_windows",
+    oracle=f"""
+    WITH ev AS (
+      SELECT doc_id, {_tok('lower(text)')} AS toks
+      FROM documents WHERE doc_id % 10 = 0),
+    tr AS (
+      SELECT {_tok('lower(text)')} AS toks
+      FROM documents WHERE doc_id % 10 <> 0),
+    evw AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + 4), ' ') AS w
+      FROM ev, unnest(range(1, len(toks) - 3)) AS u(i)
+      WHERE len(toks) >= 5),
+    trw AS (
+      SELECT DISTINCT array_to_string(list_slice(toks, i, i + 4), ' ') AS w
+      FROM tr, unnest(range(1, len(toks) - 3)) AS u(i)
+      WHERE len(toks) >= 5),
+    nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM evw
+           GROUP BY doc_id),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nh
+             FROM evw WHERE w IN (SELECT w FROM trw)
+             GROUP BY doc_id)
+    SELECT e.doc_id,
+           COALESCE(nw.n, 0) AS n_windows,
+           COALESCE(h.nh, 0) AS n_contam,
+           CAST(CASE WHEN COALESCE(nw.n, 0) > 0
+                     THEN (COALESCE(h.nh, 0) * 2000000 + nw.n)
+                          // (2 * nw.n)
+                     ELSE 0 END AS BIGINT) AS contam_e6,
+           COALESCE(h.nh, 0) * 5 > COALESCE(nw.n, 0) AS drop_doc
+    FROM ev e
+    LEFT JOIN nw ON nw.doc_id = e.doc_id
+    LEFT JOIN hits h ON h.doc_id = e.doc_id
+    """,
+)
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination by exact 5-token-window overlap —
+    the n-gram decontamination procedure of the GPT-3 appendix and
+    Lee et al. 2022 (public): an eval document is contaminated in
+    proportion to how many of its distinct 5-gram token windows
+    appear verbatim anywhere in the training split, and dropped when
+    the contaminated fraction exceeds 20%.
+
+    Complements contamination_check (bigram-shingle containment
+    against ONE candidate train doc): windows here are longer
+    (5 tokens — precise, few chance collisions) and matched against
+    the train split's GLOBAL window vocabulary, which is the actual
+    production shape — the train side compiles once to a distinct
+    window table and every eval batch probes it.
+
+    Exactness: windows are staged arrays (sequence + slice over the
+    token array — computed once per doc, no per-window
+    re-tokenization), counts are integers, the fraction uses the
+    half-up (2a+b) div 2b trick, and the drop verdict is the pure
+    integer comparison n_contam * 5 > n_windows. Docs under 5 tokens
+    (e.g. the zh slice, whose chars the whitespace tokenizer keeps
+    as one token) report zero windows and never drop.
+
+    100 TB shape: the train window table is ONE hash groupBy
+    (distinct), the probe is a broadcast-or-shuffle semi-join keyed
+    on the window string; eval cost is proportional to the eval
+    split, never to train x eval.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 10 == 0).alias("is_eval"),
+        T.tokens(F.lower(F.col("text"))).alias("toks"),
+    )
+    wins = toks.select(
+        "doc_id",
+        "is_eval",
+        F.when(
+            F.size("toks") >= 5,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 5)),
+                )
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("ws"),
+    )
+    evw = wins.where(F.col("is_eval")).select(
+        "doc_id", F.explode("ws").alias("w")
+    )
+    trw = (
+        wins.where(~F.col("is_eval"))
+        .select(F.explode("ws").alias("w"))
+        .distinct()
+    )
+    nw = evw.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    hits = (
+        evw.join(trw, "w", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nh"))
+    )
+    base = docs.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    n = F.coalesce(F.col("n"), F.lit(0))
+    nh = F.coalesce(F.col("nh"), F.lit(0))
+    return (
+        base.join(nw, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_windows"),
+            nh.alias("n_contam"),
+            F.when(
+                n > 0,
+                F.expr(
+                    "(coalesce(nh, 0) * 2000000 + coalesce(n, 0))"
+                    " div (2 * coalesce(n, 0))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("contam_e6"),
+            (nh * 5 > n).alias("drop_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding S-curve: observed recall vs the analytic 1-(1-s^r)^b
+# ---------------------------------------------------------------------------
+
+from concurrent_etl_spark.operators import dedup as D  # noqa: E402
+from concurrent_etl_spark.operators.dedup import (  # noqa: E402
+    LSH_BANDS,
+    MINHASH_K,
+)
+from concurrent_etl_spark.queries_llm import (  # noqa: E402
+    _LSH_PAIRS,
+    _shingles,
+)
+
+#: S-curve audit cohort: a fixed doc_id slice plus every injected
+#: mutant's source — banding recall is a property of the DETECTOR
+#: CONFIG, not of corpus size, so the audit measures it on a bounded
+#: sample (exactly how you'd tune bands/rows before a 100 TB run;
+#: truth generation on the full corpus would be a second dedup job).
+_SCURVE_COHORT_SQL = "doc_id % 10 = 0 OR doc_id < 40"
+
+_CORPUS_NEAR_COHORT = f"""corpus AS (
+  SELECT doc_id, text FROM documents WHERE {_SCURVE_COHORT_SQL}
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_slice({_tok('text')}, 3, 100000000), ' ')
+           AS text
+  FROM documents WHERE doc_id < 40
+)"""
+
+#: analytic band-collision probability per exact-Jaccard decile
+#: bucket (bucket b covers permille [b*100, b*100+99]; midpoint s);
+#: computed ONCE in Python and injected as identical literals into
+#: both engines — pow() differs across libms, so it must never run
+#: inside either engine's expression tree.
+_SCURVE_ROWS = MINHASH_K // LSH_BANDS
+_SCURVE_EXPECTED_E6 = {
+    b: round(
+        (
+            1.0
+            - (
+                1.0
+                - ((1.0 if b == 10 else (b * 100 + 50) / 1000.0))
+                ** _SCURVE_ROWS
+            )
+            ** LSH_BANDS
+        )
+        * 1e6
+    )
+    for b in range(5, 11)
+}
+
+
+def _scurve_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {b} THEN {e6}" for b, e6 in _SCURVE_EXPECTED_E6.items()
+    )
+    return f"CASE bucket {whens} END"
+
+
+@query(
+    "lsh_scurve_tuning_audit",
+    oracle=f"""
+    WITH {_CORPUS_NEAR_COHORT},
+    {_LSH_PAIRS},
+    shl AS (SELECT doc_id, {_shingles('lower(text)')} AS shg FROM corpus),
+    tokf AS (SELECT doc_id, unnest(shg) AS t FROM shl),
+    sizes AS (SELECT doc_id, len(shg) AS sz FROM shl),
+    dfr AS (SELECT t, COUNT(*) AS df FROM tokf GROUP BY t),
+    ranked AS (
+      SELECT tokf.doc_id, tokf.t,
+             row_number() OVER (PARTITION BY tokf.doc_id
+                                ORDER BY dfr.df, tokf.t) AS pos
+      FROM tokf JOIN dfr ON tokf.t = dfr.t),
+    prefix AS (
+      SELECT r.doc_id, r.t, s.sz
+      FROM ranked r JOIN sizes s ON r.doc_id = s.doc_id
+      WHERE r.pos <= s.sz - CAST(ceil(s.sz * 50 / 100.0) AS BIGINT) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.t = b.t AND a.doc_id < b.doc_id
+       AND b.sz * 100 >= a.sz * 50 AND a.sz * 100 >= b.sz * 50),
+    truth AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(sa.shg, sb.shg)) AS inter,
+             len(list_distinct(list_concat(sa.shg, sb.shg))) AS un
+      FROM cand c
+      JOIN shl sa ON sa.doc_id = c.doc_a
+      JOIN shl sb ON sb.doc_id = c.doc_b),
+    tp AS (
+      SELECT doc_a, doc_b, inter * 1000 // un AS pm
+      FROM truth WHERE inter * 2 >= un),
+    joined AS (
+      SELECT tp.pm // 100 AS bucket,
+             CASE WHEN lp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM tp LEFT JOIN pairs lp
+        ON lp.doc_a = tp.doc_a AND lp.doc_b = tp.doc_b)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_lsh_hit,
+           CAST((SUM(hit) * 2000000 + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS recall_e6,
+           CAST({_scurve_case_sql()} AS BIGINT) AS expected_e6
+    FROM joined GROUP BY bucket
+    """,
+)
+def q_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH banding S-curve, measured against EXACT ground
+    truth — the tuning artifact that decides (bands, rows) before a
+    100 TB dedup run (the S-curve analysis of Leskovec/Rajaraman/
+    Ullman, "Mining of Massive Datasets" ch.3 — public).
+
+    Ground truth: every pair with exact bigram-shingle Jaccard >= 0.5
+    WITHIN a fixed audit cohort (doc_id % 10 = 0 plus every injected
+    mutant's source — banding recall is a property of the detector
+    CONFIG, so it is measured on a bounded sample, exactly how
+    banding is tuned before a full run; truth over the whole corpus
+    would itself be a second dedup job). Pairs come from a PPJoin
+    prefix-filter self-join with the canonical length filter
+    (rare-first global shingle order — complete, no false negatives;
+    the same machinery as prefix_filter_jaccard_join but over SHINGLE
+    sets at the lower threshold the audit needs). Pairs bucket by
+    exact Jaccard decile; the
+    production 8-band x 3-row detector's candidate set left-joins on,
+    and each bucket reports observed recall next to the analytic
+    1 - (1 - s^r)^b at the bucket midpoint. The expected values are
+    Python-computed literals injected into BOTH engines (pow differs
+    across libms — it must not run in either engine). The gap column
+    pair (recall vs expected) is the audit's finding: a detector
+    drifting from its analytic curve means broken hashing or band
+    wiring, and LOW buckets (5-6) are SUPPOSED to show partial
+    recall — that is what banding trades away.
+
+    100 TB shape: truth generation is the PPJoin bound (sum of
+    prefix-posting-list squares); the LSH side is the production
+    banded join; the comparison joins two pair sets on their keys.
+    Nothing is all-pairs.
+    """
+    corpus = D.with_injected_near_dups(
+        _docs(spark, sf_dir).where(
+            (F.col("doc_id") % 10 == 0) | (F.col("doc_id") < 40)
+        )
+    )
+    shl = (
+        D.staged_shingles(corpus)
+        .select("doc_id", F.array_distinct("sh").alias("shg"))
+        .persist()
+    )
+    tokf = shl.select("doc_id", F.explode("shg").alias("t"))
+    sizes = shl.select("doc_id", F.size("shg").alias("sz"))
+    dfr = tokf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "t")
+    ranked = tokf.join(dfr, "t").select(
+        "doc_id", "t", F.row_number().over(w).alias("pos")
+    )
+    prefix = (
+        ranked.join(F.broadcast(sizes), "doc_id")
+        .where(
+            F.col("pos")
+            <= F.col("sz") - F.ceil(F.col("sz") * 50 / 100.0).cast("bigint") + 1
+        )
+        .select("doc_id", "t", "sz")
+    )
+    # canonical PPJoin length filter: |A| and |B| must be within a
+    # factor 1/t of each other or Jaccard >= t is impossible
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "t", F.col("sz").alias("sza"))
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"), "t", F.col("sz").alias("szb")
+            ),
+            "t",
+        )
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("szb") * 100 >= F.col("sza") * 50)
+            & (F.col("sza") * 100 >= F.col("szb") * 50)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    truth = (
+        cand.join(
+            shl.select(F.col("doc_id").alias("doc_a"), F.col("shg").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            shl.select(F.col("doc_id").alias("doc_b"), F.col("shg").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            F.size(F.array_union("sa", "sb")).alias("un"),
+        )
+        .where(F.col("inter") * 2 >= F.col("un"))
+        .select("doc_a", "doc_b", F.expr("inter * 1000 div un").alias("pm"))
+    )
+    lsh = D.minhash_lsh_pairs(corpus).select(
+        F.col("doc_a").alias("la"), F.col("doc_b").alias("lb"), F.lit(1).alias("hit")
+    )
+    joined = truth.join(
+        lsh,
+        (F.col("doc_a") == F.col("la")) & (F.col("doc_b") == F.col("lb")),
+        "left",
+    ).select(
+        F.expr("pm div 100").alias("bucket"),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    expected = F.lit(None).cast("long")
+    for b, e6 in _SCURVE_EXPECTED_E6.items():
+        expected = F.when(F.col("bucket") == b, F.lit(e6)).otherwise(expected)
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum("hit").cast("long").alias("n_lsh_hit"),
+        F.expr(
+            "CAST((sum(hit) * 2000000 + count(1)) div (2 * count(1)) AS BIGINT)"
+        ).alias("recall_e6"),
+    ).select(
+        "bucket",
+        "n_true_pairs",
+        "n_lsh_hit",
+        "recall_e6",
+        expected.cast("long").alias("expected_e6"),
+    )
