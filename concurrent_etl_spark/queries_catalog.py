@@ -2720,3 +2720,122 @@ def q_txn_vacuum_retention_audit(
             "keysum_retained_v3",
         )
     )
+
+
+@query(
+    "write_audit_publish_txn",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(s_suppkey AS BIGINT) AS k, s_name AS name,
+             CAST(floor(s_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM supplier),
+    cand AS (
+      SELECT k, name, bal_cents + 500 AS bal_cents
+      FROM base JOIN supplier ON k = s_suppkey
+      WHERE s_nationkey < 2),
+    final AS (
+      SELECT k, name, bal_cents FROM cand
+      UNION ALL
+      SELECT k, name, bal_cents FROM base
+      WHERE k NOT IN (SELECT k FROM cand))
+    SELECT k, name, bal_cents,
+           CAST(2 AS BIGINT) AS latest_version,
+           CAST(2 AS BIGINT) AS n_rejected
+    FROM final
+    """,
+)
+def q_write_audit_publish_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on the commit-log table format — the
+    Iceberg/Delta staging pattern (public: Netflix's WAP workflow):
+    a batch is fully materialized and AUDITED before any commit
+    record can publish it, so downstream readers never observe a
+    snapshot that failed its quality gate.
+
+    Lifecycle under the gate: v1 = supplier base snapshot through
+    ``txn_commit``; then a candidate batch (nation-0/1 suppliers with
+    a 500-cent credit) arrives CARRYING TWO POISON ROWS — a NULL key
+    and an empty name, the classic feed defects. The audit (key NOT
+    NULL, name non-empty) fails the dirty batch, so it is NOT
+    published; the repaired batch re-audits clean and publishes as v2
+    via ``txn_merge``. The query reads the latest snapshot back
+    through the log with the version counter and the rejected-row
+    count attached (data-side 1-row aggregate, broadcast). If the
+    gate ever published the dirty batch — or refused the clean one —
+    the rows, the version column, or n_rejected change and the hash
+    fails. The oracle recomputes the expected published state from
+    the parquet source.
+
+    Guarded construction-time build keyed by application id + sf
+    (txn_merge_audit's discipline: any partial state is detectable
+    by version count alone and rebuilds).
+
+    100 TB shape: the audit runs on the STAGED data directory before
+    the O_EXCL commit-record CAS — cost is one scan of the batch,
+    never of the table; publish is metadata-only on top of the
+    already-written files.
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from concurrent_etl_spark.sources.txn import (
+        txn_commit,
+        txn_latest,
+        txn_merge,
+        txn_read,
+    )
+
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        app = spark.conf.get("spark.app.id", "app")
+    tag = _hashlib.md5(f"{app}|{sf_dir}|wap".encode()).hexdigest()[:12]
+    path = _os.path.join(_tempfile.gettempdir(), "ces_wap", tag)
+
+    sup = load_table(spark, sf_dir, "supplier")
+    base = sup.select(
+        F.col("s_suppkey").cast("bigint").alias("k"),
+        F.col("s_name").alias("name"),
+        F.floor(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    poison = spark.createDataFrame(
+        [(None, "ghost", 100), (998, "", 77)],
+        "k long, name string, bal_cents long",
+    )
+    candidate = (
+        base.join(
+            sup.where(F.col("s_nationkey") < 2).select(
+                F.col("s_suppkey").cast("bigint").alias("k")
+            ),
+            "k",
+            "left_semi",
+        )
+        .withColumn("bal_cents", F.col("bal_cents") + 500)
+        .unionByName(poison)
+    )
+    viol = F.col("k").isNull() | (F.col("name") == "")
+
+    if txn_latest(path) != 2:
+        _shutil.rmtree(path, ignore_errors=True)
+        txn_commit(base, path)
+        # WAP gate: audit the staged batch; publish ONLY a batch
+        # whose audit comes back clean. The dirty candidate must
+        # fail here — publishing it would change the final rows and
+        # fail the oracle hash.
+        for staged in (candidate, candidate.where(~viol)):
+            if staged.where(viol).count() == 0:
+                txn_merge(spark, path, staged, ["k"])
+                break
+
+    rejected = candidate.where(viol).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rejected")
+    )
+    return (
+        txn_read(spark, path)
+        .select("k", "name", "bal_cents")
+        .withColumn(
+            "latest_version", F.lit(txn_latest(path)).cast("bigint")
+        )
+        .crossJoin(F.broadcast(rejected))
+    )
