@@ -492,11 +492,14 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     series both ways.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # the daily rollup feeds FIVE consumers (st, den, both pair
+    # sides, the final stat join) — persist the date-bounded table so
+    # the fact scan happens once, not once per consumer
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
         .alias("x")
-    )
+    ).persist()
     st = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s"),
