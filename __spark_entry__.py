@@ -295,6 +295,9 @@ _CHECK_FIRST = [
     "decontaminate_ngram_windows",
     "lsh_scurve_tuning_audit",
     "write_audit_publish_txn",
+    "poisson_bootstrap_ci",
+    "brier_score_decomposition",
+    "phrase_query_positional",
 ]
 
 def _driver_verified() -> set[str]:

@@ -1232,3 +1232,88 @@ def q_negative_sampling_table(
         .orderBy(F.desc("w_e6"), F.asc("token"))
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# positional phrase query over the inverted index
+# ---------------------------------------------------------------------------
+
+#: query phrases for the positional index; chosen from the synthetic
+#: corpus vocabulary so every scale factor has matches
+_PHRASES = [("merge data", ["merge", "data"]), ("sort the table", ["sort", "the", "table"])]
+
+
+@query(
+    "phrase_query_positional",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({_tok('lower(text)')}) AS t,
+             generate_subscripts({_tok('lower(text)')}, 1) AS pos
+      FROM documents),
+    m1 AS (
+      SELECT 'merge data' AS phrase, p1.doc_id, p1.pos
+      FROM tok p1
+      JOIN tok p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+      WHERE p1.t = 'merge' AND p2.t = 'data'),
+    m2 AS (
+      SELECT 'sort the table' AS phrase, p1.doc_id, p1.pos
+      FROM tok p1
+      JOIN tok p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+      JOIN tok p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+      WHERE p1.t = 'sort' AND p2.t = 'the' AND p3.t = 'table'),
+    hits AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+    SELECT phrase, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY phrase, doc_id
+    """,
+)
+def q_phrase_query_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE matching over a positional inverted index — the
+    positional-postings half of the retrieval stack that
+    ``inverted_index_postings`` (docfreq postings) and
+    ``bm25_retrieval_topk`` (bag-of-words scoring) don't cover: a
+    phrase matches only where its terms appear CONSECUTIVELY, found
+    by equi-joining each term's postings on (doc_id, pos + offset) —
+    the Lucene positional-query plan.
+
+    Per (phrase, doc): match count and first match position, both
+    exact integers. Two phrases (a bigram and a trigram) run in one
+    plan; the trigram chains a second offset join.
+
+    100 TB shape: postings build is one posexplode scan; each term's
+    postings list is docfreq-proportional, and the adjacency join
+    keys on (doc_id, pos) — selective terms first would prune
+    hardest, but even as-is nothing joins beyond the phrase terms'
+    postings. Output is match-bounded.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos0", "t"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    tok = tok.persist()
+
+    hits = None
+    for phrase, terms in _PHRASES:
+        m = tok.where(F.col("t") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p1")
+        )
+        for i, term in enumerate(terms[1:], start=1):
+            nxt = tok.where(F.col("t") == term).select(
+                F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+            )
+            m = m.join(
+                nxt,
+                (F.col("d2") == F.col("doc_id"))
+                & (F.col("p2") == F.col("p1") + i),
+            ).select("doc_id", "p1")
+        m = m.select(
+            F.lit(phrase).alias("phrase"), "doc_id", F.col("p1").alias("pos")
+        )
+        hits = m if hits is None else hits.unionByName(m)
+    return hits.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )

@@ -677,3 +677,343 @@ def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept_e4",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (deterministic replicates)
+# ---------------------------------------------------------------------------
+
+#: cumulative Poisson(1) CDF at 1e-9 resolution, k = 0..7 (k >= 8 is
+#: the residual 1e-5 tail, capped). Computed ONCE in Python and
+#: injected as identical literals into both engines — exp/factorial
+#: must not run in-engine.
+_POIS_CDF_E9 = [
+    367879441,
+    735758882,
+    919698603,
+    981011843,
+    996340153,
+    999405815,
+    999916759,
+    999989751,
+]
+_BOOT_B = 64
+
+
+def _pois_weight_sql(u: str) -> str:
+    return (
+        "("
+        + " + ".join(f"CASE WHEN {u} >= {c} THEN 1 ELSE 0 END" for c in _POIS_CDF_E9)
+        + ")"
+    )
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH rows_in AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders),
+    obs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+      FROM rows_in),
+    reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    weighted AS (
+      SELECT b,
+             CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(w * x) AS BIGINT) AS swx
+      FROM (
+        SELECT r.b, rows_in.x,
+               {_pois_weight_sql(
+                   "('0x' || substr(md5('boot' || r.b || '_' || rows_in.k), 1, 8))"
+                   "::BIGINT % 1000000000"
+               )} AS w
+        FROM rows_in, reps r)
+      GROUP BY b),
+    means AS (
+      SELECT b, CAST((swx * 20000 + sw) // (2 * sw) AS BIGINT) AS m_e4
+      FROM weighted),
+    ranked AS (
+      SELECT a.b, a.m_e4,
+             SUM(CASE WHEN m2.m_e4 < a.m_e4
+                       OR (m2.m_e4 = a.m_e4 AND m2.b <= a.b)
+                      THEN 1 ELSE 0 END) AS rk
+      FROM means a, means m2
+      GROUP BY a.b, a.m_e4)
+    SELECT n,
+           CAST((sx * 20000 + n) // (2 * n) AS BIGINT) AS mean_e4,
+           CAST({_BOOT_B} AS BIGINT) AS n_reps,
+           CAST(MIN(CASE WHEN rk = 2 THEN m_e4 END) AS BIGINT) AS ci_lo_e4,
+           CAST(MIN(CASE WHEN rk = {_BOOT_B - 1} THEN m_e4 END)
+                AS BIGINT) AS ci_hi_e4,
+           MIN(CASE WHEN rk = 2 THEN m_e4 END)
+             <= MIN(CASE WHEN rk = {_BOOT_B - 1} THEN m_e4 END) AS ci_ok
+    FROM ranked, obs
+    GROUP BY n, sx
+    """,
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean order value with
+    DETERMINISTIC md5-derived replicate weights — the
+    single-pass bootstrap for datasets too large to resample by
+    index (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", 2012 — public): per replicate b each row enters with an
+    independent Poisson(1) count, realized here by inverting the
+    Poisson CDF (Python-computed e9 thresholds, identical literals
+    both engines) on the md5 uniform of (replicate, order key).
+
+    All {_BOOT_B} replicates ride ONE map-side-combinable aggregate
+    (the permutation-test discipline: replicates cost partial sums,
+    not shuffles); each replicate mean is the exact half-up e4
+    integer (swx*2e4 + sw) div (2*sw). The CI endpoints are the 2nd
+    and 63rd order statistics of the 64 replicate means, found by an
+    exact rank self-join of the bounded 64-row replicate table (no
+    window, no sort). ci_ok pins lo <= hi.
+
+    100 TB shape: one scan of the fact table fanned out 64x into
+    partial sums; the rank join is 64 x 64 rows however large the
+    data. Long carriage is safe while 8 * max_cents * rows * 2e4
+    < 2^63 (~2e13 at sf0.1); DECIMAL promotion beyond.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rows_in = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    obs = rows_in.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    reps = spark.range(_BOOT_B).select(F.col("id").alias("b"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                        F.lit("_"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000000
+    )
+    w = sum(
+        (u >= c).cast("long") for c in _POIS_CDF_E9
+    )
+    weighted = (
+        rows_in.crossJoin(F.broadcast(reps))
+        .select("b", "x", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),
+        )
+    )
+    means = weighted.select(
+        "b", F.expr("CAST((swx * 20000 + sw) div (2 * sw) AS BIGINT)").alias("m_e4")
+    )
+    m2 = means.select(F.col("b").alias("b2"), F.col("m_e4").alias("m2_e4"))
+    ranked = (
+        means.crossJoin(F.broadcast(m2))
+        .groupBy("b", "m_e4")
+        .agg(
+            F.sum(
+                (
+                    (F.col("m2_e4") < F.col("m_e4"))
+                    | (
+                        (F.col("m2_e4") == F.col("m_e4"))
+                        & (F.col("b2") <= F.col("b"))
+                    )
+                ).cast("long")
+            ).alias("rk")
+        )
+    )
+    lo = F.min(F.when(F.col("rk") == 2, F.col("m_e4")))
+    hi = F.min(F.when(F.col("rk") == _BOOT_B - 1, F.col("m_e4")))
+    return (
+        ranked.crossJoin(F.broadcast(obs))
+        .groupBy("n", "sx")
+        .agg(
+            lo.cast("long").alias("ci_lo_e4"),
+            hi.cast("long").alias("ci_hi_e4"),
+            (lo <= hi).alias("ci_ok"),
+        )
+        .select(
+            "n",
+            F.expr("CAST((sx * 20000 + n) div (2 * n) AS BIGINT)").alias(
+                "mean_e4"
+            ),
+            F.lit(_BOOT_B).cast("long").alias("n_reps"),
+            "ci_lo_e4",
+            "ci_hi_e4",
+            "ci_ok",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score decomposition (reliability / resolution / uncertainty)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "brier_score_decomposition",
+    oracle="""
+    WITH d AS (
+      SELECT least(15, n_chars // 64) AS p16,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+      FROM documents),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(o) AS BIGINT) AS s,
+             CAST(SUM((p16 - 16 * o) * (p16 - 16 * o)) AS BIGINT) AS sq256
+      FROM d),
+    bins AS (
+      SELECT p16, CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(o) AS BIGINT) AS s_k
+      FROM d GROUP BY p16),
+    per AS (
+      SELECT p16, n_k, s_k,
+             CAST(round(
+               CAST((n_k * p16 - 16 * s_k) * (n_k * p16 - 16 * s_k)
+                    AS DOUBLE)
+               / (256.0 * n_k * t.n) * 1000000000) AS BIGINT)
+               AS rel_contrib_e9,
+             CAST(round(
+               CAST(CAST(t.n AS DECIMAL(38,0)) * s_k
+                    - CAST(n_k AS DECIMAL(38,0)) * t.s AS DOUBLE)
+               * CAST(CAST(t.n AS DECIMAL(38,0)) * s_k
+                      - CAST(n_k AS DECIMAL(38,0)) * t.s AS DOUBLE)
+               / (CAST(n_k AS DOUBLE) * CAST(t.n AS DOUBLE) * t.n * t.n)
+               * 1000000000) AS BIGINT) AS res_contrib_e9
+      FROM bins, tot t),
+    sums AS (
+      SELECT CAST(SUM(rel_contrib_e9) AS BIGINT) AS rel_e9,
+             CAST(SUM(res_contrib_e9) AS BIGINT) AS res_e9
+      FROM per)
+    SELECT p16, n_k, s_k, rel_contrib_e9, res_contrib_e9,
+           CAST(round(CAST(sq256 AS DOUBLE) / (256.0 * n) * 1000000000)
+                AS BIGINT) AS brier_e9,
+           rel_e9, res_e9,
+           CAST(round(CAST(CAST(s AS DECIMAL(38,0)) * (n - s) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * n) * 1000000000)
+                AS BIGINT) AS unc_e9,
+           CAST(round(CAST(sq256 AS DOUBLE) / (256.0 * n) * 1000000000)
+                AS BIGINT)
+             - (rel_e9 - res_e9
+                + CAST(round(CAST(CAST(s AS DECIMAL(38,0)) * (n - s)
+                                  AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * n) * 1000000000)
+                       AS BIGINT)) AS identity_gap_e9
+    FROM per, sums, tot
+    """,
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973, public):
+    BS = reliability - resolution + uncertainty, for a discrete
+    length-based probability forecast (p = min(15, n_chars/64)/16) of
+    the lang='en' outcome — the forecast-quality readout that says
+    WHY a score is bad (miscalibrated vs uninformative), one level
+    deeper than classifier_calibration_bins' reliability diagram.
+
+    The forecast is discrete by construction (16ths), so the
+    decomposition identity holds exactly in rationals: the Brier
+    numerator sum((p16 - 16o)^2) is an exact long; per-bin
+    reliability (n_k*p16 - 16*s_k)^2 / (256*n_k*N) and resolution
+    (N*s_k - n_k*S)^2 / (n_k*N^3) numerators are exact
+    integers/DECIMALs into one IEEE division each, rounded to e9.
+    identity_gap_e9 = brier - (rel - res + unc) carries the rounding
+    residue (a few e-9 units): both engines compute identical
+    per-term roundings, so the gap itself is deterministic — and
+    near-zero, which pins all four terms against each other.
+
+    100 TB shape: one scan to the 16-row bin table + one 3-scalar
+    total; everything after is bin-table algebra. N^3 rides inside
+    doubles built from DECIMAL-exact operands.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.least(F.lit(15), F.expr("n_chars div 64")).cast("long").alias("p16"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("o"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o").cast("long").alias("s"),
+        F.sum(
+            (F.col("p16") - 16 * F.col("o")) * (F.col("p16") - 16 * F.col("o"))
+        )
+        .cast("long")
+        .alias("sq256"),
+    )
+    bins = d.groupBy("p16").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("o").cast("long").alias("s_k"),
+    )
+    reln = F.col("n_k") * F.col("p16") - 16 * F.col("s_k")
+    resn = (
+        F.col("n").cast("decimal(38,0)") * F.col("s_k")
+        - F.col("n_k").cast("decimal(38,0)") * F.col("s")
+    )
+    per = bins.crossJoin(F.broadcast(tot)).select(
+        "p16",
+        "n_k",
+        "s_k",
+        "n",
+        "s",
+        "sq256",
+        F.round(
+            (reln * reln).cast("double")
+            / (256.0 * F.col("n_k") * F.col("n"))
+            * 1000000000
+        )
+        .cast("long")
+        .alias("rel_contrib_e9"),
+        F.round(
+            resn.cast("double")
+            * resn.cast("double")
+            / (
+                F.col("n_k").cast("double")
+                * F.col("n").cast("double")
+                * F.col("n")
+                * F.col("n")
+            )
+            * 1000000000
+        )
+        .cast("long")
+        .alias("res_contrib_e9"),
+    )
+    sums = per.agg(
+        F.sum("rel_contrib_e9").cast("long").alias("rel_e9"),
+        F.sum("res_contrib_e9").cast("long").alias("res_e9"),
+    )
+    brier = F.round(
+        F.col("sq256").cast("double") / (256.0 * F.col("n")) * 1000000000
+    ).cast("long")
+    unc = F.round(
+        (F.col("s").cast("decimal(38,0)") * (F.col("n") - F.col("s"))).cast(
+            "double"
+        )
+        / (F.col("n").cast("double") * F.col("n"))
+        * 1000000000
+    ).cast("long")
+    return per.crossJoin(F.broadcast(sums)).select(
+        "p16",
+        "n_k",
+        "s_k",
+        "rel_contrib_e9",
+        "res_contrib_e9",
+        brier.alias("brier_e9"),
+        "rel_e9",
+        "res_e9",
+        unc.alias("unc_e9"),
+        (brier - (F.col("rel_e9") - F.col("res_e9") + unc)).alias(
+            "identity_gap_e9"
+        ),
+    )
