@@ -298,6 +298,7 @@ _CHECK_FIRST = [
     "poisson_bootstrap_ci",
     "brier_score_decomposition",
     "phrase_query_positional",
+    "mmr_diversified_topk",
 ]
 
 def _driver_verified() -> set[str]:

@@ -1317,3 +1317,168 @@ def q_phrase_query_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("pos").cast("long").alias("first_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k retrieval (unrolled greedy, integer-exact)
+# ---------------------------------------------------------------------------
+
+_MMR_TERMS = ["merge", "data", "table", "sort"]
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _MMR_TERMS)
+    step = """
+    cand{k} AS (
+      SELECT p.doc_id, p.rel_pm,
+             MAX(s.sim_pm) AS max_sim_pm
+      FROM pool_sc p
+      JOIN sims s ON s.da = p.doc_id
+      JOIN sel{p} ON s.db = sel{p}.doc_id
+      WHERE p.doc_id NOT IN (SELECT doc_id FROM sel{p})
+      GROUP BY p.doc_id, p.rel_pm),
+    pick{k} AS (
+      SELECT CAST({k} AS BIGINT) AS rank, doc_id, rel_pm, max_sim_pm,
+             7 * rel_pm - 3 * max_sim_pm AS mmr_x10
+      FROM cand{k}
+      ORDER BY 7 * rel_pm - 3 * max_sim_pm DESC, doc_id LIMIT 1),
+    sel{k} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM pick{k})"""
+    steps = ",".join(
+        step.format(k=k, p=k - 1) for k in range(2, _MMR_K + 1)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_tok('lower(text)')}) AS t FROM documents),
+    rel AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+      FROM tok WHERE t IN ({terms}) GROUP BY doc_id),
+    pool AS (
+      SELECT doc_id, rel FROM rel ORDER BY rel DESC, doc_id
+      LIMIT {_MMR_POOL}),
+    mx AS (SELECT MAX(rel) AS mr FROM pool),
+    pool_sc AS (
+      SELECT doc_id, rel * 1000 // mx.mr AS rel_pm FROM pool, mx),
+    shl AS (
+      SELECT doc_id, {_shingles_sql('lower(text)')} AS shg
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM pool)),
+    sims AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             len(list_intersect(a.shg, b.shg)) * 1000
+               // len(list_distinct(list_concat(a.shg, b.shg))) AS sim_pm
+      FROM shl a JOIN shl b ON a.doc_id <> b.doc_id),
+    sel1 AS (
+      SELECT CAST(1 AS BIGINT) AS rank, doc_id, rel_pm,
+             CAST(0 AS BIGINT) AS max_sim_pm,
+             7 * rel_pm AS mmr_x10
+      FROM pool_sc ORDER BY rel_pm DESC, doc_id LIMIT 1),{steps}
+    SELECT rank, doc_id, rel_pm, max_sim_pm, mmr_x10 FROM sel{_MMR_K}
+    """
+
+
+from concurrent_etl_spark.queries_llm import _shingles as _shingles_sql  # noqa: E402
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998, public) — the re-ranking step between retrieval
+    and consumption that trades pure relevance for coverage: each of
+    5 greedy rounds picks argmax of 0.7*relevance - 0.3*max-
+    similarity-to-already-selected, so near-duplicate hits can't
+    crowd the result list (the retrieval-side cousin of SemDeDup).
+
+    Everything is integer-exact: relevance is the query-term
+    occurrence count normalized to permille of the pool max (floor
+    division), similarity is exact bigram-shingle Jaccard permille,
+    and the MMR objective is 7*rel_pm - 3*sim_pm in x10 units — no
+    floats anywhere, ties broken by doc_id. The greedy loop is
+    UNROLLED as five lazy DataFrame steps over the broadcast 20-row
+    candidate pool (anti-join the selected set, max-sim join, ordered
+    limit 1) — no driver-side collect; the oracle unrolls the same
+    five CTEs.
+
+    100 TB shape: only the relevance scan and the pool TakeOrdered
+    touch corpus-sized data; the pool (20 rows) and its 400-pair
+    similarity table bound every greedy step. Pool size and k are the
+    product knobs; the plan is identical at any corpus size.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t")
+    )
+    rel = (
+        tok.where(F.col("t").isin(*_MMR_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rel"))
+    )
+    pool = rel.orderBy(F.desc("rel"), "doc_id").limit(_MMR_POOL)
+    mx = pool.agg(F.max("rel").alias("mr"))
+    pool_sc = (
+        pool.crossJoin(F.broadcast(mx))
+        .select("doc_id", F.expr("rel * 1000 div mr").alias("rel_pm"))
+        .persist()
+    )
+    from concurrent_etl_spark.operators.dedup import staged_shingles
+
+    shl = (
+        staged_shingles(
+            docs.join(F.broadcast(pool.select("doc_id")), "doc_id", "left_semi")
+        )
+        .select("doc_id", F.array_distinct("sh").alias("shg"))
+        .persist()
+    )
+    a = shl.select(F.col("doc_id").alias("da"), F.col("shg").alias("sha"))
+    b = shl.select(F.col("doc_id").alias("db"), F.col("shg").alias("shb"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("da") != F.col("db"))
+        .select(
+            "da",
+            "db",
+            F.expr(
+                "size(array_intersect(sha, shb)) * 1000"
+                " div size(array_union(sha, shb))"
+            ).alias("sim_pm"),
+        )
+        .persist()
+    )
+    sel = (
+        pool_sc.orderBy(F.desc("rel_pm"), "doc_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "doc_id",
+            "rel_pm",
+            F.lit(0).cast("long").alias("max_sim_pm"),
+            (7 * F.col("rel_pm")).cast("long").alias("mmr_x10"),
+        )
+    )
+    for k in range(2, _MMR_K + 1):
+        cand = (
+            pool_sc.join(sel.select("doc_id"), "doc_id", "left_anti")
+            .join(F.broadcast(sims), F.col("doc_id") == F.col("da"))
+            .join(
+                F.broadcast(sel.select(F.col("doc_id").alias("sd"))),
+                F.col("db") == F.col("sd"),
+            )
+            .groupBy("doc_id", "rel_pm")
+            .agg(F.max("sim_pm").cast("long").alias("max_sim_pm"))
+        )
+        pick = (
+            cand.select(
+                F.lit(k).cast("long").alias("rank"),
+                "doc_id",
+                "rel_pm",
+                "max_sim_pm",
+                (7 * F.col("rel_pm") - 3 * F.col("max_sim_pm"))
+                .cast("long")
+                .alias("mmr_x10"),
+            )
+            .orderBy(F.desc("mmr_x10"), "doc_id")
+            .limit(1)
+        )
+        sel = sel.unionByName(pick)
+    return sel
