@@ -321,3 +321,109 @@ class TestWriteAuditPublish:
         assert not any(r["k"] == 998 or r["name"] == "ghost" for r in rows)
         again = _rows(spark, "write_audit_publish_txn")
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestPoissonBootstrap:
+    def test_matches_python_replicates(self, spark):
+        import hashlib
+
+        from concurrent_etl_spark.queries_stats2 import (
+            _BOOT_B,
+            _POIS_CDF_E9,
+        )
+
+        [row] = _rows(spark, "poisson_bootstrap_ci")
+        data = _duck(
+            "SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)"
+            " FROM orders"
+        )
+        n = len(data)
+        sx = sum(x for _, x in data)
+        assert row["n"] == n
+        assert row["mean_e4"] == (sx * 20000 + n) // (2 * n)
+        means = []
+        for b in range(_BOOT_B):
+            sw = swx = 0
+            for k, x in data:
+                u = (
+                    int(
+                        hashlib.md5(f"boot{b}_{k}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % 1000000000
+                )
+                w = sum(1 for c in _POIS_CDF_E9 if u >= c)
+                sw += w
+                swx += w * x
+            means.append((swx * 20000 + sw) // (2 * sw))
+        means.sort()
+        assert row["ci_lo_e4"] == means[1]
+        assert row["ci_hi_e4"] == means[_BOOT_B - 2]
+        assert row["ci_ok"] is True
+        assert row["ci_lo_e4"] <= row["mean_e4"] <= row["ci_hi_e4"]
+
+
+class TestBrierDecomposition:
+    def test_identity_and_recompute(self, spark):
+        rows = _rows(spark, "brier_score_decomposition")
+        docs = _duck(
+            "SELECT least(15, n_chars // 64),"
+            " CASE WHEN lang = 'en' THEN 1 ELSE 0 END FROM documents"
+        )
+        n = len(docs)
+        s = sum(o for _, o in docs)
+        sq = sum((p - 16 * o) ** 2 for p, o in docs)
+        brier_e9 = round(float(sq) / (256.0 * n) * 1e9)
+        unc_e9 = round(float(s * (n - s)) / (float(n) * n) * 1e9)
+        for r in rows:
+            assert r["brier_e9"] == brier_e9
+            assert r["unc_e9"] == unc_e9
+            # rounding residue only: one e-9 unit per bin each term
+            assert abs(r["identity_gap_e9"]) <= 4 * len(rows)
+            assert (
+                r["identity_gap_e9"]
+                == r["brier_e9"] - (r["rel_e9"] - r["res_e9"] + r["unc_e9"])
+            )
+        bins = {(r["p16"]): (r["n_k"], r["s_k"]) for r in rows}
+        assert sum(nk for nk, _ in bins.values()) == n
+        assert sum(sk for _, sk in bins.values()) == s
+
+
+class TestPhraseQuery:
+    def test_matches_python_scan(self, spark):
+        rows = _rows(spark, "phrase_query_positional")
+        docs = _duck("SELECT doc_id, lower(text) FROM documents")
+        expect = {}
+        for doc_id, text in docs:
+            toks = [t for t in text.strip().split() if t]
+            for phrase in ("merge data", "sort the table"):
+                terms = phrase.split()
+                hits = [
+                    i + 1
+                    for i in range(len(toks) - len(terms) + 1)
+                    if toks[i : i + len(terms)] == terms
+                ]
+                if hits:
+                    expect[(phrase, doc_id)] = (len(hits), hits[0])
+        got = {
+            (r["phrase"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+            for r in rows
+        }
+        assert got == expect
+
+
+class TestMMR:
+    def test_greedy_recompute(self, spark):
+        rows = sorted(_rows(spark, "mmr_diversified_topk"), key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        ids = [r["doc_id"] for r in rows]
+        assert len(set(ids)) == 5
+        # step 1 is the pure-relevance argmax: no other selected doc
+        # may have higher rel_pm than rank 1 (doc_id tiebreak)
+        assert all(
+            (r["rel_pm"], -r["doc_id"]) <= (rows[0]["rel_pm"], -rows[0]["doc_id"])
+            for r in rows[1:]
+        )
+        assert rows[0]["max_sim_pm"] == 0
+        for r in rows:
+            assert r["mmr_x10"] == 7 * r["rel_pm"] - 3 * r["max_sim_pm"]
