@@ -24,6 +24,7 @@ from concurrent_etl_spark import queries_llm3  # noqa: F401 — registers querie
 from concurrent_etl_spark import queries_llm4  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_llm5  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_llm6  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_llm7  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_mining  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_mining2  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_relational2  # noqa: F401 — registers queries
@@ -299,6 +300,12 @@ _CHECK_FIRST = [
     "brier_score_decomposition",
     "phrase_query_positional",
     "mmr_diversified_topk",
+    # r4 corpus-forensics tranche: winnowing fingerprints, skip-gram
+    # pair counts, Heaps'-law curve, Z-order layout audit
+    "winnowing_fingerprint",
+    "skipgram_window_counts",
+    "heaps_law_curve",
+    "zorder_layout_audit",
 ]
 
 def _driver_verified() -> set[str]:
