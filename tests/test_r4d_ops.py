@@ -1,0 +1,221 @@
+"""Independent Python recomputation for the corpus-forensics tranche:
+winnowing fingerprints straight from the Schleimer-et-al definition
+(slide every window, take rightmost min — no packed-key shortcut),
+skip-gram pairs from a literal position scan, Heaps' curve from a
+sequential set-growth fold, and the Z-order audit from a brute-force
+containment count. Each test recomputes from the raw parquet with
+none of the query's own machinery.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+
+from tests.conftest import SF_DIR
+
+
+def _rows(spark, name):
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()[name](spark, SF_DIR).collect()
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _winnow(txt: str, k: int = 5, w: int = 4) -> set[tuple[int, int]]:
+    """Literal winnowing: every window, rightmost minimum."""
+    hs = [_h32(txt[i : i + k]) for i in range(len(txt) - k + 1)]
+    sel = set()
+    for i in range(len(hs) - w + 1):
+        window = hs[i : i + w]
+        m = min(window)
+        # rightmost position attaining the min
+        j = max(p for p in range(w) if window[p] == m)
+        sel.add((i + j + 1, m))  # 1-based pos
+    return sel
+
+
+class TestWinnowing:
+    def test_matches_literal_definition(self, spark):
+        rows = {r["doc_id"]: r for r in _rows(spark, "winnowing_fingerprint")}
+        docs = _duck("SELECT doc_id, lower(text) FROM documents")
+        all_fp = {}
+        for doc_id, txt in docs:
+            if len(txt) < 8:
+                continue
+            all_fp[doc_id] = _winnow(txt)
+        # doc-frequency of each fingerprint hash across the corpus
+        from collections import Counter
+
+        dfreq = Counter()
+        for fps in all_fp.values():
+            for h in {h for _, h in fps}:
+                dfreq[h] += 1
+        assert set(rows) == set(all_fp)
+        for doc_id, fps in all_fp.items():
+            r = rows[doc_id]
+            hashes = {h for _, h in fps}
+            assert r["n_fp"] == len(fps)
+            assert r["n_fp_hashes"] == len(hashes)
+            assert r["n_shared_fp"] == sum(1 for h in hashes if dfreq[h] >= 2)
+            assert r["n_windows"] == r["n_grams"] - 3
+            assert r["density_pm"] == 1000 * len(fps) // r["n_windows"]
+
+    def test_guarantee_shared_substring_yields_shared_fp(self):
+        # K + W - 1 = 8: any shared 8-char substring must share a
+        # fingerprint (the winnowing theorem, Schleimer et al. §3)
+        a = "xxqwertyuizz"
+        b = "ppqwertyuioo"  # shares "qwertyui" (8 chars)
+        fa = {h for _, h in _winnow(a)}
+        fb = {h for _, h in _winnow(b)}
+        assert fa & fb
+
+
+class TestSkipgram:
+    def test_matches_position_scan(self, spark):
+        rows = _rows(spark, "skipgram_window_counts")
+        docs = _duck("SELECT doc_id, lower(text) FROM documents")
+        from collections import Counter
+
+        pairs = Counter()
+        for _, txt in docs:
+            toks = [t for t in txt.strip().split() if t]
+            for i, t in enumerate(toks):
+                for d in (1, 2):
+                    if i + d < len(toks):
+                        pairs[(t, toks[i + d])] += 1
+                        pairs[(toks[i + d], t)] += 1
+        mc = Counter()
+        xc = Counter()
+        for (c, x), n in pairs.items():
+            mc[c] += n
+            xc[x] += n
+        total = sum(pairs.values())
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        got = [(r["center"], r["context"], r["n_pairs"], r["lift_pm"]) for r in rows]
+        want = [
+            (c, x, n, 1000 * n * total // (mc[c] * xc[x])) for (c, x), n in ranked
+        ]
+        assert sorted(got) == sorted(want)
+
+
+class TestHeapsCurve:
+    def test_matches_sequential_fold(self, spark):
+        rows = sorted(_rows(spark, "heaps_law_curve"), key=lambda r: r["decile"])
+        docs = sorted(_duck("SELECT doc_id, lower(text) FROM documents"))
+        m = max(d for d, _ in docs) + 1
+        seen_uni: set[str] = set()
+        seen_bi: set[str] = set()
+        per_dec = {
+            i: {"docs": 0, "tok": 0, "uni": 0, "bi": 0} for i in range(1, 11)
+        }
+        for doc_id, txt in docs:
+            dec = doc_id * 10 // m + 1
+            toks = [t for t in txt.strip().split() if t]
+            per_dec[dec]["docs"] += 1
+            per_dec[dec]["tok"] += len(toks)
+            for t in toks:
+                if t not in seen_uni:
+                    seen_uni.add(t)
+                    per_dec[dec]["uni"] += 1
+            for bg in (
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            ):
+                if bg not in seen_bi:
+                    seen_bi.add(bg)
+                    per_dec[dec]["bi"] += 1
+        cd = ct = cu = cb = 0
+        assert [r["decile"] for r in rows] == list(range(1, 11))
+        for r in rows:
+            p = per_dec[r["decile"]]
+            cd += p["docs"]
+            ct += p["tok"]
+            cu += p["uni"]
+            cb += p["bi"]
+            assert (
+                r["cum_docs"],
+                r["cum_tokens"],
+                r["cum_types_unigram"],
+                r["cum_types_bigram"],
+                r["new_types_unigram"],
+                r["ttr_pm"],
+            ) == (cd, ct, cu, cb, p["uni"], 1000 * cu // ct)
+        # monotone non-decreasing vocabulary, saturating TTR
+        assert rows[-1]["cum_types_unigram"] >= rows[0]["cum_types_unigram"]
+        assert rows[-1]["ttr_pm"] <= rows[0]["ttr_pm"]
+
+
+def _interleave(x: int, y: int) -> int:
+    z = 0
+    for b in range(8):
+        z |= ((x >> b) & 1) << (2 * b + 1)
+        z |= ((y >> b) & 1) << (2 * b)
+    return z
+
+
+class TestZorderAudit:
+    def test_matches_bruteforce_containment(self, spark):
+        rows = {r["scheme"]: r for r in _rows(spark, "zorder_layout_audit")}
+        ev = _duck(
+            "SELECT event_id, user_id & 255,"
+            " (((epoch_us(ts) // 3600000000) - 473352) % 256 + 256) % 256"
+            " FROM events"
+        )
+        m = max(e for e, _, _ in ev) + 1
+        schemes = {
+            "zorder": lambda e, x, y: _interleave(x, y) >> 8,
+            "natural": lambda e, x, y: e * 256 // m,
+        }
+        probes = {(x, y) for _, x, y in ev}
+        xs = {x for x, _ in probes}
+        ys = {y for _, y in probes}
+        for scheme, bucket_of in schemes.items():
+            boxes = {}
+            for e, x, y in ev:
+                b = bucket_of(e, x, y)
+                x0, x1, y0, y1 = boxes.get(b, (256, -1, 256, -1))
+                boxes[b] = (min(x0, x), max(x1, x), min(y0, y), max(y1, y))
+            r = rows[scheme]
+            assert r["n_buckets"] == len(boxes)
+            assert r["sum_bbox_area"] == sum(
+                (x1 - x0 + 1) * (y1 - y0 + 1) for x0, x1, y0, y1 in boxes.values()
+            )
+            pt = sum(
+                1
+                for (x, y) in probes
+                for (x0, x1, y0, y1) in boxes.values()
+                if x0 <= x <= x1 and y0 <= y <= y1
+            )
+            px = sum(
+                1
+                for x in xs
+                for (x0, x1, _, _) in boxes.values()
+                if x0 <= x <= x1
+            )
+            py = sum(
+                1
+                for y in ys
+                for (_, _, y0, y1) in boxes.values()
+                if y0 <= y <= y1
+            )
+            assert r["point_scan_x100"] == 100 * pt // len(probes)
+            assert r["xonly_scan_x100"] == 100 * px // len(xs)
+            assert r["yonly_scan_x100"] == 100 * py // len(ys)
+
+    def test_zorder_prunes_better_on_point_probes(self, spark):
+        rows = {r["scheme"]: r for r in _rows(spark, "zorder_layout_audit")}
+        assert (
+            rows["zorder"]["point_scan_x100"] <= rows["natural"]["point_scan_x100"]
+        )
+        assert rows["zorder"]["xonly_scan_x100"] < rows["natural"]["xonly_scan_x100"]
