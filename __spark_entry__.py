@@ -306,6 +306,11 @@ _CHECK_FIRST = [
     "skipgram_window_counts",
     "heaps_law_curve",
     "zorder_layout_audit",
+    # r4 privacy/curation additions: local-DP randomized response,
+    # leave-one-source-out influence, containment-similarity join
+    "dp_randomized_response",
+    "source_ablation_influence",
+    "containment_similarity_join",
 ]
 
 def _driver_verified() -> set[str]:

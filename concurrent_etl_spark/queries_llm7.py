@@ -515,8 +515,12 @@ def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the time dimension for free but leaves every x-predicate reading
     ALL files; z-order spends one shuffle on the rewrite and buys
     BALANCED pruning on both dimensions — the measured argument for
-    why a lakehouse Z-ORDERs multi-dimensional scan keys (the 2-D
-    complement of parquet_zonemap_audit's 1-D sort-key audit).
+    why a lakehouse Z-ORDERs multi-dimensional scan keys. Companion
+    to zorder_locality (which verifies the Morton KEY itself and each
+    curve segment's bounded quad, feeding sources/warehouse's
+    write_zordered): this audit quantifies the BENEFIT — buckets
+    scanned per predicate, z-order vs the natural baseline — the way
+    parquet_zonemap_audit does for 1-D sort keys.
 
     Determinism: calendar math is pure integer epoch microseconds
     (the seasonality_profile idiom); the interleave is the same
@@ -613,5 +617,336 @@ def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("100 * pt_hits div n_pt").cast("long").alias("point_scan_x100"),
             F.expr("100 * px_hits div n_x").cast("long").alias("xonly_scan_x100"),
             F.expr("100 * py_hits div n_y").cast("long").alias("yonly_scan_x100"),
+        )
+    )
+
+
+@query(
+    "dp_randomized_response",
+    oracle="""
+    WITH base AS (
+      SELECT source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+             ('0x' || substr(md5('rr_' || doc_id), 1, 8))::BIGINT % 4
+               AS u4
+      FROM documents),
+    rep AS (
+      SELECT source, truth,
+             CASE WHEN u4 = 0 THEN 1 - truth ELSE truth END AS reported
+      FROM base),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(truth) AS BIGINT) AS true_pos,
+             CAST(SUM(reported) AS BIGINT) AS obs_pos
+      FROM rep GROUP BY 1)
+    SELECT source, n,
+           CAST(1000000 * true_pos // n AS BIGINT) AS true_rate_e6,
+           CAST(1000000 * obs_pos // n AS BIGINT) AS obs_rate_e6,
+           CAST(1000000 * greatest(4 * obs_pos - n, 0) // (2 * n)
+                AS BIGINT) AS dp_est_e6,
+           CAST(abs(1000000 * greatest(4 * obs_pos - n, 0) // (2 * n)
+                    - 1000000 * true_pos // n) AS BIGINT) AS abs_err_e6,
+           CAST(1098612 AS BIGINT) AS epsilon_e6
+    FROM g
+    """,
+)
+def q_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential privacy by randomized response (Warner 1965; the
+    local-DP mechanism RAPPOR built on): each document reports its
+    sensitive bit (lang = 'en') truthfully with probability 3/4 and
+    flipped with probability 1/4 — ln(3/4 / 1/4) = ln 3, so the
+    per-record report is eps = ln(3) locally differentially private —
+    and the aggregator debiases the observed rate in closed form:
+    p_true = (4*obs/n - 1) / 2. Emits per-source true rate (we hold
+    ground truth, so the estimator error is IN the result),
+    observed/debiased rates, and epsilon as an e6 literal (computed
+    in Python, never an in-engine transcendental).
+
+    Determinism: the coin is the md5-uniform idiom (u4 = md5-prefix
+    mod 4; flip on 0), so both engines flip exactly the same rows —
+    the mechanism's STATISTICS are what's under test, not RNG state.
+    All rates are exact e6 integer quotients; the debias numerator is
+    clamped at 0 so floor-division semantics never diverge on
+    negatives.
+
+    100 TB shape: one linear scan into a source-sized group table —
+    the privacy transform is per-row and stateless, the debias is
+    per-group algebra. Completes the privacy surface next to
+    k-anonymity/l-diversity (suppression), GDPR erasure (deletion),
+    and pii_redaction (masking) with the NOISE-based mechanism.
+
+    Reference parity: none — SURVEY §2.4 (no privacy surface).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("truth"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("rr_"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+        ).alias("u4"),
+    )
+    rep = base.select(
+        "source",
+        "truth",
+        F.when(F.col("u4") == 0, 1 - F.col("truth"))
+        .otherwise(F.col("truth"))
+        .alias("reported"),
+    )
+    g = rep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("truth").cast("long").alias("true_pos"),
+        F.sum("reported").cast("long").alias("obs_pos"),
+    )
+    return g.select(
+        "source",
+        "n",
+        F.expr("1000000 * true_pos div n").cast("long").alias("true_rate_e6"),
+        F.expr("1000000 * obs_pos div n").cast("long").alias("obs_rate_e6"),
+        F.expr("1000000 * greatest(4 * obs_pos - n, 0) div (2 * n)")
+        .cast("long")
+        .alias("dp_est_e6"),
+        F.expr(
+            "abs(1000000 * greatest(4 * obs_pos - n, 0) div (2 * n)"
+            " - 1000000 * true_pos div n)"
+        )
+        .cast("long")
+        .alias("abs_err_e6"),
+        F.lit(1098612).cast("long").alias("epsilon_e6"),
+    )
+
+
+@query(
+    "source_ablation_influence",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, len({_tok('lower(text)')}) AS n_tok,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM documents),
+    g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS s_tok,
+             CAST(SUM(is_en) AS BIGINT) AS s_en
+      FROM d GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+             CAST(SUM(s_tok) AS BIGINT) AS st,
+             CAST(SUM(s_en) AS BIGINT) AS se
+      FROM g)
+    SELECT g.source, g.n_docs,
+           CAST(100 * tot.st // tot.nn AS BIGINT) AS mean_tok_x100,
+           CAST(100 * (tot.st - g.s_tok) // (tot.nn - g.n_docs)
+                AS BIGINT) AS mean_tok_loo_x100,
+           CAST(100 * (tot.st - g.s_tok) // (tot.nn - g.n_docs)
+                - 100 * tot.st // tot.nn AS BIGINT)
+             AS tok_influence_x100,
+           CAST(1000 * tot.se // tot.nn AS BIGINT) AS en_rate_pm,
+           CAST(1000 * (tot.se - g.s_en) // (tot.nn - g.n_docs)
+                AS BIGINT) AS en_rate_loo_pm,
+           CAST(1000 * (tot.se - g.s_en) // (tot.nn - g.n_docs)
+                - 1000 * tot.se // tot.nn AS BIGINT)
+             AS en_influence_pm
+    FROM g CROSS JOIN tot
+    """,
+)
+def q_source_ablation_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation influence: for every data
+    source, what would the corpus-level metrics be WITHOUT it —
+    mean tokens per doc and English rate — and the signed influence
+    delta. This is the data-valuation primitive behind 'which crawl
+    hurts the mixture': because both metrics are ratios of additive
+    sums, the ablated value is pure algebra over per-source partial
+    aggregates — (S - s_k)/(N - n_k) — so ALL |sources| ablations
+    cost ONE scan, not |sources| re-scans of the corpus.
+
+    Determinism: exact e2 / per-mille integer quotients of exact
+    integer sums; LOO denominators are corpus-minus-one-source doc
+    counts (never zero while >= 2 sources exist).
+
+    100 TB shape: one map-side-combinable groupBy to a source-sized
+    table; totals re-enter via the approved 1-row broadcast; the
+    influence algebra is O(|sources|). Extending to any additive
+    metric (quality score sums, dedup rates, perplexity buckets) is
+    the same shape — the pattern kl_mixture_drift and
+    corpus_composition monitor, turned into a counterfactual.
+
+    Reference parity: none — SURVEY §2.4 (no curation surface).
+    """
+    from concurrent_etl_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(tokens(F.lower(F.col("text")))).alias("n_tok"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("s_tok"),
+        F.sum("is_en").cast("long").alias("s_en"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").cast("long").alias("nn"),
+        F.sum("s_tok").cast("long").alias("st"),
+        F.sum("s_en").cast("long").alias("se"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr("100 * st div nn").cast("long").alias("mean_tok_x100"),
+        F.expr("100 * (st - s_tok) div (nn - n_docs)")
+        .cast("long")
+        .alias("mean_tok_loo_x100"),
+        F.expr("100 * (st - s_tok) div (nn - n_docs) - 100 * st div nn")
+        .cast("long")
+        .alias("tok_influence_x100"),
+        F.expr("1000 * se div nn").cast("long").alias("en_rate_pm"),
+        F.expr("1000 * (se - s_en) div (nn - n_docs)")
+        .cast("long")
+        .alias("en_rate_loo_pm"),
+        F.expr("1000 * (se - s_en) div (nn - n_docs) - 1000 * se div nn")
+        .cast("long")
+        .alias("en_influence_pm"),
+    )
+
+
+#: containment candidate gate: shingles shared by 2..50 docs. Lower
+#: bound excludes unique shingles (no pair evidence); upper bound
+#: excludes boilerplate shingles whose pair fan-out is quadratic.
+_CONT_DF_MIN = 2
+_CONT_DF_MAX = 50
+
+
+@query(
+    "containment_similarity_join",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, {_tok('lower(text)')} AS tk FROM documents
+                 WHERE len({_tok('lower(text)')}) >= 3),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(tk, i, i + 2), ' ') AS s
+      FROM src, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    dfreq AS (
+      SELECT s FROM sh GROUP BY s
+      HAVING COUNT(*) BETWEEN {_CONT_DF_MIN} AND {_CONT_DF_MAX}),
+    gated AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfreq USING (s)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM gated a JOIN gated b
+        ON a.s = b.s AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b AND sb.s = sa.s
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b, za.n AS sz_a, zb.n AS sz_b, i.n_shared,
+           CAST(1000 * i.n_shared // least(za.n, zb.n) AS BIGINT)
+             AS containment_pm,
+           CAST(1000 * i.n_shared // (za.n + zb.n - i.n_shared)
+                AS BIGINT) AS jaccard_pm
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.doc_a
+    JOIN sz zb ON zb.doc_id = i.doc_b
+    WHERE 1000 * i.n_shared // least(za.n, zb.n) >= 500
+    """,
+)
+def q_containment_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-similarity join: doc pairs where the SMALLER
+    document's trigram-shingle set is >= 50% contained in the other —
+    the asymmetric near-dup relation (quotation, excerpting, a doc
+    embedded in a larger one) that Jaccard-based dedup structurally
+    under-scores: a 30-token doc fully quoted inside a 300-token doc
+    has containment 1.0 but Jaccard ~0.1, below every Jaccard
+    threshold in the MinHash/PPJoin paths. Both scores are emitted
+    (exact per-mille) so the asymmetry is visible in the result.
+
+    Candidates come from a doc-frequency gate on shared shingles
+    (2..50 docs — the duplicate_span_pairs discipline): unique
+    shingles prove nothing, boilerplate shingles fan out
+    quadratically; between them every candidate pair shares at least
+    one discriminative shingle. Exact intersections are then computed
+    ONLY for candidates, via equi-joins on the shingle string.
+
+    100 TB shape: never all-pairs — the pair set is bounded by
+    sum-over-gated-shingles of C(df, 2) with df <= 50, and the exact
+    intersection join costs |pairs| x avg-shingles-per-doc, both
+    output-proportional. Set semantics (DISTINCT shingles) keep every
+    per-doc set bounded by doc length. All joins are equi-joins on
+    shingle/doc keys; sizes re-enter by doc-keyed joins.
+
+    Reference parity: none — SURVEY §2.4; completes the similarity
+    family (Jaccard / MinHash-LSH / SimHash / PPJoin / SemDeDup) with
+    the containment axis.
+    """
+    from concurrent_etl_spark.operators.text import shingles_from_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
+    ).where(F.size("tk") >= 3)
+    sh = (
+        src.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("tk"), 3)).alias("s")
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dfreq = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(_CONT_DF_MIN, _CONT_DF_MAX))
+        .select("s")
+    )
+    gated = sh.join(dfreq, "s")
+    a = gated.select(F.col("s"), F.col("doc_id").alias("doc_a"))
+    b = gated.select(F.col("s"), F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("sz_a"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("sz_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "containment_pm",
+            F.expr("1000 * n_shared div least(sz_a, sz_b)").cast("long"),
+        )
+        .withColumn(
+            "jaccard_pm",
+            F.expr("1000 * n_shared div (sz_a + sz_b - n_shared)").cast("long"),
+        )
+        .where(F.col("containment_pm") >= 500)
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            "n_shared",
+            "containment_pm",
+            "jaccard_pm",
         )
     )
