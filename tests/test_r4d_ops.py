@@ -219,3 +219,128 @@ class TestZorderAudit:
             rows["zorder"]["point_scan_x100"] <= rows["natural"]["point_scan_x100"]
         )
         assert rows["zorder"]["xonly_scan_x100"] < rows["natural"]["xonly_scan_x100"]
+
+
+class TestRandomizedResponse:
+    def test_matches_coin_replay(self, spark):
+        rows = {r["source"]: r for r in _rows(spark, "dp_randomized_response")}
+        docs = _duck("SELECT doc_id, source, lang FROM documents")
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, 0, 0])  # n, true_pos, obs_pos
+        for doc_id, source, lang in docs:
+            truth = 1 if lang == "en" else 0
+            flip = _h32(f"rr_{doc_id}") % 4 == 0
+            agg[source][0] += 1
+            agg[source][1] += truth
+            agg[source][2] += (1 - truth) if flip else truth
+        assert set(rows) == set(agg)
+        for source, (n, tp, op) in agg.items():
+            r = rows[source]
+            est = 1000000 * max(4 * op - n, 0) // (2 * n)
+            assert r["n"] == n
+            assert r["true_rate_e6"] == 1000000 * tp // n
+            assert r["obs_rate_e6"] == 1000000 * op // n
+            assert r["dp_est_e6"] == est
+            assert r["abs_err_e6"] == abs(est - 1000000 * tp // n)
+            assert r["epsilon_e6"] == 1098612
+
+    def test_debias_is_unbiased_in_expectation(self, spark):
+        # corpus-level: debiased estimate within sampling noise of
+        # truth (4 sigma of the mechanism variance for n docs)
+        rows = _rows(spark, "dp_randomized_response")
+        n = sum(r["n"] for r in rows)
+        tp = sum(r["true_rate_e6"] * r["n"] for r in rows) // n
+        est = sum(r["dp_est_e6"] * r["n"] for r in rows) // n
+        # var of debiased estimator <= 1/n (p=1/4 flip); 4 sigma
+        sigma_e6 = int(4 * 1e6 * (1.0 / (4 * n**0.5)))
+        assert abs(est - tp) <= 4 * sigma_e6 + 20000
+
+
+class TestSourceAblation:
+    def test_matches_direct_recompute(self, spark):
+        rows = {r["source"]: r for r in _rows(spark, "source_ablation_influence")}
+        docs = _duck("SELECT source, lower(text), lang FROM documents")
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, 0, 0])
+        for source, txt, lang in docs:
+            toks = [t for t in txt.strip().split() if t]
+            agg[source][0] += 1
+            agg[source][1] += len(toks)
+            agg[source][2] += 1 if lang == "en" else 0
+        nn = sum(a[0] for a in agg.values())
+        st = sum(a[1] for a in agg.values())
+        se = sum(a[2] for a in agg.values())
+        for source, (n, s, e) in agg.items():
+            r = rows[source]
+            assert r["n_docs"] == n
+            assert r["mean_tok_x100"] == 100 * st // nn
+            assert r["mean_tok_loo_x100"] == 100 * (st - s) // (nn - n)
+            assert (
+                r["tok_influence_x100"]
+                == r["mean_tok_loo_x100"] - r["mean_tok_x100"]
+            )
+            assert r["en_rate_loo_pm"] == 1000 * (se - e) // (nn - n)
+
+    def test_influences_roughly_cancel(self, spark):
+        # LOO deltas are deviations from the mean: their doc-weighted
+        # sum is ~0 (exact up to integer-floor residue per source)
+        rows = _rows(spark, "source_ablation_influence")
+        w = sum(r["tok_influence_x100"] * (r["n_docs"]) for r in rows)
+        n = sum(r["n_docs"] for r in rows)
+        assert abs(w) <= n * len(rows)
+
+
+class TestContainmentJoin:
+    def test_matches_set_recompute(self, spark):
+        rows = _rows(spark, "containment_similarity_join")
+        docs = _duck("SELECT doc_id, lower(text) FROM documents")
+        sh = {}
+        for doc_id, txt in docs:
+            toks = [t for t in txt.strip().split() if t]
+            if len(toks) < 3:
+                continue
+            sh[doc_id] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+        from collections import Counter
+
+        dfreq = Counter()
+        for s in sh.values():
+            for g in s:
+                dfreq[g] += 1
+        gated = {g for g, c in dfreq.items() if 2 <= c <= 50}
+        cand = set()
+        byg = {}
+        for d, s in sh.items():
+            for g in s & gated:
+                byg.setdefault(g, []).append(d)
+        for ds in byg.values():
+            ds.sort()
+            for i, a in enumerate(ds):
+                for b in ds[i + 1 :]:
+                    cand.add((a, b))
+        want = {}
+        for a, b in cand:
+            inter = len(sh[a] & sh[b])
+            cont = 1000 * inter // min(len(sh[a]), len(sh[b]))
+            if cont >= 500:
+                jac = 1000 * inter // (len(sh[a]) + len(sh[b]) - inter)
+                want[(a, b)] = (len(sh[a]), len(sh[b]), inter, cont, jac)
+        got = {
+            (r["doc_a"], r["doc_b"]): (
+                r["sz_a"],
+                r["sz_b"],
+                r["n_shared"],
+                r["containment_pm"],
+                r["jaccard_pm"],
+            )
+            for r in rows
+        }
+        assert got == want
+
+    def test_containment_dominates_jaccard(self, spark):
+        for r in _rows(spark, "containment_similarity_join"):
+            assert r["containment_pm"] >= r["jaccard_pm"]
+            assert r["n_shared"] <= min(r["sz_a"], r["sz_b"])
