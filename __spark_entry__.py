@@ -311,6 +311,7 @@ _CHECK_FIRST = [
     "dp_randomized_response",
     "source_ablation_influence",
     "containment_similarity_join",
+    "winnowing_overlap_pairs",
 ]
 
 def _driver_verified() -> set[str]:

@@ -43,10 +43,10 @@ _POS_W = 1 << _POS_BITS
 _POS_MAX = _POS_W - 1
 
 
-@query(
-    "winnowing_fingerprint",
-    oracle=f"""
-    WITH src AS (
+#: shared oracle CTE chain src -> g -> w -> sel -> fp: the winnowing
+#: selection itself, reused verbatim by both winnowing queries so the
+#: two oracles cannot drift apart.
+_WINNOW_CTES = f"""src AS (
       SELECT doc_id, lower(text) AS txt FROM documents
       WHERE length(text) >= {_WIN_K + _WIN_W - 1}),
     g AS (
@@ -65,7 +65,53 @@ _POS_MAX = _POS_W - 1
     sel AS (
       SELECT DISTINCT doc_id, sk FROM w
       WHERE pos <= n_grams - {_WIN_W - 1}),
-    fp AS (SELECT doc_id, sk // {_POS_W} AS h FROM sel),
+    fp AS (SELECT doc_id, sk // {_POS_W} AS h FROM sel)"""
+
+
+def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing selection for every document: one row per selected
+    fingerprint POSITION — (doc_id, sk, h) with sk the packed
+    (hash, reversed-pos) key. Shared by both winnowing queries."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _WIN_K + _WIN_W - 1
+    )
+    src = docs.select("doc_id", F.lower(F.col("text")).alias("txt"))
+    grams = src.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, length(txt) - {_WIN_K - 1}),"
+            f" i -> substring(txt, i, {_WIN_K}))"
+        ).alias("gs"),
+        (F.length("txt") - (_WIN_K - 1)).alias("n_grams"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.posexplode("gs").alias("p0", "g"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "n_grams",
+        (F.col("p0") + 1).alias("pos"),
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            * _POS_W
+            + (_POS_MAX - (F.col("p0") + 1))
+        ).alias("key"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    return (
+        keyed.withColumn("sk", F.min("key").over(win))
+        .where(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
+        .select("doc_id", "sk")
+        .distinct()
+        .withColumn("h", F.expr(f"sk div {_POS_W}"))
+    )
+
+
+@query(
+    "winnowing_fingerprint",
+    oracle=f"""
+    WITH {_WINNOW_CTES},
     dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM fp GROUP BY h),
     agg AS (
       SELECT f.doc_id,
@@ -122,36 +168,7 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") >= _WIN_K + _WIN_W - 1
     )
     src = docs.select("doc_id", F.lower(F.col("text")).alias("txt"))
-    grams = src.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, length(txt) - {_WIN_K - 1}),"
-            f" i -> substring(txt, i, {_WIN_K}))"
-        ).alias("gs"),
-        (F.length("txt") - (_WIN_K - 1)).alias("n_grams"),
-    ).select(
-        "doc_id",
-        "n_grams",
-        F.posexplode("gs").alias("p0", "g"),
-    )
-    keyed = grams.select(
-        "doc_id",
-        "n_grams",
-        (F.col("p0") + 1).alias("pos"),
-        (
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
-            * _POS_W
-            + (_POS_MAX - (F.col("p0") + 1))
-        ).alias("key"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
-    sel = (
-        keyed.withColumn("sk", F.min("key").over(win))
-        .where(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
-        .select("doc_id", "sk")
-        .distinct()
-    )
-    fp = sel.withColumn("h", F.expr(f"sk div {_POS_W}"))
+    fp = _winnow_sel(spark, sf_dir)
     dfreq = fp.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     agg = (
         fp.join(dfreq, "h")
@@ -948,5 +965,118 @@ def q_containment_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_shared",
             "containment_pm",
             "jaccard_pm",
+        )
+    )
+
+
+#: winnowing pair gate: fingerprint hashes shared by 2..50 docs (the
+#: duplicate_span_pairs / containment_similarity_join discipline) and
+#: a minimum shared-fingerprint count for a reported pair.
+_WIN_PAIR_DF_MAX = 50
+_WIN_PAIR_MIN_SHARED = 5
+#: report only strong pairs: >= half the smaller gated set shared.
+_WIN_PAIR_MIN_PM = 500
+
+
+@query(
+    "winnowing_overlap_pairs",
+    oracle=f"""
+    WITH {_WINNOW_CTES},
+    fph AS (SELECT DISTINCT doc_id, h FROM fp),
+    dfreq AS (
+      SELECT h FROM fph GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {_WIN_PAIR_DF_MAX}),
+    gated AS (SELECT fph.doc_id, fph.h FROM fph JOIN dfreq USING (h)),
+    gsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM gated
+            GROUP BY 1),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM gated a JOIN gated b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b, za.n AS n_gated_a, zb.n AS n_gated_b,
+           s.n_shared,
+           CAST(1000 * s.n_shared // least(za.n, zb.n) AS BIGINT)
+             AS overlap_pm
+    FROM shared s
+    JOIN gsz za ON za.doc_id = s.doc_a
+    JOIN gsz zb ON zb.doc_id = s.doc_b
+    WHERE s.n_shared >= {_WIN_PAIR_MIN_SHARED}
+      AND 1000 * s.n_shared // least(za.n, zb.n) >= {_WIN_PAIR_MIN_PM}
+    """,
+)
+def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff of winnowing_fingerprint: document pairs sharing
+    >= 5 discriminative winnowed fingerprints — how MOSS actually
+    reports plagiarism/overlap. Because winnowing guarantees every
+    shared substring of length >= K+W-1 = 8 chars leaves a shared
+    fingerprint, a pair with many shared fingerprints has many
+    shared local substrings — position-robust overlap evidence that
+    survives edits, reordering, and insertions that shift every
+    whole-document MinHash/SimHash signature.
+
+    Pair generation follows the house candidate discipline
+    (duplicate_span_pairs, containment_similarity_join): fingerprint
+    hashes shared by 2..50 documents form the candidate space —
+    singleton hashes prove nothing, boilerplate hashes (here: the
+    corpus's repetitive phrasing) fan out quadratically and carry no
+    discriminative signal. Overlap is reported per-mille of the
+    smaller doc's GATED fingerprint set (scope stated in the column
+    names), alongside both set sizes; only strong pairs (>= 50%
+    overlap, >= 5 shared) are emitted. On a SATURATED-duplicate
+    corpus the gate degenerates honestly: at sf0.1 this synthetic
+    corpus has ~1000 distinct fingerprint values for 5000 docs
+    (median doc-frequency 287), so NO hash is discriminative and the
+    result is empty rather than quadratic — exactly the refusal a
+    100 TB run needs from its candidate generator when the signal
+    space saturates (real corpora have 2^32 hash values; their df
+    distribution keeps the gate populated).
+
+    100 TB shape: the self-join key domain is the gated fingerprint
+    space — each hash contributes <= C(50, 2) pairs — so pair count
+    is output-proportional, never docs². Everything is equi-joins and
+    map-side-combinable groupBys over the (corpus-sublinear)
+    fingerprint table the companion query already builds.
+
+    Reference parity: none — SURVEY §2.4 (no text surface).
+    """
+    fph = _winnow_sel(spark, sf_dir).select("doc_id", "h").distinct()
+    dfreq = (
+        fph.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd").between(2, _WIN_PAIR_DF_MAX))
+        .select("h")
+    )
+    gated = fph.join(dfreq, "h")
+    gsz = gated.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = gated.select(F.col("h"), F.col("doc_id").alias("doc_a"))
+    b = gated.select(F.col("h"), F.col("doc_id").alias("doc_b"))
+    shared = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_PAIR_MIN_SHARED)
+    )
+    za = gsz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_gated_a"))
+    zb = gsz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_gated_b"))
+    return (
+        shared.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "overlap_pm",
+            F.expr("1000 * n_shared div least(n_gated_a, n_gated_b)").cast(
+                "long"
+            ),
+        )
+        .where(F.col("overlap_pm") >= _WIN_PAIR_MIN_PM)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_gated_a",
+            "n_gated_b",
+            "n_shared",
+            "overlap_pm",
         )
     )

@@ -344,3 +344,48 @@ class TestContainmentJoin:
         for r in _rows(spark, "containment_similarity_join"):
             assert r["containment_pm"] >= r["jaccard_pm"]
             assert r["n_shared"] <= min(r["sz_a"], r["sz_b"])
+
+
+class TestWinnowingPairs:
+    def test_matches_literal_recompute(self, spark):
+        rows = _rows(spark, "winnowing_overlap_pairs")
+        docs = _duck("SELECT doc_id, lower(text) FROM documents")
+        from collections import Counter
+
+        fph = {}
+        for doc_id, txt in docs:
+            if len(txt) < 8:
+                continue
+            fph[doc_id] = {h for _, h in _winnow(txt)}
+        dfreq = Counter(h for s in fph.values() for h in s)
+        gated = {h for h, c in dfreq.items() if 2 <= c <= 50}
+        gset = {d: s & gated for d, s in fph.items()}
+        want = {}
+        byg = {}
+        for d, s in gset.items():
+            for h in s:
+                byg.setdefault(h, []).append(d)
+        cand = set()
+        for ds in byg.values():
+            ds.sort()
+            for i, a in enumerate(ds):
+                for b in ds[i + 1 :]:
+                    cand.add((a, b))
+        for a, b in cand:
+            shared = len(gset[a] & gset[b])
+            if shared < 5:
+                continue
+            pm = 1000 * shared // min(len(gset[a]), len(gset[b]))
+            if pm >= 500:
+                want[(a, b)] = (len(gset[a]), len(gset[b]), shared, pm)
+        got = {
+            (r["doc_a"], r["doc_b"]): (
+                r["n_gated_a"],
+                r["n_gated_b"],
+                r["n_shared"],
+                r["overlap_pm"],
+            )
+            for r in rows
+        }
+        assert got == want
+        assert len(got) > 0  # sf0.001 fixture has strong pairs
