@@ -312,6 +312,9 @@ _CHECK_FIRST = [
     "source_ablation_influence",
     "containment_similarity_join",
     "winnowing_overlap_pairs",
+    # r4 placement/orchestration additions
+    "hrw_shard_rebalance_audit",
+    "partition_backfill_planner",
 ]
 
 def _driver_verified() -> set[str]:

@@ -1080,3 +1080,226 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_pm",
         )
     )
+
+
+def _hrw_key_sql(s: int) -> str:
+    """HRW weight of (doc, shard s), packed with the shard id into one
+    BIGINT so argmax-over-shards is greatest() of literals — identical
+    text in both engines. weight < 2^32, so *16 + s is collision-free
+    for s < 16."""
+    return (
+        f"('0x' || substr(md5('hrw_' || CAST(doc_id AS VARCHAR)"
+        f" || '_{s}'), 1, 8))::BIGINT * 16 + {s}"
+    )
+
+
+def _hrw_key_spark(s: int) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hrw_"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(f"_{s}"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        * 16
+        + s
+    )
+
+
+@query(
+    "hrw_shard_rebalance_audit",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             greatest({", ".join(_hrw_key_sql(s) for s in range(8))})
+               AS k8,
+             {_hrw_key_sql(8)} AS k9
+      FROM documents),
+    asg AS (
+      SELECT doc_id, k8 % 16 AS shard, k9 > k8 AS moves FROM a),
+    per AS (
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_docs_k8,
+             CAST(SUM(CASE WHEN moves THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_to_new
+      FROM asg GROUP BY 1)
+    SELECT CAST(shard AS BIGINT) AS shard, n_docs_k8, n_to_new,
+           CAST(1000 * n_to_new // n_docs_k8 AS BIGINT) AS move_pm,
+           CAST(111 AS BIGINT) AS expected_move_pm
+    FROM per
+    """,
+)
+def q_hrw_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding audit (Thaler &
+    Ravishankar 1996 — the consistent-placement scheme behind
+    cache/shard routers): each doc goes to the shard with the highest
+    md5 weight(doc, shard). The property that matters at 100 TB:
+    growing K=8 -> K=9 shards relocates ONLY the docs whose new
+    shard's weight beats their old maximum — expected 1/9 (~111 pm)
+    of the corpus — while naive `hash % K` relocates ~8/9. The audit
+    emits per-shard K=8 occupancy (balance) and the measured
+    relocation rate next to the analytic expectation; a skewed
+    weight function or a broken argmax shows up against both.
+
+    Determinism: weights are the md5-prefix-integer idiom; the
+    argmax-over-shards is greatest() of (weight*16 + shard) packed
+    integers — ONE expression, no join, no explode — and relocation
+    is the pure HRW test k9 > k8.
+
+    100 TB shape: stateless per-row expression work + one
+    map-side-combinable groupBy over a K-sized domain; rebalancing
+    cost at reshard time is move_pm * corpus — this audit is how you
+    PROVE the 1/(K+1) bill before paying it.
+
+    Reference parity: none — placement/infrastructure surface beyond
+    the reference (SURVEY §2.7's ceil-division chunking is the
+    non-consistent ancestor).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id",
+        F.greatest(*[_hrw_key_spark(s) for s in range(8)]).alias("k8"),
+        _hrw_key_spark(8).alias("k9"),
+    )
+    asg = a.select(
+        (F.col("k8") % 16).alias("shard"),
+        (F.col("k9") > F.col("k8")).alias("moves"),
+    )
+    per = asg.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_k8"),
+        F.sum(F.when(F.col("moves"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_to_new"),
+    )
+    return per.select(
+        F.col("shard").cast("long"),
+        "n_docs_k8",
+        "n_to_new",
+        F.expr("1000 * n_to_new div n_docs_k8").cast("long").alias("move_pm"),
+        F.lit(111).cast("long").alias("expected_move_pm"),
+    )
+
+
+@query(
+    "partition_backfill_planner",
+    oracle="""
+    WITH e AS (
+      SELECT event_id
+               + ('0x' || substr(md5('arr_' || event_id), 1, 8))::BIGINT
+                 % 8 AS arrival,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    days AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(MIN(arrival) AS BIGINT) AS first_arrival
+      FROM e GROUP BY 1),
+    closed AS (
+      SELECT d.day, MIN(l.first_arrival) AS close_id
+      FROM days d LEFT JOIN days l ON l.day > d.day
+      GROUP BY 1),
+    late AS (
+      SELECT e.day, CAST(COUNT(*) AS BIGINT) AS n_late
+      FROM e JOIN closed c ON c.day = e.day
+      WHERE c.close_id IS NOT NULL AND e.arrival > c.close_id
+      GROUP BY 1)
+    SELECT CAST(d.day AS BIGINT) AS day, d.n_events,
+           CAST(COALESCE(l.n_late, 0) AS BIGINT) AS n_late,
+           CAST(1000 * COALESCE(l.n_late, 0) // d.n_events AS BIGINT)
+             AS late_pm,
+           c.close_id IS NOT NULL AND COALESCE(l.n_late, 0) > 0
+             AS needs_backfill
+    FROM days d
+    JOIN closed c ON c.day = d.day
+    LEFT JOIN late l ON l.day = d.day
+    """,
+)
+def q_partition_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner for a day-partitioned incremental pipeline:
+    which closed day-partitions received LATE data and must be
+    recomputed. Arrival order is the ingest-log offset, modeled as
+    event_id plus a DETERMINISTIC bounded jitter (md5 % 8 — the
+    standard bounded-out-of-orderness assumption; the synthetic
+    event_id sequence itself is perfectly ts-sorted, which no real
+    ingest is); a day-partition 'closes' at the first arrival of
+    any LATER day — so an event for day d arriving after close(d) is
+    late, and a closed partition with late rows needs a backfill
+    run. This is the planning query an orchestrator runs before
+    scheduling incremental jobs: late_pm says whether to reprocess
+    the partition or widen the pipeline's watermark.
+
+    Determinism: day = pure integer epoch-microsecond division (the
+    seasonality_profile idiom); close ids and late counts are exact
+    integers; no timestamps or floats cross the engine boundary.
+
+    100 TB shape: NO global ordering anywhere — close(d) = min first
+    arrival over later days, computed on the DAY-domain-bounded
+    table (a <= |days|² nested-loop over a broadcast-sized frame,
+    constant in row count); the late count is one more
+    map-side-combinable groupBy after an equi-join of facts against
+    the |days|-row broadcast. Contrast with the naive running-max
+    formulation, which needs a one-executor global cummax over the
+    arrival sequence.
+
+    Reference parity: P7's file-level incremental filter
+    (case_3/Incremental.py) decides what is NEW; this decides what
+    already-processed work is now STALE — the other half of
+    incremental correctness.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        (
+            F.col("event_id")
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("arr_"), F.col("event_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 8
+        ).alias("arrival"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    days = e.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("arrival").cast("long").alias("first_arrival"),
+    )
+    later = days.select(
+        F.col("day").alias("lday"), F.col("first_arrival").alias("fa")
+    )
+    closed = (
+        days.join(F.broadcast(later), F.col("lday") > F.col("day"), "left")
+        .groupBy("day")
+        .agg(F.min("fa").alias("close_id"))
+    )
+    late = (
+        e.join(F.broadcast(closed), "day")
+        .where(F.col("close_id").isNotNull() & (F.col("arrival") > F.col("close_id")))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late"))
+    )
+    return (
+        days.join(F.broadcast(closed), "day")
+        .join(F.broadcast(late), "day", "left")
+        .fillna(0, ["n_late"])
+        .select(
+            F.col("day").cast("long"),
+            "n_events",
+            F.col("n_late").cast("long"),
+            F.expr("1000 * n_late div n_events").cast("long").alias("late_pm"),
+            (F.col("close_id").isNotNull() & (F.col("n_late") > 0)).alias(
+                "needs_backfill"
+            ),
+        )
+    )

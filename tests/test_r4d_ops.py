@@ -389,3 +389,85 @@ class TestWinnowingPairs:
         }
         assert got == want
         assert len(got) > 0  # sf0.001 fixture has strong pairs
+
+
+class TestHRWRebalance:
+    def test_matches_literal_argmax(self, spark):
+        rows = {r["shard"]: r for r in _rows(spark, "hrw_shard_rebalance_audit")}
+        docs = _duck("SELECT doc_id FROM documents")
+        from collections import defaultdict
+
+        per = defaultdict(lambda: [0, 0])
+        for (doc_id,) in docs:
+            ws = [_h32(f"hrw_{doc_id}_{s}") for s in range(9)]
+            k8s = max(range(8), key=lambda s: (ws[s], s))
+            moves = ws[8] * 16 + 8 > ws[k8s] * 16 + k8s
+            per[k8s][0] += 1
+            per[k8s][1] += 1 if moves else 0
+        assert set(rows) == set(per)
+        total = sum(n for n, _ in per.values())
+        moved = sum(m for _, m in per.values())
+        for shard, (n, m) in per.items():
+            r = rows[shard]
+            assert (r["n_docs_k8"], r["n_to_new"]) == (n, m)
+            assert r["move_pm"] == 1000 * m // n
+            assert r["expected_move_pm"] == 111
+        # corpus-level relocation within 4x sqrt noise of 1/9
+        import math
+
+        sd = math.sqrt(total * (1 / 9) * (8 / 9))
+        assert abs(moved - total / 9) <= 4 * sd + 1
+
+    def test_monotone_property_vs_mod_hash(self, spark):
+        # HRW moves strictly fewer docs than hash % K resharding
+        rows = _rows(spark, "hrw_shard_rebalance_audit")
+        docs = _duck("SELECT doc_id FROM documents")
+        hrw_moved = sum(r["n_to_new"] for r in rows)
+        mod_moved = sum(
+            1
+            for (doc_id,) in docs
+            if _h32(f"hrw_{doc_id}_0") % 8 != _h32(f"hrw_{doc_id}_0") % 9
+        )
+        assert hrw_moved < mod_moved
+
+
+class TestBackfillPlanner:
+    def test_matches_literal_replay(self, spark):
+        rows = {r["day"]: r for r in _rows(spark, "partition_backfill_planner")}
+        ev = _duck(
+            "SELECT event_id, epoch_us(ts) // 86400000000 FROM events"
+        )
+        arr = {
+            e: e + _h32(f"arr_{e}") % 8 for e, _ in ev
+        }
+        from collections import defaultdict
+
+        first = {}
+        n_ev = defaultdict(int)
+        for e, d in ev:
+            n_ev[d] += 1
+            first[d] = min(first.get(d, 1 << 60), arr[e])
+        close = {
+            d: min(
+                (first[d2] for d2 in first if d2 > d), default=None
+            )
+            for d in first
+        }
+        late = defaultdict(int)
+        for e, d in ev:
+            if close[d] is not None and arr[e] > close[d]:
+                late[d] += 1
+        assert set(rows) == set(first)
+        for d in first:
+            r = rows[d]
+            assert r["n_events"] == n_ev[d]
+            assert r["n_late"] == late[d]
+            assert r["late_pm"] == 1000 * late[d] // n_ev[d]
+            assert r["needs_backfill"] == (
+                close[d] is not None and late[d] > 0
+            )
+        # the final (never-closed) day can't need backfill
+        assert rows[max(first)]["needs_backfill"] is False
+        # the fixture exercises BOTH branches
+        flags = {r["needs_backfill"] for r in rows.values()}
+        assert flags == {True, False}
