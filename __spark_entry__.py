@@ -315,6 +315,7 @@ _CHECK_FIRST = [
     # r4 placement/orchestration additions
     "hrw_shard_rebalance_audit",
     "partition_backfill_planner",
+    "merkle_partition_diff",
 ]
 
 def _driver_verified() -> set[str]:

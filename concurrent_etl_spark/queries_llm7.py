@@ -1303,3 +1303,175 @@ def q_partition_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: anti-entropy simulation: the "replica" drops ~1/997 of rows and
+#: corrupts the value of ~1/499 — both deterministic md5 selections.
+_MERKLE_DROP_MOD = 997
+_MERKLE_MUT_MOD = 499
+
+
+@query(
+    "merkle_partition_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    hb AS (
+      SELECT day,
+             ('0x' || substr(md5(event_id || ':' || cents), 1, 15))::BIGINT
+               AS rh
+      FROM base),
+    rep AS (
+      SELECT event_id, day,
+             CASE WHEN ('0x' || substr(md5('mut_' || event_id), 1, 8))
+                       ::BIGINT % {_MERKLE_MUT_MOD} = 0
+                  THEN cents + 1 ELSE cents END AS cents
+      FROM base
+      WHERE ('0x' || substr(md5('drop_' || event_id), 1, 8))::BIGINT
+              % {_MERKLE_DROP_MOD} <> 0),
+    hr AS (
+      SELECT day,
+             ('0x' || substr(md5(event_id || ':' || cents), 1, 15))::BIGINT
+               AS rh
+      FROM rep),
+    db AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_base,
+             CAST(SUM(rh::HUGEINT) % 2305843009213693951 AS BIGINT)
+               AS dig_base
+      FROM hb GROUP BY 1),
+    dr AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_replica,
+             CAST(SUM(rh::HUGEINT) % 2305843009213693951 AS BIGINT)
+               AS dig_replica
+      FROM hr GROUP BY 1),
+    d AS (
+      SELECT db.day, db.n_base, dr.n_replica,
+             db.dig_base = dr.dig_replica AS day_match
+      FROM db JOIN dr ON dr.day = db.day),
+    m AS (
+      SELECT day // 32 AS month, bool_and(day_match) AS month_match
+      FROM d GROUP BY 1)
+    SELECT CAST(d.day AS BIGINT) AS day, d.n_base, d.n_replica,
+           d.day_match, m.month_match,
+           (NOT d.day_match) AND d.n_base = d.n_replica
+             AS silent_corruption
+    FROM d JOIN m ON m.month = d.day // 32
+    """,
+)
+def q_merkle_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy (Merkle-style) partition diff between a table and
+    its replica: per day-partition, an ORDER-INSENSITIVE digest (sum
+    of md5 row hashes mod 2^61-1 — associative/commutative, so
+    partial aggregates merge exactly like the HLL/KMV sketches) plus
+    a level-up month digest. Divergent partitions are located by
+    comparing digests alone — the Cassandra/DynamoDB repair
+    primitive, and how a lakehouse validates a cross-region copy
+    without shipping rows. The replica is simulated with
+    deterministic md5 selections: ~1/997 rows dropped (caught by
+    count), ~1/499 values corrupted (caught ONLY by digest —
+    surfaced as silent_corruption, the case row counts can't see).
+
+    Determinism: row hashes are 15-hex-digit md5 prefixes (< 2^60);
+    the digest sum accumulates in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) — the house HUGEINT-pairing convention — so it is exact
+    for > 10^19 rows per partition before the Mersenne-prime mod;
+    both engines hash the identical 'event_id:cents' canonical form.
+
+    100 TB shape: ONE scan per side into a day-domain digest table;
+    digests are map-side-combinable sums, the tree level is a
+    32-day rollup of the day table. Matching month digests prove
+    whole months identical with zero row movement; only diverged
+    partitions ever need row-level repair — the audit's cost is
+    O(scan + |days|), its savings O(everything it lets you skip).
+
+    Reference parity: S10's row-count audit (case_2/Normal.py:289)
+    is the count column here; the digest columns are what the count
+    audit structurally cannot catch.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def row_hash(df: DataFrame) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("cents").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def md5_mod(prefix: str, mod: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("event_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    rep = base.where(md5_mod("drop_", _MERKLE_DROP_MOD) != 0).withColumn(
+        "cents",
+        F.when(
+            md5_mod("mut_", _MERKLE_MUT_MOD) == 0, F.col("cents") + 1
+        ).otherwise(F.col("cents")),
+    )
+    mersenne = 2305843009213693951
+    db = (
+        base.withColumn("rh", row_hash(base))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_base"),
+            F.expr(f"CAST(sum(CAST(rh AS DECIMAL(38,0))) % {mersenne}"
+                   " AS BIGINT)").alias("dig_base"),
+        )
+    )
+    dr = (
+        rep.withColumn("rh", row_hash(rep))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replica"),
+            F.expr(f"CAST(sum(CAST(rh AS DECIMAL(38,0))) % {mersenne}"
+                   " AS BIGINT)").alias("dig_replica"),
+        )
+    )
+    d = db.join(dr, "day").select(
+        "day",
+        "n_base",
+        "n_replica",
+        (F.col("dig_base") == F.col("dig_replica")).alias("day_match"),
+    )
+    m = d.groupBy(F.expr("day div 32").alias("month")).agg(
+        F.bool_and("day_match").alias("month_match")
+    )
+    return (
+        d.join(F.broadcast(m), F.expr("day div 32") == F.col("month"))
+        .select(
+            F.col("day").cast("long"),
+            "n_base",
+            "n_replica",
+            "day_match",
+            "month_match",
+            (~F.col("day_match") & (F.col("n_base") == F.col("n_replica"))).alias(
+                "silent_corruption"
+            ),
+        )
+    )

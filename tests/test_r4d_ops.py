@@ -471,3 +471,63 @@ class TestBackfillPlanner:
         # the fixture exercises BOTH branches
         flags = {r["needs_backfill"] for r in rows.values()}
         assert flags == {True, False}
+
+
+class TestMerkleDiff:
+    def test_matches_literal_digests(self, spark):
+        rows = {r["day"]: r for r in _rows(spark, "merkle_partition_diff")}
+        ev = _duck(
+            "SELECT event_id, epoch_us(ts) // 86400000000,"
+            " CAST(floor(value * 100) AS BIGINT) FROM events"
+        )
+        M = 2305843009213693951
+        from collections import defaultdict
+
+        def rh(e, c):
+            return int(
+                hashlib.md5(f"{e}:{c}".encode()).hexdigest()[:15], 16
+            )
+
+        db = defaultdict(lambda: [0, 0])
+        dr = defaultdict(lambda: [0, 0])
+        for e, d, c in ev:
+            db[d][0] += 1
+            db[d][1] += rh(e, c)
+            if _h32(f"drop_{e}") % 997 == 0:
+                continue
+            c2 = c + 1 if _h32(f"mut_{e}") % 499 == 0 else c
+            dr[d][0] += 1
+            dr[d][1] += rh(e, c2)
+        months = defaultdict(lambda: True)
+        matches = {d: db[d][1] % M == dr[d][1] % M for d in db}
+        for d, ok in matches.items():
+            months[d // 32] &= ok
+        assert set(rows) == set(db)
+        for d in db:
+            r = rows[d]
+            assert r["n_base"] == db[d][0]
+            assert r["n_replica"] == dr[d][0]
+            assert r["day_match"] == matches[d]
+            assert r["month_match"] == months[d // 32]
+            assert r["silent_corruption"] == (
+                not matches[d] and db[d][0] == dr[d][0]
+            )
+        # fixture exercises the silent-corruption branch
+        assert any(r["silent_corruption"] for r in rows.values())
+
+    def test_digest_is_order_insensitive(self):
+        # the anti-entropy property: sum-mod digest of any permutation
+        # is identical — partial aggregates merge exactly
+        import random
+
+        M = 2305843009213693951
+        hs = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+            for i in range(1000)
+        ]
+        d1 = sum(hs) % M
+        rng = random.Random(7)
+        rng.shuffle(hs)
+        # chunked partial sums, merged — the distributed plan's shape
+        parts = [sum(hs[i::7]) % M for i in range(7)]
+        assert sum(parts) % M == d1
