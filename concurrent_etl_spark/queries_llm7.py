@@ -1,16 +1,19 @@
-"""Corpus-forensics tranche (round 4, late batch): winnowing document
-fingerprints (the MOSS algorithm), skip-gram context-window pair
-counts (word2vec training-pair extraction), the Heaps'-law vocabulary
-growth curve, and a Z-order (Morton) physical-layout audit.
+"""Corpus-forensics + platform-ops tranche (round 4, late batch):
+winnowing document fingerprints and overlap pairs (the MOSS
+algorithm), skip-gram context-window pair counts (word2vec
+training-pair extraction), the Heaps'-law vocabulary growth curve, a
+Z-order (Morton) layout audit, Warner randomized response (local
+differential privacy), leave-one-source-out ablation influence, an
+asymmetric containment-similarity join, a rendezvous-hashing (HRW)
+reshard audit, a day-partition backfill planner, and a Merkle-style
+anti-entropy partition diff.
 
 The reference has none of these (its text surface is zero — SURVEY
 §2.4); they are engine surface a 100 TB training-data platform needs:
-winnowing is the classical position-robust fingerprint for local
-plagiarism/overlap detection (Schleimer, Wilkerson & Aiken, SIGMOD
-2003), skip-gram pairs are the raw material of embedding training,
-Heaps' law is the standard vocabulary-saturation diagnostic for
-corpus growth planning, and Z-order interleaving is how a lakehouse
-clusters files so multi-dimensional predicates prune.
+overlap forensics and asymmetric dedup for the corpus, embedding
+training statistics, privacy mechanisms, and the placement /
+incremental-staleness / replica-consistency audits that keep the
+platform itself honest at scale.
 
 House determinism rules: md5-derived integer gram hashes (the same
 auditable-uniform idiom as weighted_sample_ares), pure-integer epoch

@@ -45,6 +45,11 @@ QUERIES = [
     "line_dedup_ccnet",
     "kcore_interaction_prune",
     "skyline_pareto_parts",
+    # round-4 late tranche: the per-char md5 winnowing scan (the
+    # catalog's densest per-row expression work) and the df-gated
+    # containment pair emitter (output-proportional like span pairs)
+    "winnowing_fingerprint",
+    "containment_similarity_join",
 ]
 
 SF_DIRS = {
@@ -57,7 +62,7 @@ SF_DIRS = {
 #: emitters): record rows-out alongside seconds so the curve shows
 #: sec/row staying flat while rows grow — the boundedness argument
 #: is output-proportionality, not sublinearity
-ROWS_OUT = {"duplicate_span_pairs"}
+ROWS_OUT = {"duplicate_span_pairs", "containment_similarity_join"}
 
 #: triangle counting is inherently superlinear in edges — the honest
 #: leash is work-normalized time: with degree orientation the total
