@@ -102,12 +102,17 @@ def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    # persisted: every consumer (doc-frequency, per-doc agg, the pair
+    # join's two sides, gated sizes) would otherwise re-run the
+    # per-char md5 explode + window scan — the catalog's densest
+    # per-row expression work (catalog.py's persist convention).
     return (
         keyed.withColumn("sk", F.min("key").over(win))
         .where(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
         .select("doc_id", "sk")
         .distinct()
         .withColumn("h", F.expr(f"sk div {_POS_W}"))
+        .persist()
     )
 
 
@@ -916,11 +921,16 @@ def q_containment_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame
     src = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
     ).where(F.size("tk") >= 3)
+    # persisted: consumed by dfreq, the gate join, both intersection
+    # sides and the size table — five consumers would each re-run the
+    # tokenize+explode+distinct scan (the staged_shingles precedent,
+    # operators/dedup.py; harness clears caches per query)
     sh = (
         src.select(
             "doc_id", F.explode(shingles_from_tokens(F.col("tk"), 3)).alias("s")
         )
         .distinct()
+        .persist()
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     dfreq = (
