@@ -316,6 +316,7 @@ _CHECK_FIRST = [
     "hrw_shard_rebalance_audit",
     "partition_backfill_planner",
     "merkle_partition_diff",
+    "delta_method_ratio_variance",
 ]
 
 def _driver_verified() -> set[str]:

@@ -1488,3 +1488,135 @@ def q_merkle_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "delta_method_ratio_variance",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             ('0x' || substr(md5('dm_' || user_id), 1, 8))::BIGINT % 2
+               AS bucket,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x::HUGEINT) AS sx, SUM(y::HUGEINT) AS sy,
+             SUM(x::HUGEINT * x) AS sxx,
+             SUM(y::HUGEINT * y) AS syy,
+             SUM(x::HUGEINT * y) AS sxy
+      FROM u GROUP BY 1),
+    d AS (
+      SELECT bucket, n, sx, sy,
+             sy * sy * (n * sxx - sx * sx)
+               - 2 * sx * sy * (n * sxy - sx * sy)
+               + sx * sx * (n * syy - sy * sy) AS num,
+             sy * sy * (sy * sy) AS sy4
+      FROM m)
+    SELECT CAST(bucket AS BIGINT) AS bucket, n,
+           CAST(sx AS BIGINT) AS sum_clicks,
+           CAST(sy AS BIGINT) AS sum_views,
+           CAST(1000000 * sx // sy AS BIGINT) AS ratio_e6,
+           CAST(round(CAST(num AS DOUBLE) * n / CAST(n - 1 AS DOUBLE)
+                      / CAST(sy4 AS DOUBLE) * 1e12) AS BIGINT)
+             AS var_e12,
+           CAST(round(sqrt(CAST(num AS DOUBLE) * n
+                           / CAST(n - 1 AS DOUBLE)
+                           / CAST(sy4 AS DOUBLE)) * 1e6) AS BIGINT)
+             AS se_e6
+    FROM d
+    """,
+)
+def q_delta_method_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method variance for a RATIO metric (clicks per view) in
+    an A/B split — the computation every experimentation platform
+    needs because users, not events, are the randomization unit: the
+    naive row-level variance of clicks/views ignores within-user
+    correlation and understates the standard error. Var(X̄/Ȳ) ≈
+    (σx² − 2Rσxy + R²σy²) / (n·μy²) from USER-level moments (the
+    Deng/Knight ratio-metric estimator).
+
+    Determinism: user-level (co)moment sums accumulate exactly in
+    HUGEINT/DECIMAL(38,0); the whole variance numerator NUM =
+    Sy²(nSxx−Sx²) − 2SxSy(nSxy−SxSy) + Sx²(nSyy−Sy²) is EXACT
+    integer algebra (R = Sx/Sy cleared through by Sy²), so only ONE
+    float expression runs per engine — NUM·n/(n−1)/Sy⁴, identical
+    operation order, then an IEEE-correctly-rounded sqrt for the SE
+    — and both are rounded to fixed e12/e6 scales. The md5 bucket
+    split is the ab_srm_bucketing_audit idiom. DECIMAL(38,0) bounds
+    NUM safely to ~10^9 users × 10^3 events/user; beyond that the
+    same algebra runs on centered per-partition moments.
+
+    100 TB shape: one fact scan -> user-level groupBy (the natural
+    pre-aggregation), then a 2-row bucket rollup of six
+    map-side-combinable sums. The delta method is precisely what
+    makes user-level variance O(one agg) instead of a resample.
+
+    Reference parity: none — SURVEY §2.4 (reference's only aggregate
+    is COUNT). Complements cuped_variance_reduction (variance
+    REDUCTION) and poisson_bootstrap_ci (the resampling alternative
+    this closed form replaces at scale).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dm_"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("bucket"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    m = u.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    d = m.select(
+        "bucket",
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "sy * sy * (n * sxx - sx * sx)"
+            " - 2 * sx * sy * (n * sxy - sx * sy)"
+            " + sx * sx * (n * syy - sy * sy)"
+        ).alias("num"),
+        F.expr("sy * sy * (sy * sy)").alias("sy4"),
+    )
+    return d.select(
+        F.col("bucket").cast("long"),
+        "n",
+        F.col("sx").cast("long").alias("sum_clicks"),
+        F.col("sy").cast("long").alias("sum_views"),
+        F.expr("CAST(1000000 * sx div sy AS BIGINT)").alias("ratio_e6"),
+        F.expr(
+            "CAST(round(CAST(num AS DOUBLE) * n / CAST(n - 1 AS DOUBLE)"
+            " / CAST(sy4 AS DOUBLE) * 1e12) AS BIGINT)"
+        ).alias("var_e12"),
+        F.expr(
+            "CAST(round(sqrt(CAST(num AS DOUBLE) * n"
+            " / CAST(n - 1 AS DOUBLE)"
+            " / CAST(sy4 AS DOUBLE)) * 1e6) AS BIGINT)"
+        ).alias("se_e6"),
+    )

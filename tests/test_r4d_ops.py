@@ -531,3 +531,52 @@ class TestMerkleDiff:
         # chunked partial sums, merged — the distributed plan's shape
         parts = [sum(hs[i::7]) % M for i in range(7)]
         assert sum(parts) % M == d1
+
+
+class TestDeltaMethod:
+    def test_matches_user_level_recompute(self, spark):
+        import math
+
+        rows = {r["bucket"]: r for r in _rows(spark, "delta_method_ratio_variance")}
+        ev = _duck("SELECT user_id, event_type FROM events")
+        from collections import defaultdict
+
+        per = defaultdict(lambda: [0, 0])
+        for uid, et in ev:
+            if et == "click":
+                per[uid][0] += 1
+            elif et == "view":
+                per[uid][1] += 1
+        buckets = defaultdict(list)
+        for uid, (x, y) in per.items():
+            buckets[_h32(f"dm_{uid}") % 2].append((x, y))
+        assert set(rows) == set(buckets)
+        for b, us in buckets.items():
+            n = len(us)
+            sx = sum(x for x, _ in us)
+            sy = sum(y for _, y in us)
+            sxx = sum(x * x for x, _ in us)
+            syy = sum(y * y for _, y in us)
+            sxy = sum(x * y for x, y in us)
+            num = (
+                sy * sy * (n * sxx - sx * sx)
+                - 2 * sx * sy * (n * sxy - sx * sy)
+                + sx * sx * (n * syy - sy * sy)
+            )
+            var = float(num) * n / float(n - 1) / float(sy**4)
+            r = rows[b]
+            assert r["n"] == n
+            assert (r["sum_clicks"], r["sum_views"]) == (sx, sy)
+            assert r["ratio_e6"] == 1000000 * sx // sy
+            assert r["var_e12"] == round(var * 1e12)
+            assert r["se_e6"] == round(math.sqrt(var) * 1e6)
+
+    def test_delta_se_exceeds_naive_iid_se_shape(self, spark):
+        # sanity: SE is positive and scales like 1/sqrt(n) across the
+        # two buckets (within a loose factor, given unequal n)
+        rows = sorted(
+            _rows(spark, "delta_method_ratio_variance"), key=lambda r: r["n"]
+        )
+        assert all(r["se_e6"] > 0 for r in rows)
+        small, big = rows[0], rows[-1]
+        assert small["se_e6"] >= big["se_e6"] // 4
