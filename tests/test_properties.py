@@ -90,8 +90,17 @@ class TestScd2PartitionInvariance:
         base = spark.createDataFrame(data, schema)
 
         def run(df):
+            # valid_to is None on the current row; map it to datetime.max
+            # so the sort key stays comparable when hypothesis produces
+            # tied timestamps (same valid_from, one open segment)
             return sorted(
-                (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+                (
+                    r.user_id,
+                    r.event_type,
+                    r.valid_from,
+                    r.valid_to or dt.datetime.max,
+                    r.is_current,
+                )
                 for r in scd2_history(
                     df, key="user_id", ts_col="ts", attr="event_type",
                     tiebreak="event_id",
