@@ -54,7 +54,14 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from concurrent_etl_spark.engine import get_spark
 
-    spark = get_spark(app_name="oracle-check")
+    # local-mode driver == whole JVM: the 1 GiB default heap can OOM a
+    # broadcast/localCheckpoint-heavy sf0.1 query when other JVMs share
+    # the box (seen once: link_prediction_jaccard under 3 concurrent
+    # gates). Tool-process-only bump; a real cluster sets its own.
+    spark = get_spark(
+        app_name="oracle-check",
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
