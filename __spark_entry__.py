@@ -48,197 +48,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Driver-verification rotation. The driver's correctness harness
-#: checks a fixed-size prefix of ``queries()`` per round (round 1
-#: covered the first 50 registered names). Names listed here are
-#: surfaced FIRST so the cohorts without a CORRECTNESS_r01 row —
-#: TPC-H, temporal/streaming-batch, stats, graph/mining — earn
-#: driver-green rows this round; every name already driver-verified
-#: in round 1 is pushed to the back. The dict contents are identical
-#: either way — only ordering changes.
+#: checks a fixed-size 50-name prefix of ``queries()`` per round.
+#: Ordering policy (VERDICT r4 items 1/2/8): the catalog is FROZEN
+#: this round and the list below enumerates every driver-unchecked
+#: name exactly once, in the order it should drain —
+#:   1. the r5 window (50 never-checked names, loaded at the end of
+#:      r4 — shipped unchanged per VERDICT item 1);
+#:   2. the r4-late tranche (VERDICT item 8: green rows by
+#:      CORRECTNESS_r06 at the latest);
+#:   3. the five oldest r2/r3-era names the verdict called out by
+#:      name (VERDICT item 2: inside the r6 window at the latest);
+#:   4. every remaining unchecked name, FIRST-REGISTERED-FIRST
+#:      (ordered by first appearance in git history), so old names
+#:      are never again queue-jumped by newer tranches.
+#: Already-verified names are pushed to the back by ``_rotated``;
+#: the dict contents are identical either way — only ordering
+#: changes. Cohorts 1-3 fill the r5+r6 windows (50+24) with 26
+#: oldest cohort-4 names completing r6; the remaining 40 drain in
+#: r7, taking the unchecked tail 140 -> 90 -> 40 -> 0.
 _CHECK_FIRST = [
-    # S2/S3/S4/S7 closure: the two sources VERDICT r1 rated 'partial'
-    # are now oracle-gated end-to-end — driver rows for these retire
-    # that finding, so they outrank two cohort members for the window
-    "xlsx_source_roundtrip",
-    "jdbc_source_roundtrip",
-    # r3: the actual readStream->checkpoint->sink path under the
-    # oracle gate (VERDICT r2 item 9) — front so it earns its
-    # driver row the round it lands
-    "stream_etl_roundtrip",
-    # r3: multi-writer commit-log MERGE lifecycle (VERDICT r2
-    # gap 2 — transactional table format)
-    "txn_merge_audit",
-    # r3: raw-text log source + regex parse w/ dead-letter; KL
-    # corpus-drift monitor
-    "weblog_text_parse",
-    "kl_mixture_drift",
-    # r3: format-surface roundtrips + curation/retrieval ops
-    "orc_source_roundtrip",
-    "csv_quirks_roundtrip",
-    "quality_threshold_sweep",
-    "inverted_index_postings",
-    "pyds_txn_source_roundtrip",
-    "bm25_retrieval_topk",
-    "bfs_bipartite_hops",
-    "partitioned_merge_audit",
-    "hll_partial_merge_bounded",
-    "compaction_audit",
-    "multimodal_features_arrow",
-    "chunk_columns_udtf_analyze",
-    # r3 tranche 4: sequence packing / shard manifests / unigram-LM
-    # scoring / recursive SQL — front so they earn driver rows the
-    # round they land
-    "sequence_pack_fixed",
-    "greedy_pack_bins",
-    "shard_manifest_audit",
-    "unigram_logprob_quality",
-    "recursive_cte_hierarchy",
-    "max_concurrency_sweep",
-    "interval_islands_merge",
-    "llm_pipeline_end2end",
-    "bitwise_agg_family",
-    "text_normalize_dedup",
-    "stream_window_watermark_roundtrip",
-    "url_domain_curation",
-    "xml_source_roundtrip",
-    "avro_source_roundtrip",
-    "parquet_zonemap_audit",
-    "prefix_filter_jaccard_join",
-    "pipe_syntax_rollup",
-    "dynamic_partition_pruning_audit",
-    "dedup_incremental_batch",
-    "cogroup_asof_merge",
-    # r2 tranche the judge called out by name (most novel code
-    # first): span dedup + detector eval, the remaining codecs —
-    # pinned so they cannot fall out of the 50-row driver window
-    "duplicate_span_pairs",
-    "dedup_detector_agreement",
-    "dedup_impact_accounting",
-    "video_y4m_frames",
-    "image_png_decode",
-    "audio_wav_decode",
-    "image_bmp_decode",
-    "audio_zero_crossings",
-    "audio_pitch_autocorr",
-    "image_box_downsample",
-    "langid_confusion_eval",
-    "snapshot_diff_audit",
-    "variant_semistructured_agg",
-    "json_corrupt_record_capture",
-    # TPC-H cohort (20)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_check",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_ship_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # temporal / streaming-batch cohort (11)
-    "tumbling_window_full",
-    "sliding_window",
-    "session_window",
-    "stream_attribution_join",
-    "asof_join_prior_click",
-    "range_join_events",
-    "ewma_user_value",
-    "locf_forward_fill",
-    "gapfill_hourly_events",
-    "scd2_user_state",
-    "cdc_latest_state",
-    # stats cohort (11)
-    "stats_moments",
-    "percentiles_acctbal",
-    "ntile_ranks",
-    "iqr_outliers",
-    "regression_per_user",
-    "winsorized_stats",
-    "corr_family_exact",
-    "approx_distinct_bounded",
-    "approx_median_bounded",
-    "profile_table",
-    "rank_distribution_family",
-    # graph / mining / physical-layout cohort (8)
-    "pagerank_bipartite",
-    "triangle_count",
-    "cooccurrence_topk",
-    "fact_fact_selfjoin",
-    "salted_skew_join",
-    "skew_diagnostics",
-    "bucketed_colocated_join",
-    "cms_frequency_sketch",
-    # r3 final tranche (clustering / training / PQ / UDAF): behind
-    # every judge-called-out name above — they queue deterministically
-    # for the next driver window once those earn their rows
-    "kmeans_embedding_clusters",
-    "semantic_dedup_prune",
-    "pq_ann_topk",
-    "gd_quality_classifier",
-    "global_id_assignment",
-    "grouped_agg_pandas_udaf",
-    "scd2_point_in_time_join",
-    "gdpr_erasure_audit",
-    "gopher_quality_rules",
-    "ccnet_perplexity_buckets",
-    # r4 tranche (selection / clustering-eval / time-travel /
-    # streaming-dedup / stream-stream-join): behind the r3-final
-    # tranche — they queue deterministically for the next window
-    "dsir_importance_resample",
-    "temperature_resample_mixture",
-    "cluster_silhouette_eval",
-    "txn_time_travel_diff",
-    "stream_dedup_watermark_roundtrip",
-    "stream_stream_join_roundtrip",
-    "warc_source_roundtrip",
-    "stream_stateful_session_roundtrip",
-    "token_budget_epochs",
-    "line_dedup_ccnet",
-    "c4_line_filters",
-    "bpe_merge_candidates",
-    "rrf_hybrid_retrieval",
-    "kcore_interaction_prune",
-    "skyline_pareto_parts",
-    "schema_evolution_merge_read",
-    "retrieval_eval_ndcg",
-    "classifier_calibration_bins",
-    "video_scene_cuts",
-    "er_blocked_fuzzy_match",
-    "cusum_mean_shift",
-    "twap_time_weighted",
-    # r4 hypothesis-test / source tranche: exact test statistics via
-    # the bucket-offset cumsum (no global sort) + fixed-width text
-    "ks_two_sample",
-    "mann_whitney_u",
-    "chisq_independence",
-    "acf_lags",
-    "fixed_width_source_roundtrip",
-    # r4 evaluation/experimentation tranche: rank-sum AUC, survival,
-    # CUPED, decision-stump info gain, user-journey Markov chain,
-    # trainable NB lang-ID
-    "auc_roc_exact",
-    "kaplan_meier_survival",
-    "cuped_variance_reduction",
-    "info_gain_feature_split",
-    "markov_transition_matrix",
-    "naive_bayes_langid",
-    # r4 infrastructure/inference tranche: deterministic permutation
-    # test, A/B SRM gate, seasonality matrix, weighted shortest
-    # paths, Bloom-filter join pruning, gzip JSONL source
-    "permutation_test_signflip",
-    "ab_srm_bucketing_audit",
-    "seasonality_profile",
+    # --- cohort 1: r5 driver window (positions 0-49), pinned ---
     "bellman_ford_weighted_hops",
     "bloom_filter_probe_audit",
     "jsonl_gzip_source_roundtrip",
@@ -281,10 +110,6 @@ _CHECK_FIRST = [
     "stream_multibatch_incremental_roundtrip",
     "revenue_concentration_deciles",
     "popularity_recsys_hitrate",
-    # r4 final tranche: rank statistics (Kendall dominance grid,
-    # Kruskal-Wallis, block-pessimistic AP, Ljung-Box, Theil-Sen),
-    # graph/embedding diagnostics, decontamination, LSH S-curve,
-    # write-audit-publish
     "kendall_tau_concordance",
     "kruskal_wallis_rank_test",
     "average_precision_exact",
@@ -293,6 +118,7 @@ _CHECK_FIRST = [
     "degree_assortativity",
     "personalized_pagerank_seeded",
     "ann_hubness_audit",
+    # --- cohort 2: r4-late tranche (driver rows due by r6) ---
     "decontaminate_ngram_windows",
     "lsh_scurve_tuning_audit",
     "write_audit_publish_txn",
@@ -300,23 +126,91 @@ _CHECK_FIRST = [
     "brier_score_decomposition",
     "phrase_query_positional",
     "mmr_diversified_topk",
-    # r4 corpus-forensics tranche: winnowing fingerprints, skip-gram
-    # pair counts, Heaps'-law curve, Z-order layout audit
     "winnowing_fingerprint",
     "skipgram_window_counts",
     "heaps_law_curve",
     "zorder_layout_audit",
-    # r4 privacy/curation additions: local-DP randomized response,
-    # leave-one-source-out influence, containment-similarity join
     "dp_randomized_response",
     "source_ablation_influence",
     "containment_similarity_join",
     "winnowing_overlap_pairs",
-    # r4 placement/orchestration additions
     "hrw_shard_rebalance_audit",
     "partition_backfill_planner",
     "merkle_partition_diff",
     "delta_method_ratio_variance",
+    # --- cohort 3: oldest r2/r3-era names (verdict item 2) ---
+    "integrity_constraint_audit",
+    "zorder_locality",
+    "incremental_agg_merge",
+    "label_propagation_communities",
+    "benford_digit_audit",
+    # --- cohort 4: remaining unchecked, first-registered-first ---
+    "tumbling_window_agg",
+    "json_props_extract",
+    "join_right",
+    "join_cross",
+    "scalar_subquery_filter",
+    "having_filter",
+    "cube_agg",
+    "conditional_agg",
+    "pivot_status_by_priority",
+    "window_lag_lead_running",
+    "date_arithmetic",
+    "null_scalars",
+    "lateral_explode_tokens",
+    "union_all_dedup",
+    "sort_nulls_ordering",
+    "grouping_sets_agg",
+    "exists_correlated",
+    "cte_revenue_topn",
+    "unpivot_measures",
+    "hash_sample",
+    "regional_supplier_volume",
+    "price_histogram",
+    "null_safe_join_agg",
+    "range_frame_running_value",
+    "token_length_histogram",
+    "vocab_coverage_topk",
+    "data_mixture_sampling",
+    "bigram_doc_score",
+    "contamination_check",
+    "multiset_intersect_except",
+    "pattern_predicate_stats",
+    "collect_sorted_suppliers",
+    "explode_outer_tokens",
+    "rolling_hash_fingerprint",
+    "ann_recall_eval",
+    "knn_label_vote",
+    "decimal_money_arithmetic",
+    "curation_rank_topk",
+    "corpus_composition",
+    "boolean_agg_family",
+    "train_eval_split",
+    "schema_evolution_union",
+    "token_count_bpe_regex",
+    "json_struct_map_parse",
+    "embedding_quantize_int8",
+    "sql_interface_weekly_share",
+    "array_hof_family",
+    "map_functions_family",
+    "bpe_pair_merge_step",
+    "token_diversity_simpson",
+    "minhash_containment",
+    "blocked_candidate_pairs",
+    "embedding_norm_buckets",
+    "stratified_sample_quota",
+    "dedup_keep_best",
+    "rolling_zscore_anomaly",
+    "audio_window_energy",
+    "image_bmp_resize",
+    "zipf_slope_fit",
+    "spatial_radius_pairs",
+    "sequence_pattern_match",
+    "pps_systematic_sample",
+    "jl_random_projection",
+    "yoy_revenue_growth",
+    "cdc_apply_changes",
+    "attribution_left_outer",
 ]
 
 def _driver_verified() -> set[str]:
