@@ -10,7 +10,7 @@ the function cannot unpersist before the caller executes it). The
 contract is therefore harness-level: every catalog-wide runner
 (``bench.py``, ``tools/check_oracle.py``, ``tools/explain_all.py``)
 calls ``spark.catalog.clearCache()`` after consuming each query, so
-cached blocks never accumulate across a 149-query sweep. Functions
+cached blocks never accumulate across a full-catalog sweep. Functions
 that DO run a terminal action internally (pagerank's bounded
 materialization, streaming's merge) unpersist eagerly in
 ``try/finally`` instead.

@@ -2799,8 +2799,11 @@ def q_write_audit_publish_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("name"),
         F.floor(F.col("s_acctbal") * 100).cast("long").alias("bal_cents"),
     )
+    # poison key must sit OUTSIDE the supplier key range at ANY scale
+    # factor (sf0.1 already has suppkey 998) — a colliding key would
+    # make "poison absent from the published table" unobservable
     poison = spark.createDataFrame(
-        [(None, "ghost", 100), (998, "", 77)],
+        [(None, "ghost", 100), (10_000_000_998, "", 77)],
         "k long, name string, bal_cents long",
     )
     candidate = (

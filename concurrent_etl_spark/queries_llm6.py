@@ -1367,7 +1367,8 @@ def _mmr_oracle() -> str:
     sims AS (
       SELECT a.doc_id AS da, b.doc_id AS db,
              len(list_intersect(a.shg, b.shg)) * 1000
-               // len(list_distinct(list_concat(a.shg, b.shg))) AS sim_pm
+               // greatest(len(list_distinct(list_concat(a.shg, b.shg))), 1)
+               AS sim_pm
       FROM shl a JOIN shl b ON a.doc_id <> b.doc_id),
     sel1 AS (
       SELECT CAST(1 AS BIGINT) AS rank, doc_id, rel_pm,
@@ -1440,7 +1441,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "db",
             F.expr(
                 "size(array_intersect(sha, shb)) * 1000"
-                " div size(array_union(sha, shb))"
+                " div greatest(size(array_union(sha, shb)), 1)"
             ).alias("sim_pm"),
         )
         .persist()

@@ -40,10 +40,21 @@ _WIN_W = 4
 #: position packing: key = hash * 2^20 + (2^20-1 - pos). min(key)
 #: over a window is (min hash, rightmost position attaining it) —
 #: exactly the winnowing tie rule — in ONE integer window-min that
-#: both engines evaluate identically. Valid while pos < 2^20.
+#: both engines evaluate identically. Valid ONLY while pos <= 2^20-1,
+#: so docs with more grams than that are EXCLUDED by ``_MAX_CHARS``
+#: below (silently packing a larger pos would corrupt the
+#: rightmost-min tie rule identically in both engines — the oracle
+#: would still match while the selection went semantically wrong).
+#: Widening the packing is not an option at BIGINT: the gram hash is
+#: 32 bits, so 2^40-position packing would need 72 bits.
 _POS_BITS = 20
 _POS_W = 1 << _POS_BITS
 _POS_MAX = _POS_W - 1
+#: longest document admitted to fingerprinting: n_grams = len-(K-1)
+#: must stay <= _POS_MAX. A 100 TB corpus chunks over-long docs
+#: upstream (sequence_pack_fixed's territory); here they are gated
+#: out explicitly rather than mis-fingerprinted.
+_MAX_CHARS = _POS_MAX + _WIN_K - 1
 
 
 #: shared oracle CTE chain src -> g -> w -> sel -> fp: the winnowing
@@ -51,7 +62,8 @@ _POS_MAX = _POS_W - 1
 #: two oracles cannot drift apart.
 _WINNOW_CTES = f"""src AS (
       SELECT doc_id, lower(text) AS txt FROM documents
-      WHERE length(text) >= {_WIN_K + _WIN_W - 1}),
+      WHERE length(text) >= {_WIN_K + _WIN_W - 1}
+        AND length(text) <= {_MAX_CHARS}),
     g AS (
       SELECT doc_id, i AS pos,
              ('0x' || substr(md5(substr(txt, i, {_WIN_K})), 1, 8))::BIGINT
@@ -76,7 +88,8 @@ def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint POSITION — (doc_id, sk, h) with sk the packed
     (hash, reversed-pos) key. Shared by both winnowing queries."""
     docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= _WIN_K + _WIN_W - 1
+        (F.length("text") >= _WIN_K + _WIN_W - 1)
+        & (F.length("text") <= _MAX_CHARS)
     )
     src = docs.select("doc_id", F.lower(F.col("text")).alias("txt"))
     grams = src.select(
@@ -173,7 +186,8 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface at all).
     """
     docs = load_table(spark, sf_dir, "documents").where(
-        F.length("text") >= _WIN_K + _WIN_W - 1
+        (F.length("text") >= _WIN_K + _WIN_W - 1)
+        & (F.length("text") <= _MAX_CHARS)
     )
     src = docs.select("doc_id", F.lower(F.col("text")).alias("txt"))
     fp = _winnow_sel(spark, sf_dir)
@@ -228,7 +242,8 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     xc AS (SELECT context, SUM(n_pairs) AS xn FROM c GROUP BY 1),
     tot AS (SELECT SUM(n_pairs) AS t FROM c)
     SELECT c.center, c.context, c.n_pairs,
-           CAST(1000 * c.n_pairs * tot.t // (mc.cn * xc.xn) AS BIGINT)
+           CAST(1000 * CAST(c.n_pairs AS HUGEINT) * tot.t
+                // (CAST(mc.cn AS HUGEINT) * xc.xn) AS BIGINT)
              AS lift_pm
     FROM c
     JOIN mc ON mc.center = c.center
@@ -297,7 +312,16 @@ def q_skipgram_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "center",
             "context",
             "n_pairs",
-            F.expr("1000 * n_pairs * t div (cn * xn)").cast("long").alias("lift_pm"),
+            # cross-moments promote to DECIMAL(38,0) before the
+            # multiply (house big-product convention): n_pairs*t and
+            # cn*xn are corpus-scale products that wrap BIGINT at the
+            # 100 TB shape (non-ANSI Spark wraps silently, DuckDB errors)
+            F.expr(
+                "1000 * cast(n_pairs as decimal(38,0)) * t"
+                " div (cast(cn as decimal(38,0)) * xn)"
+            )
+            .cast("long")
+            .alias("lift_pm"),
         )
         .orderBy(F.desc("n_pairs"), "center", "context")
         .limit(50)

@@ -88,6 +88,59 @@ class TestGreedyPackBins:
         for r in Q4.q_greedy_pack_bins(spark, SF_DIR).collect():
             assert r["n_tokens"] <= _PACK_CAPACITY or r["n_docs"] == 1
 
+    def test_zero_token_doc_guard_both_engines(self, spark, tmp_path):
+        """The ``fill > 0`` guard, pinned on a synthetic corpus (the
+        real fixture has no 0-token docs): a zero-token doc opens a
+        bin with fill=0, and the over-capacity doc that follows must
+        JOIN that bin (fill==0 disarms the overflow test) — not be
+        bumped into a fresh one on one engine only. Runs the actual
+        Spark fold AND the recursive-CTE oracle on the same parquet."""
+        import duckdb
+        import pandas as pd
+
+        from concurrent_etl_spark.catalog import ORACLES
+
+        big = " ".join(["tok"] * (_PACK_CAPACITY + 88))  # > capacity
+        rows = [
+            # shard 0: 0-token doc, then the over-capacity doc, then a
+            # small doc that must overflow into bin 1
+            (0, ""),
+            (_N_SHARDS, big),
+            (2 * _N_SHARDS, " ".join(["tok"] * 10)),
+            # shard 1: plain control docs
+            (1, " ".join(["tok"] * 300)),
+            (1 + _N_SHARDS, " ".join(["tok"] * 300)),
+        ]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": "en",
+                "source": "synthetic",
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        )
+        pdf.to_parquet(tmp_path / "documents.parquet")
+
+        got = sorted(
+            map(tuple, Q4.q_greedy_pack_bins(spark, str(tmp_path)).collect())
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{tmp_path / 'documents.parquet'}')"
+        )
+        want = sorted(map(tuple, con.execute(
+            ORACLES["greedy_pack_bins"]
+        ).fetchall()))
+        assert got == want
+        by_bin = {(r[0], r[1]): r for r in got}
+        # guard honored: the 0-token doc and the over-capacity doc
+        # SHARE shard-0 bin 0 (without the guard the big doc would
+        # open bin 1 and first/last/doc counts all shift)
+        assert by_bin[(0, 0)][2:] == (2, _PACK_CAPACITY + 88, 0, _N_SHARDS)
+        assert by_bin[(0, 1)][2:] == (1, 10, 2 * _N_SHARDS, 2 * _N_SHARDS)
+
 
 class TestShardManifest:
     def test_totals_and_fingerprint_partition_invariant(self, spark):

@@ -318,7 +318,12 @@ class TestWriteAuditPublish:
         assert all(r["k"] is not None and r["name"] != "" for r in rows)
         assert all(r["latest_version"] == 2 for r in rows)
         assert all(r["n_rejected"] == 2 for r in rows)
-        assert not any(r["k"] == 998 or r["name"] == "ghost" for r in rows)
+        # the poison tuples themselves, not a bare key that a larger
+        # SF's supplier table could legitimately contain
+        assert not any(
+            r["k"] == 10_000_000_998 or r["name"] == "ghost" for r in rows
+        )
+        assert not any(r["name"] == "" for r in rows)
         again = _rows(spark, "write_audit_publish_txn")
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
