@@ -129,6 +129,35 @@ def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnowing_work_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Scaling instrumentation (VERDICT r4 item 3): the winnowing
+    scan's work unit is CHAR-GRAMS (one md5 + one window step per
+    gram), so the honest leash for its wall-time curve is ns/gram
+    staying flat-or-falling across scale points — input-proportional
+    cost, not superlinearity. Also records the selected-fingerprint
+    count (the density theorem predicts ~2/(W+1) of windows) so the
+    saturation of the ~1000-value char-gram space at sf0.1 is
+    visible as n_fp_distinct_hashes flattening while grams grow."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.length("text") >= _WIN_K + _WIN_W - 1)
+        & (F.length("text") <= _MAX_CHARS)
+    )
+    grams = docs.agg(
+        F.sum(F.length("text") - (_WIN_K - 1)).cast("long").alias("g")
+    ).collect()[0]["g"]
+    sel = _winnow_sel(spark, sf_dir)
+    try:
+        n_fp = sel.count()
+        n_hashes = sel.select("h").distinct().count()
+    finally:
+        sel.unpersist()
+    return {
+        "n_grams_total": int(grams or 0),
+        "n_fp_selected": n_fp,
+        "n_fp_distinct_hashes": n_hashes,
+    }
+
+
 @query(
     "winnowing_fingerprint",
     oracle=f"""
@@ -876,6 +905,76 @@ _CONT_DF_MIN = 2
 _CONT_DF_MAX = 50
 
 
+def _containment_sh_pairs(spark: SparkSession, sf_dir: str):
+    """Shared stages of the containment join: (sh, pairs) where
+    ``sh`` is the DISTINCT (doc_id, trigram-shingle) table and
+    ``pairs`` the DISTINCT df-gated candidate pairs. Factored out so
+    the query and :func:`containment_candidate_stats` (the scaling
+    instrumentation) measure the SAME plan, not a re-derivation."""
+    from concurrent_etl_spark.operators.text import shingles_from_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
+    ).where(F.size("tk") >= 3)
+    # persisted: consumed by dfreq, the gate join, both intersection
+    # sides and the size table — five consumers would each re-run the
+    # tokenize+explode+distinct scan (the staged_shingles precedent,
+    # operators/dedup.py; harness clears caches per query)
+    sh = (
+        src.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("tk"), 3)).alias("s")
+        )
+        .distinct()
+        .persist()
+    )
+    dfreq = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(_CONT_DF_MIN, _CONT_DF_MAX))
+        .select("s")
+    )
+    gated = sh.join(dfreq, "s")
+    a = gated.select(F.col("s"), F.col("doc_id").alias("doc_a"))
+    b = gated.select(F.col("s"), F.col("doc_id").alias("doc_b"))
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return sh, pairs
+
+
+def containment_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Scaling instrumentation (VERDICT r4 item 3): size of the
+    candidate-pair stage between the df-gate and the exact-
+    intersection verify, plus its analytic ceiling
+    sum-over-gated-shingles of C(df, 2). The boundedness argument for
+    the containment join is that CANDIDATES — not wall time — track
+    the gate bound; recording both per scale point proves it
+    measured. Two scalar aggregates, no extra state left behind."""
+    sh, pairs = _containment_sh_pairs(spark, sf_dir)
+    try:
+        bound = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df").between(_CONT_DF_MIN, _CONT_DF_MAX))
+            .agg(
+                F.sum(
+                    (F.col("df") * (F.col("df") - 1) / 2).cast("long")
+                ).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        return {
+            "n_candidate_pairs": pairs.count(),
+            "pair_bound_sum_c_df_2": int(bound or 0),
+        }
+    finally:
+        sh.unpersist()
+
+
 @query(
     "containment_similarity_join",
     oracle=f"""
@@ -939,39 +1038,8 @@ def q_containment_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame
     family (Jaccard / MinHash-LSH / SimHash / PPJoin / SemDeDup) with
     the containment axis.
     """
-    from concurrent_etl_spark.operators.text import shingles_from_tokens, tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    src = docs.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
-    ).where(F.size("tk") >= 3)
-    # persisted: consumed by dfreq, the gate join, both intersection
-    # sides and the size table — five consumers would each re-run the
-    # tokenize+explode+distinct scan (the staged_shingles precedent,
-    # operators/dedup.py; harness clears caches per query)
-    sh = (
-        src.select(
-            "doc_id", F.explode(shingles_from_tokens(F.col("tk"), 3)).alias("s")
-        )
-        .distinct()
-        .persist()
-    )
+    sh, pairs = _containment_sh_pairs(spark, sf_dir)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    dfreq = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df").between(_CONT_DF_MIN, _CONT_DF_MAX))
-        .select("s")
-    )
-    gated = sh.join(dfreq, "s")
-    a = gated.select(F.col("s"), F.col("doc_id").alias("doc_a"))
-    b = gated.select(F.col("s"), F.col("doc_id").alias("doc_b"))
-    pairs = (
-        a.join(b, "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s"))
     inter = (

@@ -72,6 +72,34 @@ ROWS_OUT = {"duplicate_span_pairs", "containment_similarity_join"}
 WORK_M15 = {"triangle_count"}
 
 
+def _containment_extra(spark, sf_dir, times):
+    """VERDICT r4 item 3: the candidate-pair stage between the
+    df-gate and the verify was uninstrumented — record candidates
+    and their analytic gate ceiling so the curve shows CANDIDATES
+    (not wall time) scaling with the bound."""
+    from concurrent_etl_spark import queries_llm7 as L7
+
+    stats = L7.containment_candidate_stats(spark, sf_dir)
+    return stats
+
+
+def _winnowing_extra(spark, sf_dir, times):
+    """VERDICT r4 item 3: winnowing's work unit is char-grams; the
+    extra columns let the JSON carry ns/gram (flat = linear in
+    corpus chars) plus the distinct-hash saturation evidence."""
+    from concurrent_etl_spark import queries_llm7 as L7
+
+    return L7.winnowing_work_stats(spark, sf_dir)
+
+
+#: per-query extra instrumentation: name -> fn(spark, sf_dir, times)
+#: returning extra JSON columns for that scale point
+EXTRA_STATS = {
+    "containment_similarity_join": _containment_extra,
+    "winnowing_fingerprint": _winnowing_extra,
+}
+
+
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "02"
     sys.path.insert(0, "/root/repo")
@@ -114,6 +142,31 @@ def main() -> None:
                 sf: round(times[sf] / max(rows[sf], 1) * 1e6, 1)
                 for sf in rows
             }
+        if name in EXTRA_STATS:
+            extras: dict[str, dict] = {}
+            for sf, sf_dir in SF_DIRS.items():
+                spark.catalog.clearCache()
+                for k, v in EXTRA_STATS[name](spark, sf_dir, times).items():
+                    extras.setdefault(k, {})[sf] = v
+            out[name].update(extras)
+            if "n_candidate_pairs" in extras:
+                out[name]["usec_per_candidate"] = {
+                    sf: round(
+                        times[sf]
+                        / max(extras["n_candidate_pairs"][sf], 1)
+                        * 1e6,
+                        1,
+                    )
+                    for sf in extras["n_candidate_pairs"]
+                }
+            if "n_grams_total" in extras:
+                out[name]["nsec_per_gram"] = {
+                    sf: round(
+                        times[sf] / max(extras["n_grams_total"][sf], 1) * 1e9,
+                        1,
+                    )
+                    for sf in extras["n_grams_total"]
+                }
         if name in WORK_M15:
             edges, tris, norm = {}, {}, {}
             for sf, sf_dir in SF_DIRS.items():
