@@ -105,6 +105,40 @@ SPOT_CHECK = [
     "mix_shift_decomposition",
     "embedding_centroid_drift",
     "revenue_concentration_deciles",
+    # round-5 (verification round): the r4-late tranche enters the
+    # driver window next — every partition-sensitive shape in it gets
+    # the invariance check BEFORE the driver sees it. Rank cumsums
+    # (Kendall/KW/AP/Ljung-Box), median-of-slopes, iterative decimal
+    # message passing, md5-coin bootstraps, greedy unrolled argmax
+    # ties, window-min fingerprint selection, df-gated pair emitters,
+    # HRW argmax packing, Merkle hash concat-aggs, decimal
+    # cross-moments
+    "kendall_tau_concordance",
+    "kruskal_wallis_rank_test",
+    "average_precision_exact",
+    "ljung_box_whiteness",
+    "theilsen_robust_slope",
+    "degree_assortativity",
+    "personalized_pagerank_seeded",
+    "ann_hubness_audit",
+    "decontaminate_ngram_windows",
+    "lsh_scurve_tuning_audit",
+    "poisson_bootstrap_ci",
+    "brier_score_decomposition",
+    "phrase_query_positional",
+    "mmr_diversified_topk",
+    "winnowing_fingerprint",
+    "winnowing_overlap_pairs",
+    "skipgram_window_counts",
+    "heaps_law_curve",
+    "zorder_layout_audit",
+    "dp_randomized_response",
+    "source_ablation_influence",
+    "containment_similarity_join",
+    "hrw_shard_rebalance_audit",
+    "partition_backfill_planner",
+    "merkle_partition_diff",
+    "delta_method_ratio_variance",
 ]
 
 
