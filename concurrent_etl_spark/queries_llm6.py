@@ -1054,7 +1054,8 @@ def q_pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM d GROUP BY source),
     mapped AS (
       SELECT p.source, p.v, p.t,
-             CAST((p.cum * 2 * nn.n + ns.n_s) // (2 * ns.n_s)
+             CAST((CAST(p.cum AS HUGEINT) * 2 * nn.n + ns.n_s)
+                  // (2 * ns.n_s)
                   AS BIGINT) AS target_rank
       FROM per_src p JOIN ns USING (source) CROSS JOIN nn),
     xlat AS (
@@ -1122,8 +1123,13 @@ def q_quantile_normalization_sources(
             "source",
             "v",
             "t",
+            # cum*2*n is a corpus-squared cross-moment — DECIMAL(38,0)
+            # before the multiply (house big-product convention; at
+            # 10^11 docs the BIGINT product wraps silently in
+            # non-ANSI Spark while DuckDB errors)
             F.expr(
-                "CAST((cum * 2 * n + n_s) div (2 * n_s) AS BIGINT)"
+                "CAST((cast(cum as decimal(38,0)) * 2 * n + n_s)"
+                " div (2 * n_s) AS BIGINT)"
             ).alias("target_rank"),
         )
     )

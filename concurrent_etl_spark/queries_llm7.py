@@ -398,7 +398,8 @@ def q_skipgram_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_uni) OVER w AS BIGINT) AS cum_types_unigram,
            CAST(SUM(n_bi) OVER w AS BIGINT) AS cum_types_bigram,
            CAST(n_uni AS BIGINT) AS new_types_unigram,
-           CAST(1000 * (SUM(n_uni) OVER w) // (SUM(n_tokens) OVER w)
+           CAST(1000 * (SUM(n_uni) OVER w)
+                // greatest(SUM(n_tokens) OVER w, 1)
                 AS BIGINT) AS ttr_pm
     FROM j
     WINDOW w AS (ORDER BY dec ROWS BETWEEN UNBOUNDED PRECEDING
@@ -502,7 +503,12 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_types_unigram").cast("long"),
         F.col("cum_types_bigram").cast("long"),
         F.col("new_types_unigram").cast("long"),
-        F.expr("1000 * cum_types_unigram div cum_tokens")
+        # greatest-guard: cum_tokens is 0 only if every doc in the
+        # leading deciles is empty-text — content-dependent, so the
+        # corpus can't be trusted to never produce it (Spark div
+        # would NULL while DuckDB // errors — the mmr_diversified
+        # class of latent divergence)
+        F.expr("1000 * cum_types_unigram div greatest(cum_tokens, 1)")
         .cast("long")
         .alias("ttr_pm"),
     )
