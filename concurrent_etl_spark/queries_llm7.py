@@ -829,15 +829,15 @@ def q_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g)
     SELECT g.source, g.n_docs,
            CAST(100 * tot.st // tot.nn AS BIGINT) AS mean_tok_x100,
-           CAST(100 * (tot.st - g.s_tok) // (tot.nn - g.n_docs)
+           CAST(100 * (tot.st - g.s_tok) // greatest(tot.nn - g.n_docs, 1)
                 AS BIGINT) AS mean_tok_loo_x100,
-           CAST(100 * (tot.st - g.s_tok) // (tot.nn - g.n_docs)
+           CAST(100 * (tot.st - g.s_tok) // greatest(tot.nn - g.n_docs, 1)
                 - 100 * tot.st // tot.nn AS BIGINT)
              AS tok_influence_x100,
            CAST(1000 * tot.se // tot.nn AS BIGINT) AS en_rate_pm,
-           CAST(1000 * (tot.se - g.s_en) // (tot.nn - g.n_docs)
+           CAST(1000 * (tot.se - g.s_en) // greatest(tot.nn - g.n_docs, 1)
                 AS BIGINT) AS en_rate_loo_pm,
-           CAST(1000 * (tot.se - g.s_en) // (tot.nn - g.n_docs)
+           CAST(1000 * (tot.se - g.s_en) // greatest(tot.nn - g.n_docs, 1)
                 - 1000 * tot.se // tot.nn AS BIGINT)
              AS en_influence_pm
     FROM g CROSS JOIN tot
@@ -855,7 +855,9 @@ def q_source_ablation_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: exact e2 / per-mille integer quotients of exact
     integer sums; LOO denominators are corpus-minus-one-source doc
-    counts (never zero while >= 2 sources exist).
+    counts, greatest-guarded so a single-source corpus degrades to
+    a harmless self-referential row instead of diverging (DuckDB
+    errors on /0, Spark div yields NULL).
 
     100 TB shape: one map-side-combinable groupBy to a source-sized
     table; totals re-enter via the approved 1-row broadcast; the
@@ -888,17 +890,17 @@ def q_source_ablation_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         F.expr("100 * st div nn").cast("long").alias("mean_tok_x100"),
-        F.expr("100 * (st - s_tok) div (nn - n_docs)")
+        F.expr("100 * (st - s_tok) div greatest(nn - n_docs, 1)")
         .cast("long")
         .alias("mean_tok_loo_x100"),
-        F.expr("100 * (st - s_tok) div (nn - n_docs) - 100 * st div nn")
+        F.expr("100 * (st - s_tok) div greatest(nn - n_docs, 1) - 100 * st div nn")
         .cast("long")
         .alias("tok_influence_x100"),
         F.expr("1000 * se div nn").cast("long").alias("en_rate_pm"),
-        F.expr("1000 * (se - s_en) div (nn - n_docs)")
+        F.expr("1000 * (se - s_en) div greatest(nn - n_docs, 1)")
         .cast("long")
         .alias("en_rate_loo_pm"),
-        F.expr("1000 * (se - s_en) div (nn - n_docs) - 1000 * se div nn")
+        F.expr("1000 * (se - s_en) div greatest(nn - n_docs, 1) - 1000 * se div nn")
         .cast("long")
         .alias("en_influence_pm"),
     )
