@@ -102,8 +102,14 @@ def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "n_grams",
-        F.posexplode("gs").alias("p0", "g"),
-    )
+        # _outer + isNotNull, NOT plain posexplode: the plain form
+        # lets InferFiltersFromGenerate clone the whole gram
+        # transform into an inferred size()>0 filter that pushes
+        # BELOW the doc-length gate — every doc (including gated-out
+        # over-long ones) then pays the O(len^2) interpreted
+        # substring walk twice (the operators/dedup.span_pairs trap)
+        F.posexplode_outer("gs").alias("p0", "g"),
+    ).where(F.col("g").isNotNull())
     keyed = grams.select(
         "doc_id",
         "n_grams",

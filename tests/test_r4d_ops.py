@@ -81,6 +81,67 @@ class TestWinnowing:
         fb = {h for _, h in _winnow(b)}
         assert fa & fb
 
+    def test_guarantee_property_random_strings(self):
+        # the detection guarantee, property-tested: ANY two strings
+        # sharing a >= K+W-1 = 8 char substring share a fingerprint
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        alpha = st.text(alphabet="abcdef", min_size=0, max_size=20)
+        core = st.text(alphabet="uvwxyz", min_size=8, max_size=14)
+
+        @settings(max_examples=60, deadline=None)
+        @given(core=core, pa=alpha, sa=alpha, pb=alpha, sb=alpha)
+        def check(core, pa, sa, pb, sb):
+            fa = {h for _, h in _winnow(pa + core + sa)}
+            fb = {h for _, h in _winnow(pb + core + sb)}
+            assert fa & fb
+
+        check()
+
+    def test_overlong_doc_gated_out_both_engines(self, spark, tmp_path):
+        """The 20-bit position-packing gate (round-5 advice fix): a
+        doc with more than 2^20-1 grams must be EXCLUDED from
+        fingerprinting by BOTH engines — not silently
+        mis-fingerprinted with a corrupted tie rule."""
+        import pandas as pd
+
+        from concurrent_etl_spark.catalog import ORACLES
+        from concurrent_etl_spark.queries_llm7 import (
+            _MAX_CHARS,
+            q_winnowing_fingerprint,
+        )
+
+        texts = {
+            1: "the quick brown fox jumps over the lazy dog",
+            2: "x" * (_MAX_CHARS + 1),  # one gram too many
+            3: "the quick brown fox jumps over the lazy cat",
+        }
+        pdf = pd.DataFrame(
+            {
+                "doc_id": list(texts),
+                "text": list(texts.values()),
+                "lang": "en",
+                "source": "synthetic",
+                "n_chars": [len(t) for t in texts.values()],
+            }
+        )
+        pdf.to_parquet(tmp_path / "documents.parquet")
+
+        got = sorted(
+            map(tuple, q_winnowing_fingerprint(spark, str(tmp_path)).collect())
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            f" read_parquet('{tmp_path / 'documents.parquet'}')"
+        )
+        want = sorted(
+            map(tuple, con.execute(ORACLES["winnowing_fingerprint"]).fetchall())
+        )
+        assert got == want
+        assert {r[0] for r in got} == {1, 3}, "over-long doc gated out"
+
 
 class TestSkipgram:
     def test_matches_position_scan(self, spark):
