@@ -31,6 +31,18 @@ class TestDriverContract:
             default=-1,
         )
         assert last_pending < first_done or first_done == len(order)
+        # round-5 invariant: the rotation list enumerates names
+        # uniquely (a duplicate would double-fill a driver window
+        # slot) and — with the catalog frozen — covers every
+        # currently-unchecked name, so nothing can hide from the
+        # drain schedule
+        assert len(entrymod._CHECK_FIRST) == len(set(entrymod._CHECK_FIRST))
+        uncovered = [
+            n
+            for n in q
+            if n not in done and n not in set(entrymod._CHECK_FIRST)
+        ]
+        assert not uncovered, f"unchecked names outside rotation: {uncovered}"
 
     def test_columns_are_lowercase_identifiers(self, spark):
         # the driver sorts columns by name before hashing: exotic
