@@ -311,14 +311,18 @@ def q_kcore_interaction_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: each round is two degree aggregations (map-side
     combinable, keyed on each side of the edge) and two semi-join
     filters back onto the edge list — no pairwise expansion anywhere.
-    Each round's edge set is persisted, its ONE-ROW stats aggregate is
-    collected eagerly (the bounded per-iteration driver collect the
-    k-means/GD operators also make — here 5 rows total), and the
-    previous round unpersists as soon as the next is materialized, so
-    the returned plan is a 5-row local table instead of an
-    exponentially re-planned union of the whole peel lineage. Rounds
-    are a FIXED unroll (the oracle chains the same CTEs); production
-    fixpoint looping adds a converged-check on the same plan.
+    Each round's edge set is persisted and materialized with ONE
+    count() (bounding plan depth: an unmaterialized round references
+    its parent three times, so the lineage would grow 3^r); the
+    per-round survival stats are NOT collected eagerly — they return
+    as one lazy 5-agg union over the cached rounds, so the whole
+    query is 4 driver-blocking jobs plus a single cache-fed stats job
+    at execution (the eager-stats formulation paid 5 extra
+    expand-aggregate jobs of pure scheduling latency per run — the
+    flat scaling curve shows this query is orchestration-bound, not
+    data-bound). Rounds are a FIXED unroll (the oracle chains the
+    same CTEs); production fixpoint looping adds a converged-check on
+    the same plan.
     """
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("u")
@@ -326,35 +330,35 @@ def q_kcore_interaction_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v")
     )
-    e = o.join(li, "ok").select("u", "v").distinct().persist()
-    stats: list[tuple[int, int, int, int]] = []
-    try:
-        for r in range(_KCORE_R + 1):
-            row = e.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_edges"),
-                F.countDistinct("u").cast("bigint").alias("n_users"),
-                F.countDistinct("v").cast("bigint").alias("n_items"),
-            ).first()
-            stats.append(
-                (r, row["n_edges"], row["n_users"], row["n_items"])
-            )
-            if r < _KCORE_R:
-                du = e.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
-                dv = e.groupBy("v").agg(F.count(F.lit(1)).alias("dv"))
-                nxt = (
-                    e.join(du.where(F.col("du") >= _KCORE_K).select("u"), "u")
-                    .join(dv.where(F.col("dv") >= _KCORE_K).select("v"), "v")
-                    .select("u", "v")
-                    .persist()
-                )
-                nxt.count()  # materialize before dropping the parent
-                e.unpersist()
-                e = nxt
-    finally:
-        e.unpersist()
-    return spark.createDataFrame(
-        stats, "peel_round: int, n_edges: long, n_users: long, n_items: long"
-    )
+    rounds = [o.join(li, "ok").select("u", "v").distinct().persist()]
+    for _ in range(_KCORE_R):
+        e = rounds[-1]
+        du = e.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+        dv = e.groupBy("v").agg(F.count(F.lit(1)).alias("dv"))
+        nxt = (
+            e.join(du.where(F.col("du") >= _KCORE_K).select("u"), "u")
+            .join(dv.where(F.col("dv") >= _KCORE_K).select("v"), "v")
+            .select("u", "v")
+            .persist()
+        )
+        nxt.count()  # materialize: bounds lineage AND feeds the stats union
+        rounds.append(nxt)
+    # persist convention (catalog.py): the cached rounds are consumed
+    # by the returned plan; the harness clears caches after execution
+    stats = None
+    for r, er in enumerate(rounds):
+        s = er.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.countDistinct("u").cast("bigint").alias("n_users"),
+            F.countDistinct("v").cast("bigint").alias("n_items"),
+        ).select(
+            F.lit(r).cast("int").alias("peel_round"),
+            "n_edges",
+            "n_users",
+            "n_items",
+        )
+        stats = s if stats is None else stats.unionByName(s)
+    return stats
 
 
 def _bf_sql_round(prev: str, k: int) -> str:
