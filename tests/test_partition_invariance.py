@@ -139,6 +139,33 @@ SPOT_CHECK = [
     "partition_backfill_planner",
     "merkle_partition_diff",
     "delta_method_ratio_variance",
+    # round-5 window completion: every remaining driver-window name
+    # with a partition-sensitive shape — iterative relax rounds
+    # (Bellman-Ford), modularity's degree cross-moments, conformal
+    # quantile thresholds, DiD / lead-lag cross-moments, rank-based
+    # quantile normalization, md5-coin negative sampling, support-
+    # gated triple counting, windowed burst rates, seasonal moments,
+    # cohort cumsums, path trigram ordering, bounce ratios, hit-rate
+    # joins, k-anonymity grouping, per-entity top-k ties, margin-
+    # ranked negatives, bloom probe counts
+    "bellman_ford_weighted_hops",
+    "bloom_filter_probe_audit",
+    "lateral_topk_per_entity",
+    "hard_negative_mining",
+    "modularity_communities_eval",
+    "conformal_threshold_coverage",
+    "diff_in_differences",
+    "k_anonymity_audit",
+    "crosscorr_lead_lag",
+    "quantile_normalization_sources",
+    "negative_sampling_table",
+    "apriori_frequent_triples",
+    "rate_burst_windows",
+    "seasonal_zscore_anomalies",
+    "cohort_ltv_curve",
+    "event_path_trigrams",
+    "session_bounce_rate",
+    "popularity_recsys_hitrate",
 ]
 
 
