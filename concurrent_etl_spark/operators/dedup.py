@@ -182,6 +182,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     sigs = (
         staged_shingles(docs, text_col)
+        # empty-shingle gate: a doc with <2 tokens has no bigrams and
+        # cannot be near-dup-matched by this detector (exact dedup
+        # owns it). Without the gate every empty doc's 24 NULL
+        # minhashes band to the SAME md5('') bucket (concat_ws skips
+        # NULLs), so all empty docs in the corpus pair ALL-PAIRS —
+        # a quadratic blow-up at 100 TB where empty docs are common.
+        .where(F.size("sh") > 0)
         .select("doc_id", hash_shingles(F.col("sh")).alias("hs"))
         .select("doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
         .withColumn("bands", lsh_bands(F.col("sig")))

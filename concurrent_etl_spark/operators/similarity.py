@@ -60,7 +60,14 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, defined as 0.0 when either vector has zero
+    norm — a zero vector has no direction, so it ranks below every
+    real match and never crosses a near-dup threshold. Without the
+    guard a single all-zero embedding (guaranteed to exist in a real
+    100 TB corpus: failed encoders emit them) kills the whole job
+    under ANSI mode with DIVIDE_BY_ZERO."""
+    den = norm(a) * norm(b)
+    return F.when(den > F.lit(0.0), dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def _as_double(col: str) -> Column:

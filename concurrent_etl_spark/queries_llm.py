@@ -80,7 +80,8 @@ _BANDS = (
 )
 
 _LSH_PAIRS = f"""
-sh AS (SELECT doc_id, {_shingles('lower(text)')} AS sh FROM corpus),
+sh AS (SELECT * FROM (SELECT doc_id, {_shingles('lower(text)')} AS sh
+       FROM corpus) WHERE len(sh) > 0),
 hs AS (SELECT doc_id, sh,
               list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
        FROM sh),
@@ -111,7 +112,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_CORPUS_EXACT},
     h AS (SELECT doc_id,
-                 md5(array_to_string({_tok('lower(text)')}, ' ')) AS content_hash
+                 md5(coalesce(array_to_string({_tok('lower(text)')}, ' '), ''))
+                   AS content_hash
           FROM corpus)
     SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id,
            string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
@@ -261,7 +263,13 @@ def _oracle_norm(a: str) -> str:
 
 
 def _oracle_cos(a: str, b: str) -> str:
-    return f"{_oracle_dot(a, b)} / ({_oracle_norm(a)} * {_oracle_norm(b)})"
+    # zero-norm guard mirrors operators/similarity.py cosine(): a
+    # zero vector's cosine is defined as 0.0 in both engines
+    return (
+        f"(CASE WHEN {_oracle_norm(a)} * {_oracle_norm(b)} > 0 "
+        f"THEN {_oracle_dot(a, b)} / ({_oracle_norm(a)} * {_oracle_norm(b)}) "
+        f"ELSE 0.0 END)"
+    )
 
 
 def _oracle_bucket(v: str) -> str:
@@ -462,10 +470,11 @@ def _text_stats_sql(src: str = "documents") -> str:
                 WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
                 WHEN s_es >= s_fr THEN 'es'
                 ELSE 'fr' END AS lang_guess,
-           md5(array_to_string({_tok('lower(text)')}, ' ')) AS content_hash,
-           array_to_string(list_slice(list_sort(
-             list_transform({_shingles('lower(text)')}, x -> md5(x))), 1, 4), '')
-             AS fingerprint
+           md5(coalesce(array_to_string({_tok('lower(text)')}, ' '), ''))
+             AS content_hash,
+           coalesce(array_to_string(list_slice(list_sort(
+             list_transform({_shingles('lower(text)')}, x -> md5(x))), 1, 4), ''),
+             '') AS fingerprint
     FROM (
       SELECT doc_id, text,
            {_oracle_lang_sql()},

@@ -974,7 +974,8 @@ def _jl_sql() -> str:
     SELECT vec_id,
            ROUND({orig_sq}, 9) AS orig_sq_norm,
            ROUND({proj_sq}, 9) AS proj_sq_norm,
-           ROUND(({proj_sq}) / ({orig_sq}), 9) AS distortion
+           CASE WHEN {orig_sq} > 0
+                THEN ROUND(({proj_sq}) / ({orig_sq}), 9) END AS distortion
     FROM e
     """
 
@@ -1015,7 +1016,9 @@ def q_jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(orig_sq, 9).alias("orig_sq_norm"),
         F.round(proj_sq, 9).alias("proj_sq_norm"),
-        F.round(proj_sq / orig_sq, 9).alias("distortion"),
+        # zero-vector guard: 0/0 distortion is undefined — NULL in
+        # both engines rather than an ANSI DIVIDE_BY_ZERO job kill
+        F.when(orig_sq > 0, F.round(proj_sq / orig_sq, 9)).alias("distortion"),
     )
 
 

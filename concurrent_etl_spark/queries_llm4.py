@@ -348,7 +348,8 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH hashed AS (
       SELECT doc_id,
-             md5(array_to_string({_tok('lower(text)')}, ' ')) AS h,
+             md5(coalesce(array_to_string({_tok('lower(text)')}, ' '), ''))
+               AS h,
              len({_tok('text')}) AS n_tok,
              len(list_distinct({_tok('lower(text)')})) AS n_uniq
       FROM documents),

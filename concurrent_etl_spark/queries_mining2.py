@@ -282,12 +282,17 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings WHERE vec_id % 40 = 0),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-             list_aggregate(list_transform(list_zip(q.v, e.v),
+             CASE WHEN sqrt(list_aggregate(list_transform(q.v,
+                        x -> x * x), 'sum'))
+                     * sqrt(list_aggregate(list_transform(e.v,
+                        x -> x * x), 'sum')) > 0
+             THEN list_aggregate(list_transform(list_zip(q.v, e.v),
                             x -> x[1] * x[2]), 'sum')
              / (sqrt(list_aggregate(list_transform(q.v, x -> x * x),
                      'sum'))
                 * sqrt(list_aggregate(list_transform(e.v, x -> x * x),
-                       'sum'))) AS cos_sim
+                       'sum')))
+             ELSE 0.0 END AS cos_sim
       FROM c q JOIN c e ON e.vec_id <> q.vec_id),
     top AS (
       SELECT neighbor_id FROM (
@@ -312,9 +317,10 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT k_occ, CAST(COUNT(*) AS BIGINT) AS n_vecs,
            n AS n_cohort, max_occ,
            s = n * 10 AS occ_sum_ok,
-           CAST(round(sqrt(CAST(n AS DOUBLE)) * CAST(m3 AS DOUBLE)
-                      / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE)))
-                      * 1000000) AS BIGINT) AS skew_e6
+           CASE WHEN m2 > 0 THEN
+             CAST(round(sqrt(CAST(n AS DOUBLE)) * CAST(m3 AS DOUBLE)
+                        / (CAST(m2 AS DOUBLE) * sqrt(CAST(m2 AS DOUBLE)))
+                        * 1000000) AS BIGINT) END AS skew_e6
     FROM occ, mom, m23
     GROUP BY k_occ, n, max_occ, s, m2, m3
     """,
@@ -384,11 +390,17 @@ def q_ann_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_cohort"),
             "max_occ",
             (F.col("s") == F.col("n") * 10).alias("occ_sum_ok"),
-            F.round(
-                F.sqrt(F.col("n").cast("double"))
-                * F.col("m3").cast("double")
-                / (m2d * F.sqrt(m2d))
-                * 1000000
+            # degenerate-cohort guard: identical k_occ everywhere
+            # (tiny or perfectly regular corpora) gives m2 = 0 and an
+            # undefined skew — NULL in both engines, not a job kill
+            F.when(
+                m2d > 0,
+                F.round(
+                    F.sqrt(F.col("n").cast("double"))
+                    * F.col("m3").cast("double")
+                    / (m2d * F.sqrt(m2d))
+                    * 1000000
+                ),
             )
             .cast("long")
             .alias("skew_e6"),
