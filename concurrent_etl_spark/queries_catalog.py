@@ -1794,6 +1794,11 @@ def q_xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("xml")
         .option("rowTag", "supplier")
+        # true roundtrip fidelity: the default trims surrounding
+        # whitespace inside elements, silently corrupting values
+        # that START with a space (an empty dim name concatenated
+        # with the escape probe produces exactly that)
+        .option("ignoreSurroundingSpaces", "false")
         .schema(schema)
         .load(d)
         .select(

@@ -616,7 +616,8 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS payload_md5,
            CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
-                     ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS first_byte
+                     ELSE ('0x' || substr(to_hex(encode(text)), 1, 2))::BIGINT
+                END AS BIGINT) AS first_byte
     FROM documents
     """,
 )
@@ -915,7 +916,10 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = toks.select(
         F.explode(
             F.expr(
-                "transform(slice(toks, 1, size(toks) - 1), (w, i) ->"
+                # greatest(...,0): ANSI slice() rejects the -1 length an
+                # empty/1-token doc produces
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (w, i) ->"
                 " struct(w AS w1, toks[i + 1] AS w2))"
             )
         ).alias("p")

@@ -187,7 +187,10 @@ def q_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(slice(toks, 1, size(toks) - 1), (w, i) ->"
+                    # greatest(...,0): ANSI slice() rejects the -1 length an
+                # empty/1-token doc produces
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (w, i) ->"
                     " struct(w AS w1, toks[i + 1] AS w2))"
                 )
             ).alias("p"),
@@ -609,7 +612,10 @@ def q_curation_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(slice(toks, 1, size(toks) - 1), (w, i) ->"
+                # greatest(...,0): ANSI slice() rejects the -1 length an
+                # empty/1-token doc produces
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (w, i) ->"
                 " struct(w AS w1, toks[i + 1] AS w2))"
             )
         ).alias("p"),
@@ -998,7 +1004,7 @@ def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
            list_max(list_transform(v, x -> abs(x))) AS max_abs,
            (len(list_filter(v, x -> abs(x) > 2.0)) > 0) AS has_large,
-           round(list_aggregate(v, 'sum') / len(v), 9) AS mean_val
+           round(list_aggregate(v, 'sum') / len(v), 9) + 0 AS mean_val
     FROM e
     """,
 )
@@ -1033,5 +1039,8 @@ def q_array_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
         F.array_max(F.transform(v, lambda x: F.abs(x))).alias("max_abs"),
         F.exists(v, lambda x: F.abs(x) > 2.0).alias("has_large"),
-        F.round(total / F.size(v), 9).alias("mean_val"),
+        # + 0.0 normalizes IEEE negative zero: rounding a tiny
+        # negative mean yields -0.0 in one engine and +0.0 in the
+        # other; adding positive zero maps both to +0.0
+        (F.round(total / F.size(v), 9) + F.lit(0.0)).alias("mean_val"),
     )

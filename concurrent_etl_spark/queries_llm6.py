@@ -370,7 +370,7 @@ _RRF_CORE_SQL = f"""d AS (
     sp AS (
       SELECT q.query_id, b.id AS cand_id,
              len(list_intersect(b.tk, q.qtk)) * 1.0
-               / len(list_distinct(b.tk || q.qtk)) AS jac
+               / greatest(len(list_distinct(b.tk || q.qtk)), 1) AS jac
       FROM base b CROSS JOIN q WHERE b.id <> q.query_id
     ),
     spr AS (
@@ -427,9 +427,11 @@ def _rrf_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         .select(
             "query_id",
             F.col("doc_id").alias("cand_id"),
+            # greatest(...,1): two empty token sets define jac = 0
+            # (the MMR zero-union idiom), never a division by zero
             (
                 F.size(F.array_intersect("tk", "qtk")).cast("double")
-                / F.size(F.array_union("tk", "qtk"))
+                / F.greatest(F.size(F.array_union("tk", "qtk")), F.lit(1))
             ).alias("jac"),
         )
     )

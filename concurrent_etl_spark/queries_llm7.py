@@ -1626,14 +1626,17 @@ def q_merkle_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(bucket AS BIGINT) AS bucket, n,
            CAST(sx AS BIGINT) AS sum_clicks,
            CAST(sy AS BIGINT) AS sum_views,
-           CAST(1000000 * sx // sy AS BIGINT) AS ratio_e6,
-           CAST(round(CAST(num AS DOUBLE) * n / CAST(n - 1 AS DOUBLE)
-                      / CAST(sy4 AS DOUBLE) * 1e12) AS BIGINT)
-             AS var_e12,
-           CAST(round(sqrt(CAST(num AS DOUBLE) * n
-                           / CAST(n - 1 AS DOUBLE)
-                           / CAST(sy4 AS DOUBLE)) * 1e6) AS BIGINT)
-             AS se_e6
+           CASE WHEN sy > 0 THEN
+             CAST(1000000 * sx // sy AS BIGINT) END AS ratio_e6,
+           CASE WHEN sy > 0 AND n > 1 THEN
+             CAST(round(CAST(num AS DOUBLE) * n / CAST(n - 1 AS DOUBLE)
+                        / CAST(sy4 AS DOUBLE) * 1e12) AS BIGINT)
+             END AS var_e12,
+           CASE WHEN sy > 0 AND n > 1 THEN
+             CAST(round(sqrt(CAST(num AS DOUBLE) * n
+                             / CAST(n - 1 AS DOUBLE)
+                             / CAST(sy4 AS DOUBLE)) * 1e6) AS BIGINT)
+             END AS se_e6
     FROM d
     """,
 )
@@ -1715,14 +1718,22 @@ def q_delta_method_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame
         "n",
         F.col("sx").cast("long").alias("sum_clicks"),
         F.col("sy").cast("long").alias("sum_views"),
-        F.expr("CAST(1000000 * sx div sy AS BIGINT)").alias("ratio_e6"),
+        # degenerate-bucket guards: the ratio metric is undefined
+        # with zero views, the variance with a single user — NULL in
+        # both engines rather than an ANSI job kill
         F.expr(
-            "CAST(round(CAST(num AS DOUBLE) * n / CAST(n - 1 AS DOUBLE)"
-            " / CAST(sy4 AS DOUBLE) * 1e12) AS BIGINT)"
+            "CASE WHEN sy > 0 THEN"
+            " CAST(1000000 * sx div sy AS BIGINT) END"
+        ).alias("ratio_e6"),
+        F.expr(
+            "CASE WHEN sy > 0 AND n > 1 THEN"
+            " CAST(round(CAST(num AS DOUBLE) * n / CAST(n - 1 AS DOUBLE)"
+            " / CAST(sy4 AS DOUBLE) * 1e12) AS BIGINT) END"
         ).alias("var_e12"),
         F.expr(
-            "CAST(round(sqrt(CAST(num AS DOUBLE) * n"
+            "CASE WHEN sy > 0 AND n > 1 THEN"
+            " CAST(round(sqrt(CAST(num AS DOUBLE) * n"
             " / CAST(n - 1 AS DOUBLE)"
-            " / CAST(sy4 AS DOUBLE)) * 1e6) AS BIGINT)"
+            " / CAST(sy4 AS DOUBLE)) * 1e6) AS BIGINT) END"
         ).alias("se_e6"),
     )

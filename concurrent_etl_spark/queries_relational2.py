@@ -351,7 +351,9 @@ def q_null_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lateral_explode_tokens",
     oracle="""
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> t <> '')) AS token
     FROM documents WHERE doc_id < 20
     """,
 )

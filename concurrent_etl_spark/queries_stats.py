@@ -406,9 +406,18 @@ def _cum_by_value(pv: DataFrame, width_bits: int = 20):
         offs.append((r["bucket"], acc_a, acc_t))
         acc_a += r["ba"]
         acc_t += r["bt"]
+    w = Window.partitionBy("bucket").orderBy("v")
+    if not offs:
+        # empty input: F.create_map() with zero args is map<void,void>
+        # and map_a[bucket] fails ANALYSIS — the zero-offset window
+        # sum alone is the (vacuously correct) cumsum over no rows
+        return pv.select(
+            "v", "a", "t",
+            F.sum("a").over(w).alias("cum_a"),
+            F.sum("t").over(w).alias("cum_t"),
+        )
     map_a = F.create_map(*[F.lit(x) for b, oa, _ in offs for x in (b, oa)])
     map_t = F.create_map(*[F.lit(x) for b, _, ot in offs for x in (b, ot)])
-    w = Window.partitionBy("bucket").orderBy("v")
     return pv.select(
         "v",
         "a",
@@ -441,6 +450,7 @@ def _cum_by_value(pv: DataFrame, width_bits: int = 20):
            CAST((MAX(abs(c1 * n2 - c2 * n1)) * 2000000 + n1 * n2)
                 // (2 * n1 * n2) AS BIGINT) AS ks_e6
     FROM cum, tot
+    WHERE n1 > 0 AND n2 > 0
     GROUP BY n1, n2
     """,
 )
@@ -498,6 +508,9 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cum.select("n1", "n2", diff.alias("d"))
+        # KS is undefined without both samples; also guards the
+        # integral div's n1*n2 denominator (zero rows, both engines)
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
         .groupBy("n1", "n2")
         .agg(F.max("d").alias("ks_num"))
         .select(
@@ -539,6 +552,7 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            ties_cubed,
            r1_x2 + r2_x2 = (n1 + n2) * (n1 + n2 + 1) AS rank_sum_ok
     FROM sums, tot
+    WHERE n1 > 0 AND n2 > 0
     """,
 )
 def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,6 +603,9 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     u1 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
     return (
         sums.crossJoin(F.broadcast(tot))
+        # rank-sum test is undefined without BOTH samples: zero rows
+        # (not an all-NULL row) when a group is empty, both engines
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
         .select(
             "n1",
             "n2",
@@ -1104,12 +1121,14 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(cxx AS DECIMAL(38,0)) AS VARCHAR) AS cxx_str,
            CAST(CAST(cxy AS DECIMAL(38,0)) AS VARCHAR) AS cxy_str,
            CAST(CAST(cyy AS DECIMAL(38,0)) AS VARCHAR) AS cyy_str,
-           CAST(round(CAST(cxy AS DOUBLE) * 1000000000
-                      / CAST(cxx AS DOUBLE)) AS BIGINT) AS theta_e9,
-           CAST(round((CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
-                      * 1000000
-                      / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)))
-                AS BIGINT) AS rho2_e6
+           CASE WHEN cxx > 0 THEN
+             CAST(round(CAST(cxy AS DOUBLE) * 1000000000
+                        / CAST(cxx AS DOUBLE)) AS BIGINT) END AS theta_e9,
+           CASE WHEN cxx > 0 AND cyy > 0 THEN
+             CAST(round((CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))
+                        * 1000000
+                        / (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE)))
+                  AS BIGINT) END AS rho2_e6
     FROM c
     """,
 )
@@ -1180,8 +1199,15 @@ def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cxx").cast("string").alias("cxx_str"),
         F.col("cxy").cast("string").alias("cxy_str"),
         F.col("cyy").cast("string").alias("cyy_str"),
-        F.round(dxy * 1000000000 / dxx).cast("long").alias("theta_e9"),
-        F.round((dxy * dxy) * 1000000 / (dxx * dyy))
+        # zero-variance guards: theta/rho^2 undefined when the
+        # covariate (or metric) is constant — NULL in both engines
+        F.when(F.col("cxx") > 0, F.round(dxy * 1000000000 / dxx))
+        .cast("long")
+        .alias("theta_e9"),
+        F.when(
+            (F.col("cxx") > 0) & (F.col("cyy") > 0),
+            F.round((dxy * dxy) * 1000000 / (dxx * dyy)),
+        )
         .cast("long")
         .alias("rho2_e6"),
     )
@@ -1866,7 +1892,7 @@ def q_isotonic_calibration_pav(
       SELECT o_orderkey, priority, w_cents,
              CAST(round(ln((h + 1) / 4294967296.0) * 1000000000000
                         / w_cents, 12) AS DECIMAL(28,12)) AS k
-      FROM w),
+      FROM w WHERE w_cents > 0),
     ranked AS (
       SELECT o_orderkey AS orderkey, priority, w_cents,
              ROW_NUMBER() OVER (PARTITION BY priority
@@ -1913,6 +1939,10 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("w_cents"),
         h.alias("h"),
+    ).where(
+        # A-Res: a zero-weight item has zero selection probability —
+        # excluded by definition (also guards the ln/w division)
+        F.col("w_cents") > 0
     ).select(
         "orderkey",
         "priority",
@@ -2327,9 +2357,10 @@ def q_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN st
       GROUP BY k)
     SELECT CAST(k AS BIGINT) AS k, n_pairs,
-           CAST(round(CAST(nn AS DOUBLE) * 1000000
-                      / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)))
-                AS BIGINT) AS xcorr_e6
+           CASE WHEN dx > 0 AND dy > 0 THEN
+             CAST(round(CAST(nn AS DOUBLE) * 1000000
+                        / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)))
+                  AS BIGINT) END AS xcorr_e6
     FROM num, dd
     ORDER BY k
     """,
@@ -2398,12 +2429,18 @@ def q_crosscorr_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "k",
             "n_pairs",
-            F.round(
-                F.col("nn").cast("double")
-                * 1000000
-                / F.sqrt(
-                    F.col("dx").cast("double") * F.col("dy").cast("double")
-                )
+            # constant-series guard: correlation undefined when a
+            # series has zero variance — NULL, not a job kill
+            F.when(
+                (F.col("dx") > 0) & (F.col("dy") > 0),
+                F.round(
+                    F.col("nn").cast("double")
+                    * 1000000
+                    / F.sqrt(
+                        F.col("dx").cast("double")
+                        * F.col("dy").cast("double")
+                    )
+                ),
             )
             .cast("long")
             .alias("xcorr_e6"),
@@ -2674,12 +2711,17 @@ def q_conversion_latency_quantiles(
     )
     ranked = _cum_by_value(pv).crossJoin(F.broadcast(n_tot))
     qs = spark.createDataFrame([(25,), (50,), (90,)], "q long")
-    picks = (
+    # grid-preserving: with zero converters the oracle's correlated
+    # MIN yields a 3-row grid with NULL latencies — mirror that with
+    # a left join instead of a filter+groupBy (which would drop the
+    # probe grid entirely)
+    hit = (
         ranked.crossJoin(F.broadcast(qs))
         .where(F.col("cum_t") * 100 >= F.col("q") * F.col("n"))
-        .groupBy("q", "n")
+        .groupBy("q")
         .agg(F.min("v").alias("latency_mins"))
     )
+    picks = qs.crossJoin(F.broadcast(n_tot)).join(hit, "q", "left")
     return picks.select(
         F.col("q").cast("long").alias("q"),
         F.col("n").alias("n_converters"),

@@ -1,0 +1,125 @@
+"""Adversarial stress-corpus regression net.
+
+``tools/make_stress_data.py`` builds a schema-identical corpus whose
+content holds the degenerate pockets a real 100 TB corpus is
+guaranteed to contain (empty / whitespace / 1-token documents,
+zero-norm and identical embeddings, tied timestamps, a priority /
+segment class that is entirely absent, zero weights and prices,
+leading-space strings, non-ASCII text). Round 5's full-catalog run of
+the oracle gate over that corpus surfaced 32 latent failures in six
+mechanistic classes; each got a two-engine fix. This suite pins every
+one of those queries to the stress corpus forever — the Spark result
+and the DuckDB oracle must agree on rowcount, column set, and an
+order-insensitive value hash, exactly the driver's comparison.
+
+Mechanism classes covered (see the round-5 commits for the fixes):
+  1. ANSI DIVIDE_BY_ZERO job kills: zero-norm cosine, zero weights
+     (A-Res), zero-variance correlations (CUPED / crosscorr / delta
+     method / hubness skew), empty-union Jaccard (RRF).
+  2. Quadratic empty-doc LSH blow-up + cross-engine pair-set
+     divergence (concat_ws-skips-NULL vs NULL band hash).
+  3. DuckDB array_to_string([], sep) = NULL vs Spark '' before md5.
+  4. Empty-input plan hazards: zero-arg create_map (VOID type),
+     slice() with a -1 length.
+  5. Representation edges: IEEE -0.0 after rounding, first BYTE vs
+     first CODEPOINT of a non-ASCII payload, XML surrounding-space
+     trimming, unfiltered-vs-filtered empty tokens in explode.
+  6. Absent-class semantics: rank tests emit zero rows (not NULL
+     rows) when a sample class is missing; quantile grids survive
+     zero converters.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT / "tools"))
+
+from check_oracle import TABLES, value_hash  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+#: every query the round-5 stress sweep flagged (plus ks_two_sample,
+#: which got the same absent-class guard preemptively)
+STRESS_SET = [
+    # class 1: division guards
+    "ann_topk_cosine",
+    "embedding_neardup_lsh",
+    "ann_recall_eval",
+    "knn_label_vote",
+    "ann_hubness_audit",
+    "hard_negative_mining",
+    "ivf_ann_topk",
+    "jl_random_projection",
+    "weighted_sample_ares",
+    "crosscorr_lead_lag",
+    "cuped_variance_reduction",
+    "delta_method_ratio_variance",
+    "rrf_hybrid_retrieval",
+    "retrieval_eval_ndcg",
+    "dedup_fuzzy_levenshtein",
+    # class 2+3: dedup family / md5 canon
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_detector_agreement",
+    "minhash_containment",
+    "text_stats",
+    "llm_pipeline_end2end",
+    # class 4: empty-input plan hazards
+    "conversion_latency_quantiles",
+    "mann_whitney_u",
+    "ks_two_sample",
+    "bigram_doc_score",
+    "bigram_lm_counts",
+    "curation_rank_topk",
+    # class 5: representation edges
+    "array_hof_family",
+    "multimodal_features",
+    "lateral_explode_tokens",
+    "xml_source_roundtrip",
+]
+
+
+@pytest.fixture(scope="module")
+def stress_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stress_sf")
+    subprocess.run(
+        [sys.executable, str(REPO_ROOT / "tools" / "make_stress_data.py"), str(d)],
+        check=True,
+        capture_output=True,
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_con(stress_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{stress_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", STRESS_SET)
+def test_stress_query_matches_oracle(spark, stress_dir, oracle_con, name):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    try:
+        sdf = queries[name](spark, stress_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()
+    odf = oracle_con.sql(oracles[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    assert value_hash(sdf) == value_hash(odf)
