@@ -66,6 +66,13 @@ def sq_dist(a: Column, b: Column) -> Column:
 
 
 def _centroid_lit(centroids: list[list[int]]) -> Column:
+    if not centroids:
+        # empty input corpus => init_centroids collected nothing. A
+        # zero-arg F.array() is array<void> and every downstream
+        # zip_with fails ANALYSIS even though no row would ever be
+        # evaluated — give the literal its real type so the (empty)
+        # plan still compiles and the query returns zero rows.
+        return F.lit([]).cast("array<array<bigint>>")
     return F.array(
         *[F.array(*[F.lit(int(c)) for c in cent]) for cent in centroids]
     )

@@ -123,6 +123,11 @@ def gd_train(
     weights = [0] * len(feature_cols)
     for _ in range(iters):
         row = gradient_row(df, feature_cols, label_col, weights)
+        if not row["_n"]:
+            # empty training set: no gradient exists — keep the zero
+            # weights instead of dividing by n = 0 (the caller's
+            # result frame is empty anyway)
+            return weights
         den = row["_n"] * P * (1 << lr_shift)
         weights = [
             int(weights[j]) - (int(row[f"_g{j}"]) * W) // den

@@ -524,9 +524,15 @@ def q_skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in sorted(bmax):
         prefix[b] = run if run is not None else -1
         run = bmax[b] if run is None else max(run, bmax[b])
-    pref_map = F.create_map(
-        *[F.lit(x) for kv in sorted(prefix.items()) for x in kv]
-    )
+    # empty-corpus guard: zero-arg create_map is map<void,void> and
+    # the lookup fails analysis — typed empty map keeps the (zero-
+    # row) plan compiling
+    if prefix:
+        pref_map = F.create_map(
+            *[F.lit(x) for kv in sorted(prefix.items()) for x in kv]
+        )
+    else:
+        pref_map = F.lit(None).cast("map<bigint,int>")
     w = (
         Window.partitionBy("bucket")
         .orderBy(F.col("retail_price").asc(), F.col("p_size").desc())

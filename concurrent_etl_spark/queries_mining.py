@@ -176,7 +176,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tri = j.agg(
-        F.sum(F.size(F.array_intersect("nb_u", "nb_v")))
+        # coalesce: SUM over an empty edge set is NULL, the oracle's
+        # COUNT(*) is 0 — an empty graph has zero triangles
+        F.coalesce(
+            F.sum(F.size(F.array_intersect("nb_u", "nb_v"))), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_triangles")
     )

@@ -51,15 +51,20 @@ _PPR_D = 0.85
              SUM(CAST(dx AS DECIMAL(18,0)) * dy) AS sxy
       FROM per),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
-    SELECT n_nodes, m // 2 AS n_edges, sx = sy AS sym_ok,
-           CAST(round(
-             CAST(CAST(m AS DECIMAL(38,0)) * sxy
-                  - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
-             / sqrt(CAST(CAST(m AS DECIMAL(38,0)) * sxx
-                         - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
-                    * CAST(CAST(m AS DECIMAL(38,0)) * syy
-                           - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
-             * 1000000) AS BIGINT) AS assortativity_e6
+    SELECT n_nodes, m // 2 AS n_edges,
+           COALESCE(sx = sy, TRUE) AS sym_ok,
+           CASE WHEN CAST(m AS DECIMAL(38,0)) * sxx
+                     - CAST(sx AS DECIMAL(38,0)) * sx > 0
+                 AND CAST(m AS DECIMAL(38,0)) * syy
+                     - CAST(sy AS DECIMAL(38,0)) * sy > 0 THEN
+             CAST(round(
+               CAST(CAST(m AS DECIMAL(38,0)) * sxy
+                    - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+               / sqrt(CAST(CAST(m AS DECIMAL(38,0)) * sxx
+                           - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                      * CAST(CAST(m AS DECIMAL(38,0)) * syy
+                             - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))
+               * 1000000) AS BIGINT) END AS assortativity_e6
     FROM m, nn
     """,
 )
@@ -128,11 +133,18 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.crossJoin(F.broadcast(nn)).select(
         "n_nodes",
         F.expr("m div 2").alias("n_edges"),
-        (F.col("sx") == F.col("sy")).alias("sym_ok"),
-        F.round(
-            num.cast("double")
-            / F.sqrt(denx.cast("double") * deny.cast("double"))
-            * 1000000
+        # coalesce TRUE: the symmetry identity is vacuous on an empty
+        # edge set (NULL sums) — both engines agree
+        F.coalesce(F.col("sx") == F.col("sy"), F.lit(True)).alias("sym_ok"),
+        # zero-variance guard (regular/empty graph): assortativity is
+        # undefined — NULL in both engines, never NaN or a job kill
+        F.when(
+            (denx > 0) & (deny > 0),
+            F.round(
+                num.cast("double")
+                / F.sqrt(denx.cast("double") * deny.cast("double"))
+                * 1000000
+            ),
         )
         .cast("long")
         .alias("assortativity_e6"),
@@ -225,11 +237,15 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") * 2).alias("node")
     ).persist()
     n_seeds = seeds.count()
+    # empty-seed guard: zero seeds means every frame below is empty
+    # (zero rows out) — max(…, 1) only keeps the driver-side literal
+    # divisions from raising ZeroDivisionError
+    n_div = max(n_seeds, 1)
     tele = seeds.select(
-        "node", F.round(F.lit(1 - _PPR_D) / n_seeds, 12).alias("tele")
+        "node", F.round(F.lit(1 - _PPR_D) / n_div, 12).alias("tele")
     )
     r = seeds.select(
-        "node", F.round(F.lit(1.0) / n_seeds, 12).alias("r")
+        "node", F.round(F.lit(1.0) / n_div, 12).alias("r")
     )
     for _ in range(3):
         contrib = F.round(

@@ -122,6 +122,8 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
            COUNT(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    -- engine semantics: zero rows over an empty relation (see rollup_agg)
+    HAVING COUNT(*) > 0 OR (SELECT COUNT(*) FROM lineitem) > 0
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,8 @@ from concurrent_etl_spark.engine import load_table
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                             (o_orderstatus), ())
+    -- engine semantics: zero rows over an empty relation (see rollup_agg)
+    HAVING COUNT(*) > 0 OR (SELECT COUNT(*) FROM orders) > 0
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -252,10 +252,14 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the upstream fact join never re-executes)
     ewd = ew.join(deg, "src").persist()
     n_nodes = deg.count()  # scalar graph size: bounded driver value
+    # empty-graph guard: with zero nodes every frame below is empty
+    # (0 rows out either way) — the max(…, 1) only keeps the two
+    # driver-side literal divisions from raising ZeroDivisionError
+    n_div = max(n_nodes, 1)
 
     r = deg.select(
         F.col("src").alias("node"),
-        F.round(F.lit(1.0) / n_nodes, 12).alias("r"),
+        F.round(F.lit(1.0) / n_div, 12).alias("r"),
     )
     for _ in range(2):
         # scaled-integer message passing: contributions round to 1e-12
@@ -284,7 +288,7 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(
-                    F.lit((1 - _PR_D) / n_nodes)
+                    F.lit((1 - _PR_D) / n_div)
                     + _PR_D * (F.sum(contrib).cast("double") / F.lit(1e12)),
                     12,
                 ).alias("r")
@@ -1942,6 +1946,9 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("grp_size"),
         F.countDistinct("sensitive").cast("long").alias("l_div"),
     )
+    # the trailing .where mirrors the oracle's GROUP BY tot.n over an
+    # empty group table: no release to audit -> zero rows, not a row
+    # of NULL counts
     return grp.agg(
         F.lit(5).cast("long").alias("k"),
         F.sum("grp_size").cast("long").alias("n_rows"),
@@ -1961,4 +1968,4 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_div") < 2, 1).otherwise(0))
         .cast("long")
         .alias("n_groups_l_homogeneous"),
-    )
+    ).where(F.col("n_rows").isNotNull() & (F.col("n_rows") > 0))

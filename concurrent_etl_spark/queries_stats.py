@@ -2141,6 +2141,7 @@ def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // (2 * (SELECT COUNT(*) FROM test)) AS BIGINT)
              AS coverage_e6
     FROM n_cal, thr
+    WHERE (SELECT COUNT(*) FROM test) > 0
     """,
 )
 def q_conformal_threshold_coverage(
@@ -2213,15 +2214,21 @@ def q_conformal_threshold_coverage(
         .alias("n_covered"),
         F.max("threshold").alias("threshold"),
     )
-    return n_cal.crossJoin(F.broadcast(cov)).select(
-        F.col("n").alias("n_calibration"),
-        "n_test",
-        "threshold",
-        "n_covered",
-        F.expr(
-            "CAST((n_covered * 2000000 + n_test) div (2 * n_test)"
-            " AS BIGINT)"
-        ).alias("coverage_e6"),
+    return (
+        n_cal.crossJoin(F.broadcast(cov))
+        # coverage undefined without BOTH halves: zero rows, matching
+        # the oracle's empty-thr join collapse + its n_test guard
+        .where(F.col("threshold").isNotNull() & (F.col("n_test") > 0))
+        .select(
+            F.col("n").alias("n_calibration"),
+            "n_test",
+            "threshold",
+            "n_covered",
+            F.expr(
+                "CAST((n_covered * 2000000 + n_test) div (2 * n_test)"
+                " AS BIGINT)"
+            ).alias("coverage_e6"),
+        )
     )
 
 

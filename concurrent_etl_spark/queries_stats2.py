@@ -55,11 +55,14 @@ from concurrent_etl_spark.queries_stats import _cum_by_value
            tx AS ties_x, ty AS ties_y, txy AS ties_xy,
            (c_pairs + d_pairs + tx + ty - txy) = n * (n - 1) // 2
              AS pair_identity_ok,
-           CAST(round(CAST(c_pairs - d_pairs AS DOUBLE)
-                / sqrt(CAST(n * (n - 1) // 2 - tx AS DOUBLE)
-                       * CAST(n * (n - 1) // 2 - ty AS DOUBLE))
-                * 1000000) AS BIGINT) AS tau_b_e6
+           CASE WHEN n * (n - 1) // 2 - tx > 0
+                 AND n * (n - 1) // 2 - ty > 0 THEN
+             CAST(round(CAST(c_pairs - d_pairs AS DOUBLE)
+                  / sqrt(CAST(n * (n - 1) // 2 - tx AS DOUBLE)
+                         * CAST(n * (n - 1) // 2 - ty AS DOUBLE))
+                  * 1000000) AS BIGINT) END AS tau_b_e6
     FROM cd, marg, tx, ty
+    WHERE n > 0
     """,
 )
 def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,7 +116,13 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("y0"),
         F.max("y").alias("y1"),
     ).collect()[0]
-    x0, x1, y0, y1 = int(b["x0"]), int(b["x1"]), int(b["y0"]), int(b["y1"])
+    # empty-input guard: no value domain to grid — degenerate 1-cell
+    # bounds keep the plan analyzable; the final n > 0 filter (both
+    # engines) returns zero rows
+    x0 = int(b["x0"]) if b["x0"] is not None else 0
+    x1 = int(b["x1"]) if b["x1"] is not None else 0
+    y0 = int(b["y0"]) if b["y0"] is not None else 0
+    y1 = int(b["y1"]) if b["y1"] is not None else 0
     ny = y1 - y0 + 1
     nx = x1 - x0 + 1
     # dense integer grid from ONE range (no cross join): id -> (x, y)
@@ -198,17 +207,24 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("txy")
                 == t_all
             ).alias("pair_identity_ok"),
-            F.round(
-                (F.col("c_pairs") - F.col("d_pairs")).cast("double")
-                / F.sqrt(
-                    (t_all - F.col("tx")).cast("double")
-                    * (t_all - F.col("ty")).cast("double")
-                )
-                * 1000000
+            # tau-b undefined when either margin is all-ties; the
+            # final n > 0 filter mirrors the oracle's empty-input
+            # zero-row convention
+            F.when(
+                (t_all - F.col("tx") > 0) & (t_all - F.col("ty") > 0),
+                F.round(
+                    (F.col("c_pairs") - F.col("d_pairs")).cast("double")
+                    / F.sqrt(
+                        (t_all - F.col("tx")).cast("double")
+                        * (t_all - F.col("ty")).cast("double")
+                    )
+                    * 1000000
+                ),
             )
             .cast("long")
             .alias("tau_b_e6"),
         )
+        .where(F.col("n").isNotNull() & (F.col("n") > 0))
     )
 
 
@@ -580,6 +596,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_pairs = n_days * (n_days - 1) // 2 AS pairs_ok,
            slope_e4, intercept_e4
     FROM stats, tot, med, imed
+    WHERE n_days > 0
     """,
 )
 def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,7 +644,12 @@ def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("d1"),
         F.count(F.lit(1)).alias("nd"),
     ).collect()[0]
-    dmin, dmax, n_days = int(b["d0"]), int(b["d1"]), int(b["nd"])
+    # empty-input guard: zero observed days — degenerate literals
+    # keep the plan analyzable; the final n_days > 0 filter (both
+    # engines) returns zero rows
+    dmin = int(b["d0"]) if b["d0"] is not None else 0
+    dmax = int(b["d1"]) if b["d1"] is not None else 0
+    n_days = int(b["nd"])
     lags = spark.range(1, dmax - dmin + 1).select(F.col("id").alias("k"))
     a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
     bb = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
@@ -651,7 +673,8 @@ def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded 1-scalar collect between the two median passes (the
     # dims max-id pattern): the fitted slope re-enters as a literal
-    slope_e4 = int(med.collect()[0]["slope_e4"])
+    _slope_row = med.collect()[0]["slope_e4"]
+    slope_e4 = int(_slope_row) if _slope_row is not None else 0
     resid = daily.select(
         (F.col("x") * 10000 - F.lit(slope_e4) * (F.col("d") - dmin)).alias(
             "v"
@@ -676,6 +699,7 @@ def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(slope_e4).cast("long").alias("slope_e4"),
             "intercept_e4",
         )
+        .where(F.lit(n_days > 0))
     )
 
 

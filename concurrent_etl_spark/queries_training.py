@@ -198,9 +198,15 @@ def q_global_id_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for src in sorted(counts):
         offsets[src] = acc
         acc += counts[src]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-    )
+    # empty-corpus guard: a zero-arg create_map is map<void,void> and
+    # the lookup below fails analysis — the typed empty map keeps the
+    # (zero-row) plan compiling
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )
+    else:
+        off_map = F.lit(None).cast("map<string,bigint>")
     from pyspark.sql import Window
 
     local = F.row_number().over(

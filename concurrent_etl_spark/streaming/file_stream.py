@@ -288,6 +288,11 @@ def merge_into_partitioned_parquet(
             str(r[0])
             for r in staged.select(partition_col).distinct().collect()
         ]
+        if not touched:
+            # empty delta: zero partitions to rewrite IS the merge —
+            # short-circuit before the staging write, whose zero-row
+            # directory could not even be read back for the swap
+            return []
         exists = os.path.isdir(target_dir) and any(
             not f.startswith("_") for f in os.listdir(target_dir)
         )

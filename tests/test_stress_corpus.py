@@ -123,3 +123,76 @@ def test_stress_query_matches_oracle(spark, stress_dir, oracle_con, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf)
     assert value_hash(sdf) == value_hash(odf)
+
+
+# ---------------------------------------------------------------------------
+# zero-row corpus: the "empty day-partition feed" case
+# ---------------------------------------------------------------------------
+
+#: every query the round-5 EMPTY-corpus sweep flagged — driver-side
+#: collects that crashed on zero rows (centroid literals, int(None)
+#: scalars, empty create_map, a literal 1/n division), empty-write
+#: parquet audits that could not re-read their fixture, NULL-vs-0
+#: aggregate edges, and the cube/rollup empty-relation semantics now
+#: pinned in the oracles
+EMPTY_SET = [
+    "kmeans_embedding_clusters",
+    "semantic_dedup_prune",
+    "cluster_silhouette_eval",
+    "pq_ann_topk",
+    "kendall_tau_concordance",
+    "theilsen_robust_slope",
+    "gd_quality_classifier",
+    "classifier_calibration_bins",
+    "pagerank_bipartite",
+    "personalized_pagerank_seeded",
+    "global_id_assignment",
+    "skyline_pareto_parts",
+    "conformal_threshold_coverage",
+    "k_anonymity_audit",
+    "degree_assortativity",
+    "triangle_count",
+    "gdpr_erasure_audit",
+    "partitioned_merge_audit",
+    "parquet_zonemap_audit",
+    "dynamic_partition_pruning_audit",
+    "cube_agg",
+    "rollup_agg",
+    "grouping_sets_agg",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def empty_con(empty_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{empty_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMPTY_SET)
+def test_empty_corpus_query_matches_oracle(spark, empty_dir, empty_con, name):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    try:
+        sdf = queries[name](spark, empty_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()
+    odf = empty_con.sql(oracles[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    assert value_hash(sdf) == value_hash(odf)
