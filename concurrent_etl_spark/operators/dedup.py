@@ -180,15 +180,22 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (band_index, band_hash); within-bucket pairs are tiny when bands
     are tuned to the threshold.
     """
+    # empty-shingle gate: a doc with <2 tokens has no bigrams and
+    # cannot be near-dup-matched by this detector (exact dedup owns
+    # it). Without the gate every empty doc's 24 NULL minhashes band
+    # to the SAME md5('') bucket (concat_ws skips NULLs), so all
+    # empty docs in the corpus pair ALL-PAIRS — a quadratic blow-up
+    # at 100 TB where empty docs are common. The predicate is the
+    # RAW-TEXT equivalent (>=2 whitespace tokens <=> trimmed text
+    # matches \S\s+\S) so it pushes to the scan as a cheap regex —
+    # filtering on size(sh) of the COMPUTED array gets predicate-
+    # pushed below the projection and re-evaluates the whole shingle
+    # pipeline per row (measured 4x on the sf0.1 bench).
+    gated = docs.where(
+        F.trim(F.col(text_col)).rlike(r"\S\s+\S")
+    )
     sigs = (
-        staged_shingles(docs, text_col)
-        # empty-shingle gate: a doc with <2 tokens has no bigrams and
-        # cannot be near-dup-matched by this detector (exact dedup
-        # owns it). Without the gate every empty doc's 24 NULL
-        # minhashes band to the SAME md5('') bucket (concat_ws skips
-        # NULLs), so all empty docs in the corpus pair ALL-PAIRS —
-        # a quadratic blow-up at 100 TB where empty docs are common.
-        .where(F.size("sh") > 0)
+        staged_shingles(gated, text_col)
         .select("doc_id", hash_shingles(F.col("sh")).alias("hs"))
         .select("doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig"))
         .withColumn("bands", lsh_bands(F.col("sig")))
