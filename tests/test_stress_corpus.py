@@ -196,3 +196,51 @@ def test_empty_corpus_query_matches_oracle(spark, empty_dir, empty_con, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf)
     assert value_hash(sdf) == value_hash(odf)
+
+
+# ---------------------------------------------------------------------------
+# partition invariance ON the tie-heavy corpus
+# ---------------------------------------------------------------------------
+
+#: the stress corpus is deliberately tie-saturated (identical texts,
+#: identical vectors, equal weights/prices, shared timestamps) — the
+#: exact content where a missing tie-break turns partition order into
+#: the result. These queries' argmax/top-k/sampling paths re-run
+#: under shuffle.partitions=3 must be bit-identical.
+TIE_SENSITIVE = [
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "minhash_containment",
+    "weighted_sample_ares",
+    "rrf_hybrid_retrieval",
+    "mmr_diversified_topk",
+    "ann_topk_cosine",
+    "kendall_tau_concordance",
+    "weighted_median_exact",
+    "rfm_segmentation",
+    "skyline_pareto_parts",
+    "heavy_hitters_tokens",
+    "window_topk_per_group",
+]
+
+
+def _canon_rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(row[c]) for c in cols) for row in df.collect())
+
+
+@pytest.mark.parametrize("name", TIE_SENSITIVE)
+def test_stress_partition_invariance(spark, stress_dir, name):
+    fn = entrymod.queries()[name]
+    try:
+        baseline = _canon_rows(fn(spark, stress_dir))
+        orig = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            reshuffled = _canon_rows(fn(spark, stress_dir))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+    finally:
+        spark.catalog.clearCache()
+    assert baseline == reshuffled
