@@ -192,7 +192,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # pushed below the projection and re-evaluates the whole shingle
     # pipeline per row (measured 4x on the sf0.1 bench).
     gated = docs.where(
-        F.trim(F.col(text_col)).rlike(r"\S\s+\S")
+        F.trim(F.col(text_col)).rlike(
+            r"[^ \t\n\x0B\f\r][ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]"
+        )
     )
     sigs = (
         staged_shingles(gated, text_col)

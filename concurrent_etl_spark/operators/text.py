@@ -34,7 +34,12 @@ def _c(col: Column | str) -> Column:
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens, empties dropped (array<string>)."""
-    return F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda x: x != "")
+    # explicit class, not \s: Java \s includes vertical tab \x0B but
+    # RE2 (the oracle engine) does not — the one character where the
+    # two engines' whitespace definitions diverge
+    return F.filter(
+        F.split(F.trim(_c(col)), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
+    )
 
 
 def shingles_from_tokens(t: Column, n: int = 2) -> Column:
@@ -83,7 +88,14 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     A cheap proxy for tokenizer cost accounting over a corpus — the
     regex mirrors common pre-tokenizers (letters / numbers / other).
     """
-    return F.size(F.regexp_extract_all(_c(col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+    # explicit whitespace chars, not \s (Java-vs-RE2 \x0B divergence)
+    return F.size(
+        F.regexp_extract_all(
+            _c(col),
+            F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]"),
+            0,
+        )
+    )
 
 
 def quality_score(text_col: Column | str) -> Column:
@@ -99,7 +111,7 @@ def quality_score(text_col: Column | str) -> Column:
     t = tokens(c)
     n_tok = F.size(t)
     n_chars = F.length(c)
-    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    nonspace = F.length(F.regexp_replace(c, r"[ \t\n\x0B\f\r]", ""))
     alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
     mean_tok_len = F.when(n_tok > 0, nonspace / n_tok).otherwise(F.lit(0.0))
     distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(
@@ -210,7 +222,9 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         tokens(c).alias("toks"),
         tokens(F.lower(c)).alias("toks_l"),
         F.length(c).alias("n_chars_actual"),
-        F.length(F.regexp_replace(c, r"\s", "")).alias("_nonspace"),
+        F.length(
+            F.regexp_replace(c, r"[ \t\n\x0B\f\r]", "")
+        ).alias("_nonspace"),
         F.length(F.regexp_replace(c, r"[^a-zA-Z]", "")).alias("_alpha"),
     ).withColumn("sh_l", shingles_from_tokens(F.col("toks_l"), 2))
 

@@ -30,7 +30,12 @@ from concurrent_etl_spark.operators import text as T
 # ---------------------------------------------------------------------------
 
 def _tok(x: str) -> str:
-    return f"list_filter(string_split_regex(trim({x}), '\\s+'), t -> t <> '')"
+    # explicit class, not \s: RE2's \s lacks \x0B, Java's has it —
+    # mirror operators/text.tokens exactly
+    return (
+        f"list_filter(string_split_regex(trim({x}),"
+        f" '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
+    )
 
 
 def _shingles(x: str) -> str:
@@ -456,7 +461,8 @@ def _text_stats_sql(src: str = "documents") -> str:
     SELECT doc_id,
            CAST(n_tok AS INTEGER) AS n_tokens,
            CAST(len(regexp_extract_all(text,
-                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS n_subwords,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]'))
+             AS INTEGER) AS n_subwords,
            CAST(n_chars AS INTEGER) AS n_chars_actual,
            ((CASE WHEN n_chars >= 20 AND n_chars <= 2000 THEN 1 ELSE 0 END) +
             (CASE WHEN n_tok > 0 AND nonspace / n_tok >= 3.0
@@ -480,7 +486,8 @@ def _text_stats_sql(src: str = "documents") -> str:
            {_oracle_lang_sql()},
            len({_tok('text')}) AS n_tok,
            length(text) AS n_chars,
-           length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+           length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))
+             AS nonspace,
            length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
            len(list_distinct({_tok('text')})) AS n_distinct
       FROM {src})
@@ -798,7 +805,13 @@ def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, chunk_idx int, chunk_text string, n_tokens int")
     class ChunkDoc:
         def eval(self, doc_id, text):  # noqa: ANN001 — UDTF contract
-            toks = [t for t in re.split(r"\s+", (text or "").strip()) if t]
+            # explicit class: Python \s is unicode-wide (NBSP, \x85)
+            # — a third whitespace definition neither engine uses
+            toks = [
+                t
+                for t in re.split(r"[ \t\n\x0B\f\r]+", (text or "").strip())
+                if t
+            ]
             for i in range(math.ceil(len(toks) / 50)):
                 c = toks[i * 50 : (i + 1) * 50]
                 yield doc_id, i, " ".join(c), len(c)

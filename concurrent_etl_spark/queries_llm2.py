@@ -735,7 +735,12 @@ def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deliberately lookahead-free: DuckDB's RE2 has no lookahead, and both
 # engines use leftmost-first alternation, so the same pattern splits
 # identically JVM-side and oracle-side.
-_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# explicit whitespace chars, not \s: the pattern string is shared by
+# Java (Spark) and RE2 (DuckDB), whose \s classes differ on \x0B
+_BPE_PAT = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    r"| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+"
+)
 
 
 @query(
@@ -743,9 +748,11 @@ _BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+             len(string_split_regex(trim(text),
+                 '[ \\t\\n\\x0B\\f\\r]+')) AS n_ws_tokens,
              list_filter(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}'),
-                         tok -> NOT regexp_matches(tok, '^\\s+$')) AS toks
+                         tok -> NOT regexp_matches(tok,
+                           '^[ \\t\\n\\x0B\\f\\r]+$')) AS toks
       FROM documents)
     SELECT doc_id, n_ws_tokens,
            CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
@@ -771,18 +778,20 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = F.filter(
         F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)),
-        lambda t: ~t.rlike(r"^\s+$"),
+        lambda t: ~t.rlike(r"^[ \t\n\x0B\f\r]+$"),
     )
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")
+        ).alias("n_ws_tokens"),
         F.size(toks).alias("n_bpe_tokens"),
         F.size(
             F.filter(toks, lambda t: t.startswith(" "))
         ).alias("n_space_prefixed"),
         (
             F.size(toks).cast("double")
-            / F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            / F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
         ).alias("bpe_per_word"),
     ).withColumn("n_bpe_tokens", F.col("n_bpe_tokens").cast("int")) \
      .withColumn("n_space_prefixed", F.col("n_space_prefixed").cast("int"))

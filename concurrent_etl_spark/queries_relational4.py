@@ -519,7 +519,8 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+             list_filter(string_split_regex(trim(lower(text)),
+                           '[ \\t\\n\\x0B\\f\\r]+'),
                          t -> t LIKE 'w%') AS tz
       FROM documents)
     SELECT d.doc_id, u.tok
@@ -537,7 +538,7 @@ def q_explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tz = F.filter(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+"),
         lambda t: t.startswith("w"),
     )
     return docs.select("doc_id", tz.alias("tz")).select(

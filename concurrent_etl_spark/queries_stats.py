@@ -1976,7 +1976,7 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
-                                '\\s+'), t -> t <> '')) AS t
+                                '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS t
       FROM documents),
     freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t),
     reps AS (SELECT unnest(range(0, 16)) AS j),

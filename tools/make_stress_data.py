@@ -246,6 +246,10 @@ def gen_documents():
             t = "a" * 120  # degenerate repetition
         elif i % 30 == 5:
             t = "日本語 テスト ümläut éèê"
+        elif i % 30 == 13:
+            # vertical tab: the ONE char where Java \s and RE2 \s
+            # disagree — tokenizers must use the explicit class
+            t = "alpha\x0bbeta gamma\x0b delta"
         elif i % 30 in (6, 7, 8, 9, 10):
             # exact-duplicate group: five ids share one text
             t = "the quick brown fox jumps over the lazy dog " * 3
