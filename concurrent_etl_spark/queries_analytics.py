@@ -175,6 +175,8 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = (
         staged.where(F.size("toks") >= 3)
+        # explode-ok: grams is an inline transform expression (non-
+        # attribute generator child, no inferred filter — plan-checked)
         .select("doc_id", F.explode(grams).alias("gram"))
     )
     c = g.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))

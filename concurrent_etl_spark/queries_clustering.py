@@ -514,9 +514,15 @@ def q_power_iteration_top_eigvec(
         ).alias("qv"),
     )
     nn = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    tr = q.select(
-        "vec_id", F.posexplode("qv").alias("i0", "x")
-    ).select("vec_id", (F.col("i0") + 1).cast("long").alias("i"), "x")
+    # _outer + pos-isNotNull (house idiom): plain posexplode over the
+    # Project-computed qv lets InferFiltersFromGenerate clone the
+    # whole transform into an inferred size()>0 filter below the
+    # projection, re-evaluating the 64-dim quantization per row.
+    tr = (
+        q.select("vec_id", F.posexplode_outer("qv").alias("i0", "x"))
+        .where(F.col("i0").isNotNull())
+        .select("vec_id", (F.col("i0") + 1).cast("long").alias("i"), "x")
+    )
     a = tr.select(F.col("vec_id").alias("va"), F.col("i"), F.col("x").alias("xa"))
     b = tr.select(F.col("vec_id").alias("va"), F.col("i").alias("j"), F.col("x").alias("xb"))
     p = (

@@ -911,6 +911,7 @@ def cms_cells(tok_counts: DataFrame) -> DataFrame:
     occurrences per cell, but aggregates vocabulary-sized input."""
     rows = F.array(*[F.lit(i) for i in range(_CMS_D)])
     return (
+        # explode-ok: rows is a foldable literal array (no inferred filter)
         tok_counts.withColumn("i", F.explode(rows))
         .groupBy("i", cms_bucket(F.col("i"), F.col("tok")).alias("bucket"))
         .agg(F.sum("exact_count").alias("cell_count"))
@@ -984,6 +985,7 @@ def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_count",
     )
     est = (
+        # explode-ok: rows is a foldable literal array (no inferred filter)
         topk.withColumn("i", F.explode(rows))
         .join(
             F.broadcast(cells_r),

@@ -1559,6 +1559,7 @@ def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     th = F.array([F.lit(x) for x in (0.0, 0.25, 0.5, 0.75, 1.0)])
     swept = s.select(
+        # explode-ok: th is a foldable literal array (no inferred filter)
         "n_tokens", "quality", F.explode(th).alias("threshold")
     )
     kept = F.col("quality") >= F.col("threshold")
@@ -1687,7 +1688,11 @@ def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
     tf = (
-        t.select("doc_id", F.explode("toks").alias("term"))
+        # _outer + pos-isNotNull: toks is Project-computed; plain
+        # explode would clone the tokenizer into an inferred filter
+        t.select("doc_id", F.posexplode_outer("toks").alias("_tp", "term"))
+        .where(F.col("_tp").isNotNull())
+        .select("doc_id", "term")
         .where(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("bigint").alias("tf"))

