@@ -1923,7 +1923,7 @@ def q_warc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            s_suppkey % 2 = 0 AS even_flag,
            CASE WHEN s_suppkey % 7 = 0 THEN NULL
                 ELSE 'ph_' || CAST(s_suppkey AS VARCHAR) END AS phone
-    FROM supplier
+    FROM supplier WHERE s_suppkey <= 100000
     """,
 )
 def q_avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1971,6 +1971,11 @@ def q_avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.makedirs(d, exist_ok=True)
         rows = (
             load_table(spark, sf_dir, "supplier")
+            # driver-safety cap (VERDICT r5 item 4): suppkey is dense
+            # 1..SF*10k, so the fixture collect is bounded at 100k
+            # rows at any scale factor; identical predicate in the
+            # oracle. No-op at the tested SFs (sf0.1 = 1k suppliers).
+            .where(F.col("s_suppkey") <= 100_000)
             .select("s_suppkey", "s_name", "s_acctbal")
             .collect()
         )
@@ -2025,10 +2030,13 @@ def q_avro_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "parquet_zonemap_audit",
     oracle="""
-    WITH s AS (
+    WITH s0 AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+      ORDER BY o_orderkey LIMIT 100000),
+    s AS (
       SELECT o_orderkey,
              row_number() OVER (ORDER BY o_orderkey) AS rn
-      FROM orders WHERE o_orderkey % 5 = 0)
+      FROM s0)
     SELECT CAST((rn - 1) // 4096 AS INTEGER) AS rg_id,
            COUNT(*) AS n_rows,
            CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
@@ -2055,8 +2063,9 @@ def q_parquet_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     footers instead of data).
 
     Fixture build is construction-time-guarded and bounded (a ~20%
-    key slice, driver-staged once per app+sf through pyarrow for
-    exact row-group sizing); the AUDIT path itself is the
+    key slice HARD-CAPPED at 100k sorted keys — deterministic because
+    o_orderkey is unique — driver-staged once per app+sf through
+    pyarrow for exact row-group sizing); the AUDIT path itself is the
     distributed operator — at 100 TB it reads footers of every file
     in parallel, bytes proportional to file count not data size.
     """
@@ -2091,6 +2100,13 @@ def q_parquet_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("o_orderkey") % 5 == 0)
             .select("o_orderkey", "o_totalprice")
             .orderBy("o_orderkey")
+            # driver-safety cap (VERDICT r5 item 4): the fixture
+            # writer is the ONLY driver materialization here and the
+            # slice grows with SF; 100k sorted unique keys bound the
+            # toPandas at ~2 MB at any scale factor. Both engines
+            # apply the identical cap (oracle: ORDER BY .. LIMIT).
+            # No-op at the tested SFs (sf0.1 slice = 30k rows).
+            .limit(100_000)
             .toPandas()
         )
         _pq.write_table(

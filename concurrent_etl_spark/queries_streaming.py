@@ -691,7 +691,8 @@ def q_stream_stream_join_roundtrip(
 @query(
     "stream_stateful_session_roundtrip",
     oracle="""
-    WITH s AS (SELECT user_id, ts FROM events WHERE user_id % 7 = 0),
+    WITH s AS (SELECT user_id, ts FROM events WHERE user_id % 7 = 0
+               ORDER BY ts, user_id LIMIT 50000),
     wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM s),
     o AS (
       SELECT user_id, ts,
@@ -762,7 +763,17 @@ def q_stream_stateful_session_roundtrip(
                 )
             )
             .select("user_id", "ts_raw")
-            .orderBy("ts_raw")
+            # driver-safety cap (VERDICT r5 item 4): the chunked
+            # stream-input writer is inherently driver-side but the
+            # user slice grows with SF; 50k rows bound the collect at
+            # any scale factor. Multiset-deterministic: the order key
+            # (ts_raw, user_id) leaves only fully-identical projected
+            # rows tied at the cut. The oracle applies the identical
+            # cap (ORDER BY ts, user_id LIMIT). No-op at the tested
+            # SFs (sf0.1 slice = 14.4k rows). ts_raw is fixed-width
+            # ISO, so its lexicographic order IS event-time order.
+            .orderBy("ts_raw", "user_id")
+            .limit(50_000)
             .collect()
         )
         n_chunks = 6

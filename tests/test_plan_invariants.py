@@ -90,3 +90,76 @@ class TestWholeCatalogPlans:
             if name not in GLOBAL_WINDOW_OK and _has_global_window(plan):
                 offenders.append(f"{name}: unpartitioned Window")
         assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# driver-materialization allowlist (VERDICT r5 item 4)
+# ---------------------------------------------------------------------------
+
+#: Every ``.collect()`` / ``.toPandas()`` in the package, keyed by
+#: (relative path, enclosing function, method). Each entry was
+#: audited BOUNDED at any scale factor — a scalar/k-row aggregate, a
+#: domain-bounded dimension, or a fixture writer with an explicit
+#: cap applied identically in both engines. Adding a new site fails
+#: this test until the site is audited and listed here with its
+#: boundedness argument.
+_DRIVER_MATERIALIZE_OK = {
+    # instrumentation scalars (1-row aggregates)
+    ("queries_llm7.py", "winnowing_work_stats", "collect"),
+    ("queries_llm7.py", "containment_candidate_stats", "collect"),
+    ("queries_catalog.py", "q_jdbc_source_roundtrip", "collect"),
+    ("queries_stats2.py", "q_kendall_tau", "collect"),
+    # two bounded collects: 1-row day-domain stats + 1-row median
+    ("queries_stats2.py", "q_theilsen_slope", "collect"),
+    # k-row / domain-bounded reduces
+    ("queries_analytics.py", "q_skyline_pareto_parts", "collect"),  # <=240 price buckets
+    ("queries_clustering.py", "_dist_to", "collect"),  # _PQ_NQ query rows
+    ("queries_training.py", "q_global_id_assignment", "collect"),  # per-source counts
+    ("queries_stats.py", "_cum_by_value", "collect"),  # value-domain/2^33 buckets
+    ("streaming/file_stream.py", "merge_into_partitioned_parquet", "collect"),  # distinct partition values
+    ("operators/dims.py", "upsert_dimension", "collect"),  # max-id scalar
+    ("operators/training.py", "gradient_row", "collect"),  # 1-row gradient
+    ("operators/clustering.py", "update_centroids", "collect"),  # k rows
+    ("operators/clustering.py", "init_centroids", "collect"),  # k rows
+    # fixture writers with explicit caps (both engines)
+    ("queries_catalog.py", "q_xlsx_source_roundtrip", "collect"),  # nation: 25 rows fixed
+    ("queries_catalog.py", "q_warc_source_roundtrip", "collect"),  # doc_id < 200
+    ("queries_catalog.py", "q_avro_source_roundtrip", "collect"),  # s_suppkey <= 100k
+    ("queries_catalog.py", "q_parquet_zonemap_audit", "toPandas"),  # limit(100k)
+    ("queries_streaming.py", "q_stream_stateful_session_roundtrip", "collect"),  # limit(50k)
+}
+
+
+def test_driver_materializations_are_allowlisted():
+    """Source lint: no new unbounded driver-side collects can land.
+
+    Scans every package source line for ``.collect()``/``.toPandas()``
+    and requires the (file, enclosing def, method) triple to be in the
+    audited allowlist. Multiset-exact both ways: an allowlist entry
+    whose site disappeared must be pruned too.
+    """
+    import collections
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "concurrent_etl_spark")
+    found: collections.Counter = collections.Counter()
+    for root, _, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
+            cur = "<module>"
+            with open(path) as f:
+                for line in f:
+                    m = re.match(r"\s*def (\w+)", line)
+                    if m:
+                        cur = m.group(1)
+                    for meth in ("collect", "toPandas"):
+                        if f".{meth}()" in line:
+                            found[(rel, cur, meth)] += 1
+    unlisted = sorted(set(found) - _DRIVER_MATERIALIZE_OK)
+    stale = sorted(_DRIVER_MATERIALIZE_OK - set(found))
+    assert not unlisted, f"unaudited driver materializations: {unlisted}"
+    assert not stale, f"stale allowlist entries: {stale}"
