@@ -201,9 +201,17 @@ def pii_counts(text_col: Column | str) -> dict[str, Column]:
 
 
 def content_hash(text_col: Column | str) -> Column:
-    """Exact-dup content hash: md5 of whitespace-normalized lowercase."""
+    """Exact-dup content hash: md5 of whitespace-normalized lowercase.
+
+    TOTAL over NULL text (ADVICE r5): array_join of the NULL token
+    array is NULL, so without the coalesce a NULL-text row would keep
+    a NULL hash on the Spark side while the oracle's
+    md5(coalesce(array_to_string(...), '')) canon hashes it to
+    md5('') — NULL text canonicalizes with empty/whitespace-only text
+    in BOTH engines (they are the same document for dedup purposes).
+    """
     norm = F.array_join(tokens(F.lower(_c(text_col))), " ")
-    return F.md5(norm)
+    return F.md5(F.coalesce(norm, F.lit("")))
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -244,6 +252,11 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).cast("int")
         + (distinct_ratio >= 0.3).cast("int")
     ) / F.lit(4.0)
+    # total over NULL text: each CASE in the oracle falls to ELSE 0
+    # for a NULL condition, so its quality is 0.0 where Spark's
+    # boolean-cast sum is NULL — coalesce to the oracle's semantics
+    # (NULL text fails every quality check, like empty text)
+    quality = F.coalesce(quality, F.lit(0.0))
 
     # language scores STAGED as real columns before the argmax ladder:
     # the when-chain references each score ~3x, and repeated
@@ -279,6 +292,12 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_chars_actual",
         quality.alias("quality"),
         lang_guess.alias("lang_guess"),
-        F.md5(F.array_join(F.col("toks_l"), " ")).alias("content_hash"),
-        F.array_join(F.slice(hashed_sh, 1, 4), "").alias("fingerprint"),
+        # coalesce: NULL text must hash/print like empty text, matching
+        # the oracle's md5(coalesce(...)) / coalesce(...) canon
+        F.md5(
+            F.coalesce(F.array_join(F.col("toks_l"), " "), F.lit(""))
+        ).alias("content_hash"),
+        F.coalesce(
+            F.array_join(F.slice(hashed_sh, 1, 4), ""), F.lit("")
+        ).alias("fingerprint"),
     )

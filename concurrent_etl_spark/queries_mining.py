@@ -340,18 +340,28 @@ def q_kcore_interaction_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v")
     )
     rounds = [o.join(li, "ok").select("u", "v").distinct().persist()]
-    for _ in range(_KCORE_R):
-        e = rounds[-1]
-        du = e.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
-        dv = e.groupBy("v").agg(F.count(F.lit(1)).alias("dv"))
-        nxt = (
-            e.join(du.where(F.col("du") >= _KCORE_K).select("u"), "u")
-            .join(dv.where(F.col("dv") >= _KCORE_K).select("v"), "v")
-            .select("u", "v")
-            .persist()
-        )
-        nxt.count()  # materialize: bounds lineage AND feeds the stats union
-        rounds.append(nxt)
+    # construction-time failure cleanup (ADVICE r5): a count() that
+    # dies mid-build must not leak the already-cached rounds — the
+    # SUCCESS path legitimately returns a lazy plan over the caches
+    # (harness clearCache's after execution), but an exception here
+    # means no consumer ever will.
+    try:
+        for _ in range(_KCORE_R):
+            e = rounds[-1]
+            du = e.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+            dv = e.groupBy("v").agg(F.count(F.lit(1)).alias("dv"))
+            nxt = (
+                e.join(du.where(F.col("du") >= _KCORE_K).select("u"), "u")
+                .join(dv.where(F.col("dv") >= _KCORE_K).select("v"), "v")
+                .select("u", "v")
+                .persist()
+            )
+            nxt.count()  # materialize: bounds lineage AND feeds the stats union
+            rounds.append(nxt)
+    except BaseException:
+        for er in rounds:
+            er.unpersist()
+        raise
     # persist convention (catalog.py): the cached rounds are consumed
     # by the returned plan; the harness clears caches after execution
     stats = None

@@ -593,7 +593,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     imed AS (SELECT CAST(MIN(rv) AS BIGINT) AS intercept_e4
              FROM rcum, stats WHERE 2 * ct >= n_days)
     SELECT n_days, n_pairs,
-           n_pairs = n_days * (n_days - 1) // 2 AS pairs_ok,
+           coalesce(n_pairs, 0) = n_days * (n_days - 1) // 2 AS pairs_ok,
            slope_e4, intercept_e4
     FROM stats, tot, med, imed
     WHERE n_days > 0
@@ -674,7 +674,27 @@ def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded 1-scalar collect between the two median passes (the
     # dims max-id pattern): the fitted slope re-enters as a literal
     _slope_row = med.collect()[0]["slope_e4"]
-    slope_e4 = int(_slope_row) if _slope_row is not None else 0
+    if _slope_row is None:
+        # degenerate domain (n_days <= 1 -> zero pairwise slopes):
+        # the oracle's med/imed CTEs propagate NULL through BOTH
+        # medians, so fitting residuals at a substituted slope 0
+        # would silently diverge on a single-day corpus (ADVICE r5).
+        # Mirror the NULL flow: n_pairs stays the sum-over-empty
+        # NULL, slope/intercept NULL; pairs_ok is kept TOTAL via
+        # coalesce (zero pairs expected, zero observed -> true) so
+        # neither engine emits a NULL boolean (pandas object-NaN vs
+        # None hash differently in the driver canon).
+        return tot.select(
+            F.lit(n_days).cast("long").alias("n_days"),
+            "n_pairs",
+            (
+                F.coalesce(F.col("n_pairs"), F.lit(0).cast("long"))
+                == F.lit(n_days * (n_days - 1) // 2).cast("long")
+            ).alias("pairs_ok"),
+            F.lit(None).cast("long").alias("slope_e4"),
+            F.lit(None).cast("long").alias("intercept_e4"),
+        ).where(F.lit(n_days > 0))
+    slope_e4 = int(_slope_row)
     resid = daily.select(
         (F.col("x") * 10000 - F.lit(slope_e4) * (F.col("d") - dmin)).alias(
             "v"
@@ -693,7 +713,7 @@ def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_days).cast("long").alias("n_days"),
             "n_pairs",
             (
-                F.col("n_pairs")
+                F.coalesce(F.col("n_pairs"), F.lit(0).cast("long"))
                 == F.lit(n_days * (n_days - 1) // 2).cast("long")
             ).alias("pairs_ok"),
             F.lit(slope_e4).cast("long").alias("slope_e4"),

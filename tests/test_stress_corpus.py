@@ -244,3 +244,139 @@ def test_stress_partition_invariance(spark, stress_dir, name):
     finally:
         spark.catalog.clearCache()
     assert baseline == reshuffled
+
+
+# ---------------------------------------------------------------------------
+# single-day corpus: the degenerate trend-fit domain (ADVICE r5)
+# ---------------------------------------------------------------------------
+
+#: queries whose math degenerates when the whole corpus spans ONE
+#: day (zero day-pairs): the Theil-Sen slope median is empty, and a
+#: substituted slope of 0 would silently diverge from the oracle's
+#: NULL-through-CTE propagation (slope_e4 AND intercept_e4 NULL).
+ONE_DAY_SET = [
+    "theilsen_robust_slope",
+]
+
+
+@pytest.fixture(scope="module")
+def one_day_dir(tmp_path_factory):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("one_day_sf")
+    for t in TABLES:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if t == "orders":
+            tab = pq.read_table(src)
+            first = pc.min(tab.column("o_orderdate")).as_py()
+            tab = tab.filter(pc.equal(tab.column("o_orderdate"), first))
+            assert tab.num_rows >= 1
+            pq.write_table(tab, str(d / f"{t}.parquet"))
+        else:
+            pq.write_table(pq.read_table(src), str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def one_day_con(one_day_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{one_day_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ONE_DAY_SET)
+def test_one_day_corpus_query_matches_oracle(spark, one_day_dir, one_day_con, name):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    try:
+        sdf = queries[name](spark, one_day_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()
+    odf = one_day_con.sql(oracles[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    assert value_hash(sdf) == value_hash(odf)
+    # the degeneracy must actually be exercised: one observed day
+    if name == "theilsen_robust_slope":
+        assert len(sdf) == 1 and sdf["slope_e4"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# NULL-text corpus: the residual md5-canon asymmetry (ADVICE r5)
+# ---------------------------------------------------------------------------
+
+#: the hash-canon / dedup family: every query whose cross-engine
+#: agreement depends on how NULL text canonicalizes before md5.
+#: Spark's array_join over a NULL token array is NULL while the
+#: oracles' md5(coalesce(array_to_string(...), '')) hashes to
+#: md5('') — operators/text.content_hash and text_stats now coalesce
+#: identically, so a NULL-text document groups with empty/whitespace
+#: documents in BOTH engines.
+NULL_TEXT_SET = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_detector_agreement",
+    "minhash_containment",
+    "text_stats",
+    "llm_pipeline_end2end",
+]
+
+
+@pytest.fixture(scope="module")
+def null_text_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("null_text_sf")
+    for t in TABLES:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        tab = pq.read_table(src)
+        if t == "documents":
+            cols = {c: tab.column(c).to_pylist() for c in tab.column_names}
+            n_nulled = 0
+            for i in range(len(cols["doc_id"])):
+                # three NULL-text rows (two must GROUP together in
+                # dedup_exact alongside any empty/whitespace docs)
+                if cols["doc_id"][i] % 97 == 5 and n_nulled < 3:
+                    cols["text"][i] = None
+                    cols["n_chars"][i] = None
+                    n_nulled += 1
+            assert n_nulled == 3
+            tab = pa.table(cols, schema=tab.schema)
+        pq.write_table(tab, str(d / f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def null_text_con(null_text_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{null_text_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NULL_TEXT_SET)
+def test_null_text_corpus_query_matches_oracle(
+    spark, null_text_dir, null_text_con, name
+):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    try:
+        sdf = queries[name](spark, null_text_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()
+    odf = null_text_con.sql(oracles[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    assert value_hash(sdf) == value_hash(odf)
