@@ -16,6 +16,13 @@ without running the suite:
     the same batch twice leaves the target hash unchanged (the
     idempotent upsert that makes foreachBatch replay safe, T4).
 
+Round 6 (VERDICT r5 item 5): the checks run at sf0.01 scale — the
+stream input is the REAL orders table (15k rows) split into 12 CSV
+files processed one per micro-batch, and the merge replays a
+2,000-row batch — so hash equality is over thousands of rows and the
+restart path crosses a genuine multi-batch checkpoint history, not a
+4-row toy.
+
 Usage: python tools/streaming_evidence.py [round_tag]
 Writes /root/repo/STREAMING_r{tag}.json
 """
@@ -93,11 +100,30 @@ def main() -> None:
         src.mkdir()
         sink, ckpt = str(base / "out"), str(base / "ckpt")
 
-        wave1 = {
-            "f1_OPERATIONS": ["1,10,1.5", "2,20,2.5"],
-            "f2_OPERATIONS": ["3,30,3.5", "4,40,4.5"],
-        }
-        wave2 = {"f3_OPERATIONS": ["5,50,5.5"]}
+        # sf0.01-scale input: the real orders table (15k rows) as 12
+        # deterministic CSV files, ~1.25k rows each, one micro-batch
+        # per file. Every ~97th qty is garbage to keep try_cast's
+        # NULL path inside the hash. Wave 1 = files 0-9 (~12.5k
+        # rows), wave 2 = files 10-11 (restart evidence crosses a
+        # 10-batch checkpoint history).
+        import duckdb
+
+        sf_dir = "/root/testdata/sf0.01"
+        orows = duckdb.connect().execute(
+            f"SELECT o_orderkey, o_custkey, o_totalprice FROM "
+            f"'{sf_dir}/orders.parquet' ORDER BY o_orderkey"
+        ).fetchall()
+        n_files = 12
+        per = (len(orows) + n_files - 1) // n_files
+        waves: list[dict[str, list[str]]] = [{}, {}]
+        for i in range(n_files):
+            chunk = orows[i * per : (i + 1) * per]
+            rows = [
+                f"{ok},{'oops' if ok % 97 == 0 else ck},{tp}"
+                for ok, ck, tp in chunk
+            ]
+            waves[0 if i < 10 else 1][f"f{i:02d}_OPERATIONS"] = rows
+        wave1, wave2 = waves
         for stem, rows in wave1.items():
             _write_csv(src / f"{stem}.csv", rows)
 
@@ -159,10 +185,14 @@ def main() -> None:
             ),
         }
 
-        # --- T4: idempotent merge replay
+        # --- T4: idempotent merge replay (2,000-row batch)
         tgt = str(base / "fact")
         batch_df = spark.createDataFrame(
-            [(1, "a", 1.0), (2, "b", 2.0)], "id bigint, k string, v double"
+            [
+                (ok, f"k{ck}", float(tp))
+                for ok, ck, tp in orows[:2000]
+            ],
+            "id bigint, k string, v double",
         )
         merge_into_parquet(spark, tgt, batch_df, ["id"])
         h1 = value_hash(spark.read.parquet(tgt))
@@ -171,6 +201,7 @@ def main() -> None:
         evidence["merge_idempotent_replay"] = {
             "hash_first": h1,
             "hash_replayed": h2,
+            "rows": spark.read.parquet(tgt).count(),
             "match": h1 == h2,
         }
 
