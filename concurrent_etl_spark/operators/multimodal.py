@@ -87,14 +87,14 @@ def _soundfile_available() -> bool:
 
 
 def decode_image(payload: bytes) -> object:
-    """Compressed-format image decode (jpeg/webp/...), environment-
-    adaptive: uses PIL when the environment ships it (returns an
-    ``(h, w, mode, pixel_bytes)`` tuple), otherwise raises the
-    documented guard. The container this repo is built in has no
-    imaging lib — the vendored BMP/PNG decoders below prove the same
-    decode architecture on formats stdlib can handle, and this hook
-    upgrades in place on richer clusters (same detect-if-available
-    pattern as sources/excel.py openpyxl)."""
+    """Compressed-format image decode, environment-adaptive: uses PIL
+    when the environment ships it (returns an ``(h, w, mode,
+    pixel_bytes)`` tuple); otherwise JPEG payloads route to the
+    VENDORED baseline decoder (the JPEG section below — Huffman +
+    dequant + IDCT on pure numpy), and only the formats that
+    genuinely need an imaging lib (webp/tiff/...) raise the
+    documented guard. Same detect-if-available pattern as
+    sources/excel.py openpyxl."""
     if _pil_available():  # pragma: no cover - depends on environment
         import io
 
@@ -102,10 +102,14 @@ def decode_image(payload: bytes) -> object:
 
         img = PIL.Image.open(io.BytesIO(bytes(payload)))
         return (img.height, img.width, img.mode, img.tobytes())
+    buf = bytes(payload)
+    if buf[:2] == b"\xff\xd8":  # JPEG SOI
+        px = jpeg_decode_gray(buf)
+        return (px.shape[0], px.shape[1], "L", px.tobytes())
     raise NotImplementedError(
-        "compressed image decode requires PIL/opencv, which this "
-        "container does not ship; the vendored BMP/PNG codecs and "
-        "byte-level features keep the pipeline testable"
+        "non-JPEG compressed image decode requires PIL/opencv, which "
+        "this container does not ship; the vendored BMP/PNG/JPEG "
+        "codecs and byte-level features keep the pipeline testable"
     )
 
 
@@ -1297,3 +1301,476 @@ def bmp_sobel_features(media: DataFrame, threshold: int = 300) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(gen, SOBEL_SCHEMA)
+
+
+# --- JPEG: a real lossy image codec, vendored on pure numpy ----------
+#
+# The last NotImplementedError in the tree was the compressed-image
+# decode behind PIL detection (decode_image above). Baseline JPEG
+# (ITU-T T.81 / ISO 10918-1, public spec) is decodable with nothing
+# but integer Huffman coding and an 8x8 IDCT, so it gets the same
+# vendored-codec treatment as xlsx/Avro/WAV/BMP/PNG/Y4M: Spark owns
+# listing/scheduling/batching, Python owns only the byte decode, and
+# the synthesized fixture is closed-form so an oracle can recompute
+# the DECODED pixels analytically. Reference parity: the reference
+# has no binary-media handling at all (pandas/Excel only); this is
+# north-star multimodal-column plumbing (SURVEY §7 step 5).
+#
+# Scope: baseline sequential DCT (SOF0), 8-bit, single-component
+# (grayscale), no subsampling, no restart markers — the decoder
+# validates and rejects everything else loudly. Huffman tables are
+# read from the file's own DHT segments (canonical code
+# reconstruction), never assumed.
+
+#: ITU-T T.81 Annex K.1 luminance quantization table (row-major).
+_JPEG_QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Annex K.3.1 luminance DC table: BITS (code-length histogram) and
+#: HUFFVAL (symbols in code order). Written into DHT verbatim; the
+#: decoder rebuilds codes from the segment, so the round trip is
+#: self-contained even on engines with different default tables.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+
+#: Annex K.3.2 luminance AC table.
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Zigzag scan order as raster indices (generated, not hardcoded:
+    a diagonal walk alternating direction, per T.81 figure 5)."""
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals walk bottom-left -> top-right
+        order.extend(y * 8 + x for y, x in diag)
+    return order
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _dct_matrix():
+    """8x8 DCT-II basis C with C[u,x] = c(u)/2 * cos((2x+1)u*pi/16);
+    forward DCT of a block f is C @ f @ C.T, inverse is C.T @ F @ C."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc <<= 8 - self.nbits  # pad with 0s (1s also legal)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.out)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman (T.81 C.2): symbol -> (code, length)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _magnitude_bits(v: int) -> tuple[int, int]:
+    """(category, appended-bits) coding of a DC diff / AC coefficient
+    (T.81 F.1.2.1: negatives are stored one's-complemented)."""
+    size = 0
+    a = abs(v)
+    while a:
+        size += 1
+        a >>= 1
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def jpeg_encode_gray(pix) -> bytes:
+    """Encode an 8-bit grayscale raster (numpy uint8, h x w with h, w
+    multiples of 8) as a baseline JFIF JPEG with the Annex K tables.
+
+    General encoder: float DCT, round-half-up quantization in exact
+    integer arithmetic (coefficients are rounded to integers first,
+    then (2c + q) // (2q) with floor semantics — deterministic across
+    platforms), run-length AC coding with ZRL/EOB."""
+    import struct
+
+    import numpy as np
+
+    h, w = pix.shape
+    if h % 8 or w % 8:
+        raise ValueError("fixture rasters are multiples of 8")
+    C = _dct_matrix()
+    q = np.array(_JPEG_QTABLE, dtype=np.int64).reshape(8, 8)
+    dcc = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    acc = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            blk = pix[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            coef = C @ blk @ C.T
+            # round to integer half-away (true coefficients of the
+            # flat oracle fixture are exact integers, so float eps
+            # cannot flip this), then quantize round-half-up exactly
+            ci = np.floor(np.abs(coef) + 0.5).astype(np.int64) * np.sign(
+                coef
+            ).astype(np.int64)
+            quant = (2 * ci + q) // (2 * q)  # floor((c + q/2) / q)
+            zz = [int(quant.flat[i]) for i in _ZIGZAG]
+            size, bits = _magnitude_bits(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            code, ln = dcc[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            last_nz = max(
+                (i for i in range(1, 64) if zz[i]), default=0
+            )
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = acc[0xF0]  # ZRL: 16 zeros
+                    bw.write(zc, zl)
+                    run -= 16
+                size, bits = _magnitude_bits(zz[i])
+                code, ln = acc[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                ec, el = acc[0x00]  # EOB
+                bw.write(ec, el)
+    data = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xFFDB,
+        b"\x00" + bytes(_JPEG_QTABLE[i] for i in _ZIGZAG),  # DQT in zigzag
+    )
+    out += seg(
+        0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+    )  # SOF0: 8-bit, 1 component, no subsampling
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment, removing
+    0xFF00 stuffing and stopping at any other marker."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.buf[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("hit marker inside entropy data")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(code, length) -> symbol map for canonical decode."""
+    inv = {}
+    for sym, (code, ln) in _huff_codes(bits, vals).items():
+        inv[(ln, code)] = sym
+    return inv
+
+
+def _extend(bits: int, size: int) -> int:
+    """T.81 F.2.1.3.1 EXTEND: undo one's-complement negatives."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def jpeg_decode_gray(buf: bytes):
+    """Decode a baseline single-component JPEG to an h x w uint8
+    numpy raster. Full marker walk: DQT (zigzag-stored, possibly
+    multiple tables per segment), SOF0 (validated: 8-bit, one
+    component, 1x1 sampling), DHT (canonical Huffman reconstruction
+    from BITS/HUFFVAL — the file's own tables, never assumed), SOS,
+    entropy-coded MCUs with byte unstuffing, DC prediction, AC
+    run-length with ZRL/EOB, dezigzag, dequantize, float IDCT,
+    level-shift + clamp. Rejects progressive (SOF2), multi-component,
+    subsampled, and restart-interval streams loudly."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comp_q = 0
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS")
+        (ln,) = struct.unpack_from(">H", buf, pos)
+        body = buf[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(body[b + 1 : b + 65])
+                tab = [0] * 64
+                for i, idx in enumerate(_ZIGZAG):
+                    tab[idx] = zz[i]
+                qtables[tq] = tab
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 1:
+                raise ValueError("only 8-bit single-component supported")
+            # component spec: id at body[6], sampling at [7], tq at [8]
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                htables[(tc, th)] = _huff_decoder(bits, vals)
+                b += 17 + n
+        elif marker == 0xDD:  # DRI
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            pos += ln
+            break
+        pos += ln
+    else:
+        raise ValueError("no SOS marker")
+    if h is None:
+        raise ValueError("no SOF0 before SOS")
+    dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+    q = np.array(qtables[comp_q], dtype=np.float64).reshape(8, 8)
+    C = _dct_matrix()
+
+    def read_symbol(br: _BitReader, tab: dict) -> int:
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | br.read_bit()
+            ln += 1
+            if (ln, code) in tab:
+                return tab[(ln, code)]
+            if ln > 16:
+                raise ValueError("invalid Huffman stream")
+
+    br = _BitReader(buf, pos)
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            zz = [0] * 64
+            size = read_symbol(br, dc_tab)
+            pred += _extend(br.read_bits(size), size)
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                rs = read_symbol(br, ac_tab)
+                r, s = rs >> 4, rs & 0x0F
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += r
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(br.read_bits(s), s)
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            for i, idx in enumerate(_ZIGZAG):
+                coef[idx] = zz[i]
+            blk = C.T @ (coef.reshape(8, 8) * q) @ C
+            px = np.clip(np.floor(blk + 128.0 + 0.5), 0, 255)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px.astype(
+                np.uint8
+            )
+    return out[:h, :w]
+
+
+def _jpeg_block_value(bx: int, by: int, doc_id: int) -> int:
+    """Flat value of block (bx, by) — closed form the oracle mirrors."""
+    return (bx * 37 + by * 59 + doc_id * 13) % 256
+
+
+def jpeg_bytes(doc_id: int) -> bytes:
+    """Deterministic grayscale JPEG of 8x8-flat blocks: width
+    8*(2 + id%5), height 8*(1 + id%4). A flat block's only nonzero
+    DCT coefficient is DC = 8*(v-128) (exact — the T.81 forward DCT
+    of a constant block), so the decoded block is analytically
+    clamp(128 + 2*floor((v-128+1)/2), 0, 255) with q00=16: the
+    DuckDB oracle recomputes the full DECODED raster in closed form,
+    pinning quantizer rounding, Huffman coding, and the IDCT
+    level-shift end to end."""
+    import numpy as np
+
+    w, h = 8 * (2 + doc_id % 5), 8 * (1 + doc_id % 4)
+    pix = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            pix[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _jpeg_block_value(bx, by, doc_id)
+            )
+    return jpeg_encode_gray(pix)
+
+
+JPEG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_blocks", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_min", LongType()),
+        StructField("pixel_max", LongType()),
+    ]
+)
+
+
+def synthesize_jpeg(docs: DataFrame, every: int = 4, phase: int = 0) -> DataFrame:
+    """(doc_id, payload) of real JPEG bytes for doc_id % every == phase."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"] if d % every == phase]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [jpeg_bytes(d) for d in ids]}
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+def jpeg_decode_features(media: DataFrame) -> DataFrame:
+    """REAL lossy-codec decode: full baseline JPEG (Huffman + dequant
+    + IDCT) per payload, exact integer stats over the DECODED raster."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in JPEG_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = jpeg_decode_gray(bytes(payload))
+                h, w = px.shape
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_blocks"].append((h // 8) * (w // 8))
+                rows["pixel_sum"].append(int(px.sum()))
+                rows["pixel_min"].append(int(px.min()))
+                rows["pixel_max"].append(int(px.max()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, JPEG_SCHEMA)

@@ -322,3 +322,145 @@ class TestSobelEdges:
         assert row["sum_mag_l1"] == 0
         assert row["max_mag_l1"] == 0
         assert row["n_edge_px"] == 0
+
+
+class TestJpegCodec:
+    """The vendored baseline-JPEG codec (ITU-T T.81, JPEG section of
+    operators/multimodal.py): the last compressed-image stub replaced
+    by a real Huffman + dequant + IDCT decoder."""
+
+    def test_marker_structure(self):
+        from concurrent_etl_spark.operators.multimodal import jpeg_bytes
+
+        buf = jpeg_bytes(4)
+        assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+        # JFIF APP0, DQT, SOF0, DHT, SOS all present in order
+        for marker in (b"\xff\xe0", b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+            assert marker in buf, marker
+
+    def test_flat_blocks_decode_to_analytic_form(self):
+        from concurrent_etl_spark.operators.multimodal import (
+            _jpeg_block_value,
+            jpeg_bytes,
+            jpeg_decode_gray,
+        )
+
+        for doc_id in range(0, 80, 4):
+            px = jpeg_decode_gray(jpeg_bytes(doc_id))
+            w, h = 8 * (2 + doc_id % 5), 8 * (1 + doc_id % 4)
+            assert px.shape == (h, w)
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    v = _jpeg_block_value(bx, by, doc_id)
+                    a = v - 128
+                    exp = max(0, min(255, 128 + 2 * ((a + 1) // 2)))
+                    assert (px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == exp).all()
+
+    def test_ac_path_matches_independent_reconstruction(self):
+        """Gradient rasters produce nonzero AC coefficients through
+        every size category incl. ZRL; the decoder must reproduce the
+        dequant+IDCT reconstruction computed independently in numpy
+        from the encoder's exact quantized coefficients."""
+        import numpy as np
+
+        from concurrent_etl_spark.operators.multimodal import (
+            _JPEG_QTABLE,
+            _dct_matrix,
+            jpeg_decode_gray,
+            jpeg_encode_gray,
+        )
+
+        C = _dct_matrix()
+        q = np.array(_JPEG_QTABLE, dtype=np.int64).reshape(8, 8)
+        for d in range(5):
+            pix = np.fromfunction(
+                lambda y, x: (x * 3 + y * 5 + d * 7) % 256, (16, 24)
+            ).astype(np.uint8)
+            dec = jpeg_decode_gray(jpeg_encode_gray(pix))
+            exp = np.zeros_like(pix)
+            for by in range(2):
+                for bx in range(3):
+                    blk = pix[
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ].astype(np.float64) - 128.0
+                    coef = C @ blk @ C.T
+                    ci = (
+                        np.floor(np.abs(coef) + 0.5) * np.sign(coef)
+                    ).astype(np.int64)
+                    quant = (2 * ci + q) // (2 * q)
+                    rec = C.T @ (quant * q).astype(np.float64) @ C
+                    exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.floor(rec + 128.5), 0, 255
+                    ).astype(np.uint8)
+            assert (dec == exp).all()
+            # and the lossy error vs the SOURCE is bounded (sanity
+            # that this is a faithful codec, not a coincidence)
+            assert np.abs(dec.astype(int) - pix.astype(int)).max() <= 16
+
+    def test_decoder_rejects_garbage_and_unsupported(self):
+        import pytest as _pytest
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_bytes,
+            jpeg_decode_gray,
+        )
+
+        with _pytest.raises(ValueError, match="SOI"):
+            jpeg_decode_gray(b"not a jpeg")
+        # flip SOF0 (FFC0) to progressive (FFC2): must reject loudly
+        buf = bytearray(jpeg_bytes(0))
+        i = bytes(buf).index(b"\xff\xc0")
+        buf[i + 1] = 0xC2
+        with _pytest.raises(ValueError, match="baseline"):
+            jpeg_decode_gray(bytes(buf))
+
+    def test_decode_image_hook_routes_jpeg_without_pil(self):
+        from concurrent_etl_spark.operators.multimodal import (
+            decode_image,
+            jpeg_bytes,
+            jpeg_decode_gray,
+        )
+
+        buf = jpeg_bytes(8)
+        h, w, mode, raw = decode_image(buf)
+        px = jpeg_decode_gray(buf)
+        assert (h, w) == px.shape
+        assert mode in ("L",)  # grayscale (PIL path may differ)
+        assert raw == px.tobytes()
+
+    def test_query_matches_oracle_at_sf0001(self, spark):
+        """The driver's exact comparison (rowcount / columns /
+        order-insensitive value hash) for the READY-TO-REGISTER
+        jpeg query vs its closed-form DuckDB oracle — the r7
+        registration is a two-line decoration away."""
+        import sys
+        from pathlib import Path
+
+        import duckdb
+
+        sys.path.insert(
+            0, str(Path(__file__).resolve().parent.parent / "tools")
+        )
+        from check_oracle import TABLES, value_hash
+
+        from concurrent_etl_spark.queries_llm3 import (
+            JPEG_DECODE_ORACLE,
+            q_image_jpeg_decode,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        try:
+            sdf = q_image_jpeg_decode(spark, sf_dir).toPandas()
+        finally:
+            spark.catalog.clearCache()
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        odf = con.sql(JPEG_DECODE_ORACLE).fetchdf()
+        con.close()
+        assert len(sdf) > 0
+        assert sorted(sdf.columns) == sorted(odf.columns)
+        assert len(sdf) == len(odf)
+        assert value_hash(sdf) == value_hash(odf)
