@@ -143,17 +143,27 @@ def _feature_batches(
     """
     for pdf in batches:
         payloads = pdf["payload"]
+        # None-safe: a NULL payload (NULL source text / failed fetch —
+        # guaranteed in a real corpus) yields NULL features, exactly
+        # the oracle's md5(NULL)/octet_length(NULL) propagation;
+        # nullable Int64 keeps the Arrow longs NULL-capable
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "modality": pdf["modality"],
-                "n_bytes": payloads.map(len).astype("int64"),
+                "n_bytes": payloads.map(
+                    lambda b: None if b is None else len(b)
+                ).astype("Int64"),
                 "payload_md5": payloads.map(
-                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    lambda b: None
+                    if b is None
+                    else hashlib.md5(bytes(b)).hexdigest()
                 ),
                 "first_byte": payloads.map(
-                    lambda b: int(b[0]) if len(b) else -1
-                ).astype("int64"),
+                    lambda b: None
+                    if b is None
+                    else (int(b[0]) if len(b) else -1)
+                ).astype("Int64"),
             }
         )
 
@@ -200,6 +210,9 @@ def frame_sample(
                 "frame_md5": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # NULL payload -> no frames (oracle: the
+                    # frame join on length(NULL) matches nothing)
                 s = bytes(payload).decode("utf-8")  # the stub 'decode'
                 for f in range(0, (len(s) + frame_units - 1) // frame_units, every_k):
                     fr = s[f * frame_units : (f + 1) * frame_units]
@@ -242,18 +255,30 @@ def resize_payload(media: DataFrame, target_units: int = 256) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # None-safe (NULL payload -> NULL out, the oracle's
+            # substring(NULL)/md5(NULL) propagation)
             clipped = pdf["payload"].map(
-                lambda b: bytes(b).decode("utf-8")[:target_units]
+                lambda b: None
+                if b is None
+                else bytes(b).decode("utf-8")[:target_units]
             )
-            out = clipped.map(lambda s: s.encode("utf-8"))
+            out = clipped.map(
+                lambda s: None if s is None else s.encode("utf-8")
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": out,
-                    "n_units": clipped.map(len).astype("int64"),
-                    "n_bytes": out.map(len).astype("int64"),
+                    "n_units": clipped.map(
+                        lambda s: None if s is None else len(s)
+                    ).astype("Int64"),
+                    "n_bytes": out.map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("Int64"),
                     "payload_md5": out.map(
-                        lambda b: hashlib.md5(b).hexdigest()
+                        lambda b: None
+                        if b is None
+                        else hashlib.md5(b).hexdigest()
                     ),
                 }
             )
@@ -1107,17 +1132,28 @@ def _arrow_feature_batches(batches):
     for batch in batches:
         doc_id = batch.column("doc_id")
         modality = batch.column("modality")
-        payloads = [
-            b"" if v is None else v.as_py()
-            for v in batch.column("payload")
-        ]
+        # .as_py() of a NULL Arrow scalar is None (a pyarrow scalar is
+        # never the Python None object, so `v is None` can't catch it)
+        # — propagate NULL features exactly like the oracle's
+        # md5(NULL)/octet_length(NULL)
+        payloads = [v.as_py() for v in batch.column("payload")]
         yield pa.RecordBatch.from_arrays(
             [
                 doc_id,
                 modality,
-                pa.array([len(b) for b in payloads], type=pa.int64()),
-                pa.array([hashlib.md5(b).hexdigest() for b in payloads]),
-                pa.array([b[:8].hex() for b in payloads]),
+                pa.array(
+                    [None if b is None else len(b) for b in payloads],
+                    type=pa.int64(),
+                ),
+                pa.array(
+                    [
+                        None if b is None else hashlib.md5(b).hexdigest()
+                        for b in payloads
+                    ]
+                ),
+                pa.array(
+                    [None if b is None else b[:8].hex() for b in payloads]
+                ),
             ],
             names=["doc_id", "modality", "n_bytes", "payload_md5", "prefix_hex"],
         )

@@ -1830,7 +1830,7 @@ def q_xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              || 'T00:00:00Z' AS warc_date,
            CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
            md5(text) AS payload_md5
-    FROM documents WHERE doc_id < 200
+    FROM documents WHERE doc_id < 200 AND text IS NOT NULL
     """,
 )
 def q_warc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1877,7 +1877,9 @@ def q_warc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.makedirs(d, exist_ok=True)
         rows = (
             load_table(spark, sf_dir, "documents")
-            .where(F.col("doc_id") < 200)
+            # a NULL document never became a crawl record — same
+            # predicate in the oracle (no-op on non-NULL corpora)
+            .where((F.col("doc_id") < 200) & F.col("text").isNotNull())
             .select("doc_id", "text")
             .collect()
         )

@@ -140,7 +140,7 @@ def _greedy_pack(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle=f"""
     WITH RECURSIVE d AS (
       SELECT doc_id % {_N_SHARDS} AS shard, doc_id,
-             len({_tok('text')}) AS n_tok,
+             coalesce(len({_tok('text')}), 0) AS n_tok,
              row_number() OVER (PARTITION BY doc_id % {_N_SHARDS}
                                 ORDER BY doc_id) AS rn
       FROM documents),
@@ -185,7 +185,13 @@ def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         (F.col("doc_id") % _N_SHARDS).cast("bigint").alias("shard"),
         "doc_id",
-        F.size(T.tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        # NULL text packs as 0 tokens (coalesced identically in the
+        # oracle): without it the fold's int(NaN) kills the task and
+        # the oracle's recurrence NULL-poisons everything downstream
+        # of the first NULL doc (null-text corpus sweep, round 6)
+        F.coalesce(
+            F.size(T.tokens(F.col("text"))), F.lit(0)
+        ).cast("bigint").alias("n_tok"),
     )
     packed = d.groupBy("shard").applyInPandas(
         _greedy_pack,

@@ -1041,7 +1041,10 @@ def q_pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantile_normalization_sources",
     oracle="""
     WITH d AS (
-      SELECT doc_id, source, n_chars FROM documents),
+      -- unmeasured docs (NULL n_chars, e.g. NULL text) have no rank
+      -- to normalize: excluded in BOTH engines
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE n_chars IS NOT NULL),
     pooled AS (
       SELECT n_chars AS v, COUNT(*) AS t,
              SUM(COUNT(*)) OVER (ORDER BY n_chars) AS cum
@@ -1097,8 +1100,12 @@ def q_quantile_normalization_sources(
     Scale shape: two bounded-domain groupBys + one join of
     domain-sized tables. At 100 TB nothing row-sized shuffles twice.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source", F.col("n_chars").alias("v")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        # NULL n_chars has no rank to normalize (see oracle) — and the
+        # bucket-offset cumsum's driver sort cannot order a NULL bucket
+        .where(F.col("n_chars").isNotNull())
+        .select("source", F.col("n_chars").alias("v"))
     )
     from concurrent_etl_spark.queries_stats import _cum_by_value
 

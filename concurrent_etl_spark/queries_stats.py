@@ -2559,8 +2559,15 @@ def q_spearman_rank_correlation(
     cyy = (nd * F.col("syy") - F.col("sy").cast("decimal(38,0)") * F.col("sy")).cast("double")
     return m.select(
         "n",
-        F.round(cxy * 1000000 / F.sqrt(cxx * cyy))
-        .cast("long")
+        # zero-variance guard (one-day corpus sweep, round 6): with
+        # n = 1 or an all-tied variable the denominator is 0 — DuckDB
+        # float x/0 is NULL while Spark ANSI kills the job; emit NULL
+        # exactly where the oracle does
+        F.when(
+            cxx * cyy > 0,
+            F.round(cxy * 1000000 / F.sqrt(cxx * cyy)).cast("long"),
+        )
+        .otherwise(F.lit(None).cast("long"))
         .alias("spearman_e6"),
     )
 

@@ -326,14 +326,21 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tc = contrib.agg(F.sum("contrib_r2").cast("long").alias("total_c"))
     n = F.col("n")
-    h = (
+    # degenerate-domain guards (one-day corpus sweep, round 6): n = 1
+    # makes the tie term 0/0, and a single distinct value makes the
+    # whole correction 1 - 1 = 0 — DuckDB propagates NULL through the
+    # float division where Spark ANSI kills the job. Split the term
+    # so each zero denominator yields NULL exactly like the oracle.
+    n3n = (n.cast("decimal(38,0)") * n * n - n).cast("double")
+    tie_term = F.when(
+        n3n > 0, F.col("ties_cubed").cast("double") / n3n
+    ).otherwise(F.lit(None).cast("double"))
+    den = F.lit(1.0) - tie_term
+    num = (
         F.lit(12.0) / (n.cast("double") * (n + 1)) * F.col("total_c")
         - 3.0 * (n + 1)
-    ) / (
-        F.lit(1.0)
-        - F.col("ties_cubed").cast("double")
-        / (n.cast("decimal(38,0)") * n * n - n).cast("double")
     )
+    h = F.when(den != 0, num / den).otherwise(F.lit(None).cast("double"))
     return (
         contrib.crossJoin(F.broadcast(tc))
         .crossJoin(F.broadcast(tot))
@@ -353,9 +360,11 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "average_precision_exact",
     oracle="""
     WITH d AS (
+      -- a doc without a score (NULL n_chars, e.g. NULL text) cannot
+      -- be ranked: excluded in BOTH engines
       SELECT 1024 - n_chars AS v,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
-      FROM documents),
+      FROM documents WHERE n_chars IS NOT NULL),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(rel) AS BIGINT) AS n_rel FROM d),
     pv AS (SELECT v, CAST(SUM(rel) AS BIGINT) AS a,
@@ -408,7 +417,9 @@ def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     (classifier_calibration_bins evaluates calibration; this ranks).
     """
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
+    d = docs.where(F.col("n_chars").isNotNull()).select(
+        # a doc without a score cannot be ranked (see oracle) — and
+        # the cumsum's driver sort cannot order a NULL bucket
         (F.lit(1024) - F.col("n_chars")).cast("long").alias("v"),
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("rel"),
     )
@@ -791,8 +802,9 @@ def _pois_weight_sql(u: str) -> str:
            CAST(MIN(CASE WHEN rk = 2 THEN m_e4 END) AS BIGINT) AS ci_lo_e4,
            CAST(MIN(CASE WHEN rk = {_BOOT_B - 1} THEN m_e4 END)
                 AS BIGINT) AS ci_hi_e4,
-           MIN(CASE WHEN rk = 2 THEN m_e4 END)
-             <= MIN(CASE WHEN rk = {_BOOT_B - 1} THEN m_e4 END) AS ci_ok
+           COALESCE(MIN(CASE WHEN rk = 2 THEN m_e4 END)
+             <= MIN(CASE WHEN rk = {_BOOT_B - 1} THEN m_e4 END),
+             FALSE) AS ci_ok
     FROM ranked, obs
     GROUP BY n, sx
     """,
@@ -861,8 +873,17 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),
         )
     )
+    # a replicate whose Poisson weights are ALL zero (P ~ 0.37^n —
+    # real at a one-day/one-row domain) has no mean: DuckDB's
+    # integer // by zero is NULL, Spark ANSI div kills the job —
+    # guard to NULL so the rank join sees the same 64-row table
+    # (one-day corpus sweep, round 6)
     means = weighted.select(
-        "b", F.expr("CAST((swx * 20000 + sw) div (2 * sw) AS BIGINT)").alias("m_e4")
+        "b",
+        F.expr(
+            "CASE WHEN sw > 0 THEN "
+            "CAST((swx * 20000 + sw) div (2 * sw) AS BIGINT) END"
+        ).alias("m_e4"),
     )
     m2 = means.select(F.col("b").alias("b2"), F.col("m_e4").alias("m2_e4"))
     ranked = (
@@ -888,7 +909,10 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             lo.cast("long").alias("ci_lo_e4"),
             hi.cast("long").alias("ci_hi_e4"),
-            (lo <= hi).alias("ci_ok"),
+            # total boolean: an undefined endpoint means "no CI
+            # established" = false in BOTH engines (a NULL boolean
+            # hashes differently per engine in the driver canon)
+            F.coalesce(lo <= hi, F.lit(False)).alias("ci_ok"),
         )
         .select(
             "n",

@@ -44,7 +44,13 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text")
         - F.length(F.regexp_replace("text", F.lit("e"), F.lit("")))
     ) / 4
-    return docs.select(
+    # a doc with no measurable features (NULL text/n_chars) can be
+    # neither trained on nor scored: excluded in BOTH engines. (A
+    # NULL row contributed nothing to the gradients anyway — NULL
+    # poisons its products so SUM skips it in both engines — but its
+    # prediction CASE/cast semantics DIVERGED per engine at eval
+    # time; null-text corpus sweep, round 6.)
+    return docs.where(F.col("n_chars").isNotNull()).select(
         "doc_id",
         "lang",
         F.lit(1).alias("x0"),
@@ -67,7 +73,7 @@ def _feat_sql() -> str:
                 AS BIGINT) AS x3,
            CASE WHEN n_chars >= 256 THEN CAST(1 AS BIGINT)
                 ELSE CAST(0 AS BIGINT) END AS y
-    FROM documents"""
+    FROM documents WHERE n_chars IS NOT NULL"""
 
 
 def _gd_oracle() -> str:

@@ -256,6 +256,12 @@ def test_stress_partition_invariance(spark, stress_dir, name):
 #: NULL-through-CTE propagation (slope_e4 AND intercept_e4 NULL).
 ONE_DAY_SET = [
     "theilsen_robust_slope",
+    # round-6 full one-day sweep finds: ANSI float-division job kills
+    # on zero-variance / zero-weight degeneracies, each now a
+    # NULL-propagating guard matching the oracle (DuckDB x/0 = NULL)
+    "spearman_rank_correlation",  # n=1 -> zero rank variance
+    "kruskal_wallis_rank_test",  # n=1 -> 0/0 tie correction
+    "poisson_bootstrap_ci",  # all-zero Poisson replicate weights
 ]
 
 
@@ -327,6 +333,17 @@ NULL_TEXT_SET = [
     "minhash_containment",
     "text_stats",
     "llm_pipeline_end2end",
+    # round-6 full null-text sweep finds, each fixed two-engine:
+    "multimodal_features",  # pandas UDF len(None) -> NULL features
+    "multimodal_features_arrow",  # pa scalar null: as_py() is None
+    "multimodal_resize",  # None decode -> NULL clip/md5
+    "multimodal_frame_sample",  # NULL payload -> zero frames
+    "warc_source_roundtrip",  # NULL doc never became a crawl record
+    "greedy_pack_bins",  # NULL text packs as 0 tokens (both engines)
+    "quantile_normalization_sources",  # unmeasured docs excluded
+    "average_precision_exact",  # unscorable docs excluded
+    "gd_quality_classifier",  # featureless docs excluded (train+eval)
+    "classifier_calibration_bins",  # featureless docs excluded
 ]
 
 
