@@ -393,7 +393,14 @@ def _cum_by_value(pv: DataFrame, width_bits: int = 20):
     from pyspark.sql import Window
 
     width = 1 << width_bits
-    pv = pv.withColumn("bucket", F.expr(f"v div {width}"))
+    # persist: the caller's pv pipeline (often a multi-join pair
+    # build, e.g. Theil-Sen's 2.9M pairwise slopes at sf0.1) would
+    # otherwise be re-evaluated by BOTH the bucket-totals collect
+    # below and every downstream consumer of the returned frame —
+    # measured 3 full evaluations in theilsen_robust_slope (25-45 s
+    # -> the persisted pv is computed once). Harness clearCache()'s
+    # per query, per the catalog persist convention.
+    pv = pv.withColumn("bucket", F.expr(f"v div {width}")).persist()
     totals = sorted(
         pv.groupBy("bucket")
         .agg(F.sum("a").alias("ba"), F.sum("t").alias("bt"))

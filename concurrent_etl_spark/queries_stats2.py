@@ -674,9 +674,13 @@ def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     slopes = pairs.select(
         F.expr("(num - ((num % k) + k) % k) div k").alias("v")
     )
+    # persist: pv is the reduced 2.9M-pair slope table; tot (below)
+    # and the _cum_by_value path both consume it, and tot re-evaluates
+    # at final-result time — without the persist the whole pair build
+    # runs twice more after the median collect
     pv = slopes.groupBy("v").agg(
         F.count(F.lit(1)).cast("long").alias("t")
-    ).withColumn("a", F.col("t"))
+    ).withColumn("a", F.col("t")).persist()
     tot = pv.agg(F.sum("t").cast("long").alias("n_pairs"))
     cum = _cum_by_value(pv, width_bits=33).crossJoin(F.broadcast(tot))
     med = cum.where(2 * F.col("cum_t") >= F.col("n_pairs")).agg(
