@@ -1578,6 +1578,8 @@ class _BitReader:
 
     def read_bit(self) -> int:
         if self.nbits == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated entropy-coded segment")
             b = self.buf[self.pos]
             self.pos += 1
             if b == 0xFF:

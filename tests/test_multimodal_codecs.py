@@ -464,3 +464,16 @@ class TestJpegCodec:
         assert sorted(sdf.columns) == sorted(odf.columns)
         assert len(sdf) == len(odf)
         assert value_hash(sdf) == value_hash(odf)
+
+    def test_decoder_rejects_truncated_entropy_stream(self):
+        import pytest as _pytest
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_bytes,
+            jpeg_decode_gray,
+        )
+
+        buf = jpeg_bytes(12)
+        # cut inside the entropy-coded segment (before EOI)
+        with _pytest.raises(ValueError, match="truncated|marker"):
+            jpeg_decode_gray(buf[: len(buf) - 10])
