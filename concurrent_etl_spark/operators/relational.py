@@ -29,6 +29,7 @@ def broadcast_left_join(
     (case_2/Normal.py:232-236). The dim side is broadcast: a
     1000-executor fact scan joins locally, zero shuffle.
     """
+    # broadcast-ok: API contract — `dim` is a dimension table (J1)
     return fact.join(F.broadcast(dim), on, "left")
 
 
@@ -36,6 +37,7 @@ def composite_key_join(
     fact: DataFrame, lookup: DataFrame, keys: list[str]
 ) -> DataFrame:
     """Left join on a composite key (J2, case_2/Normal.py:263)."""
+    # broadcast-ok: API contract — `lookup` is a dimension table (J2)
     return fact.join(F.broadcast(lookup), keys, "left")
 
 
@@ -50,6 +52,7 @@ def semi_join(fact: DataFrame, keys: DataFrame, on: str | list[str]) -> DataFram
     ``keys`` is typically a small distinct set -> broadcast, so the
     fact side streams through a local hash probe.
     """
+    # broadcast-ok: API contract — `keys` is a small distinct key set
     return fact.join(F.broadcast(keys), on, "left_semi")
 
 
@@ -67,6 +70,7 @@ def new_keys(batch: DataFrame, dim: DataFrame, key: str) -> DataFrame:
         batch.select(key)
         .where(F.col(key).isNotNull())
         .dropDuplicates([key])
+        # broadcast-ok: API contract — `dim` is a dimension table (P5)
         .join(F.broadcast(dim.select(key)), key, "left_anti")
     )
 

@@ -105,6 +105,8 @@ def brute_force_topk(
     ).withColumn("cn", norm(F.col("cv")))
     den = F.col("qn") * F.col("cn")
     scored = (
+        # broadcast-ok: ANN query side — a bounded query batch by
+        # contract (the corpus side streams through, never collected)
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -218,6 +220,7 @@ def ivf_topk(
     )
 
     def nearest(df: DataFrame, in_id: str, in_vec: str, keep: int) -> DataFrame:
+        # broadcast-ok: `cent` is n_centroids rows (k-sized model side)
         scored = df.crossJoin(F.broadcast(cent)).select(
             "*", cosine(F.col(in_vec), F.col("cv")).alias("_cos_c")
         )

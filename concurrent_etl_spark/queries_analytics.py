@@ -848,6 +848,7 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("cohort").orderBy("age_weeks")
     cum = rev.withColumn("cum_rev", F.sum("rev_cents").over(w))
+    # broadcast-ok: one row per weekly cohort — calendar-bounded, not corpus-sized
     return cum.join(F.broadcast(sizes), "cohort").select(
         F.col("cohort").cast("long").alias("cohort_week"),
         F.col("age_weeks").cast("long").alias("age_weeks"),
@@ -985,6 +986,7 @@ def q_mix_shift_decomposition(
     )
     tot = cell.groupBy("period").agg(F.sum("n").cast("long").alias("nt"))
     wide = (
+        # broadcast-ok: one row per period — calendar-bounded
         cell.join(F.broadcast(tot), "period")
         .groupBy("event_type")
         .agg(

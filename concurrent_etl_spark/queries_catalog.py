@@ -2259,6 +2259,7 @@ def q_dynamic_partition_pruning_audit(
         )
     )
     joined = fact.join(
+        # broadcast-ok: distinct of the 5-value o_orderpriority enum; the hint also plants the dynamicpruning subquery under audit
         F.broadcast(dim.where(F.col("urgency") == "hot")),
         fact.o_orderpriority == F.col("priority"),
     )

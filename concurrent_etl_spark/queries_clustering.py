@@ -534,8 +534,10 @@ def q_power_iteration_top_eigvec(
     )
     s = tr.groupBy("i").agg(F.sum("x").cast("long").alias("s"))
     g = (
+        # broadcast-ok: one row per embedding dimension (fixed model width)
         p.join(F.broadcast(s.select(F.col("i"), F.col("s").alias("si"))), "i")
         .join(
+            # broadcast-ok: one row per embedding dimension (fixed model width)
             F.broadcast(s.select(F.col("i").alias("j"), F.col("s").alias("sj"))),
             "j",
         )
@@ -556,6 +558,7 @@ def q_power_iteration_top_eigvec(
     for _ in range(3):
         w = (
             g.join(
+                # broadcast-ok: dim-sized iteration vector (fixed model width)
                 F.broadcast(v.select(F.col("i").alias("j"), F.col("v"))), "j"
             )
             .groupBy("i")

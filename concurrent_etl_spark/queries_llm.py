@@ -1082,6 +1082,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("cv"),
     )
     scored = (
+        # broadcast-ok: fixed 8-query probe set (vec_id < 8)
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -1105,6 +1106,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
     )
+    # broadcast-ok: one row per query — fixed 8-query probe set
     return neg.join(F.broadcast(pos), "query_id").select(
         "query_id",
         "query_label",

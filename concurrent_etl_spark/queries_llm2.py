@@ -211,8 +211,10 @@ def q_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = c.groupBy("w1").agg(F.sum("n").alias("n_w1"))
     lp = F.round(F.log(F.col("n") / F.col("n_w1")), 12).cast("decimal(24,12)")
     return (
-        db.join(F.broadcast(c), ["w1", "w2"])
-        .join(F.broadcast(tot), ["w1"])
+        # no hint: the bigram-count table is vocabulary-squared-scale — corpus-proportional (Heaps' law); AQE broadcasts when it fits
+        db.join((c), ["w1", "w2"])
+        # no hint: per-w1 totals are vocabulary-sized — corpus-proportional
+        .join((tot), ["w1"])
         .groupBy("doc_id")
         .agg(
             F.sum("m").cast("bigint").alias("n_bigrams"),
@@ -988,6 +990,7 @@ def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # explode-ok: rows is a foldable literal array (no inferred filter)
         topk.withColumn("i", F.explode(rows))
         .join(
+            # broadcast-ok: CMS sketch cells — fixed depth x width = 256 rows
             F.broadcast(cells_r),
             (F.col("i") == F.col("ci"))
             & (cms_bucket(F.col("i"), F.col("tok")) == F.col("cbucket")),

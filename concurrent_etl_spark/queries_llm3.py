@@ -1559,6 +1559,7 @@ def q_kl_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = c.groupBy("lang").agg(
         F.sum("cp").alias("np"), F.sum("cq").alias("nq")
     )
+    # broadcast-ok: one row per language — bounded code set
     shared = c.join(F.broadcast(t), "lang").where(
         (F.col("cp") > 0) & (F.col("cq") > 0)
     )
@@ -1771,6 +1772,7 @@ def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     scored = (
+        # broadcast-ok: df restricted to the fixed query-term set (isin filter above)
         tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(g))

@@ -329,6 +329,7 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lp"),
     )
     scored = (
+        # broadcast-ok: unigram LM — model side by design (SCALE.md: a deployment ships a frozen capped-vocab LM; the fixture trains it in-query)
         tok.join(F.broadcast(lp), "t")
         .groupBy("doc_id")
         .agg(
@@ -615,12 +616,17 @@ def q_prefix_filter_jaccard_join(
     sizes = arrs.select("doc_id", F.size("arr").alias("sz"))
     df = tok.groupBy("t").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "t")
+    # NO broadcast hints here: the token-df table is vocabulary-sized
+    # (grows with the corpus per Heaps' law) and `sizes` is one row
+    # per document — both corpus-proportional, so forcing a broadcast
+    # would be a driver-side collect-and-ship bottleneck at 100 TB.
+    # AQE still picks a broadcast join at small SF where they fit.
     ranked = (
-        tok.join(F.broadcast(df), "t")
+        tok.join(df, "t")
         .select("doc_id", "t", F.row_number().over(w).alias("pos"))
     )
     prefix = (
-        ranked.join(F.broadcast(sizes), "doc_id")
+        ranked.join(sizes, "doc_id")
         .where(
             F.col("pos")
             <= F.col("sz")
@@ -1045,6 +1051,7 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lp"),
     )
     scored = (
+        # broadcast-ok: unigram LM — model side by design (see SCALE.md unigram_logprob_quality row)
         tok.join(F.broadcast(lp), "t")
         .groupBy("doc_id")
         .agg(

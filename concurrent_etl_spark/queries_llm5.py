@@ -140,6 +140,7 @@ def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lr"),
     )
     scored = (
+        # broadcast-ok: one row per hash bucket — fixed _B buckets
         tb.join(F.broadcast(w), "b")
         .groupBy("doc_id", "lang")
         .agg(
@@ -239,6 +240,7 @@ def q_temperature_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFram
         "source", "doc_id", F.row_number().over(rk).alias("rk")
     )
     return (
+        # broadcast-ok: one row per source — bounded source enum
         ranked.join(F.broadcast(q), "source")
         .where(F.col("rk") <= F.col("quota"))
         .select(
@@ -620,8 +622,11 @@ def q_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = tokf.join(dfr, "t").select(
         "doc_id", "t", F.row_number().over(w).alias("pos")
     )
+    # `sizes` is one row per audit-cohort document, and the cohort is
+    # doc_id % 10 = 0 — 10% of the corpus, i.e. corpus-proportional,
+    # not bounded. No broadcast hint; AQE broadcasts when it fits.
     prefix = (
-        ranked.join(F.broadcast(sizes), "doc_id")
+        ranked.join(sizes, "doc_id")
         .where(
             F.col("pos")
             <= F.col("sz") - F.ceil(F.col("sz") * 50 / 100.0).cast("bigint") + 1

@@ -422,6 +422,7 @@ def _rrf_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
 
     sp = (
+        # broadcast-ok: fixed 3-query probe set (doc_id < 3)
         base.crossJoin(F.broadcast(q))
         .where(F.col("doc_id") != F.col("query_id"))
         .select(
@@ -630,6 +631,7 @@ def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         f["base"]
         .select(F.col("doc_id").alias("id"))
         .join(lab, "id")
+        # broadcast-ok: 3-query label set
         .crossJoin(F.broadcast(qlab))
         .where(
             (F.col("label") == F.col("qlabel"))
@@ -669,8 +671,10 @@ def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        rankings.join(F.broadcast(lab), rankings["cand_id"] == lab["id"])
+        # no hint: lab is the full embeddings table — corpus-proportional
+        rankings.join((lab), rankings["cand_id"] == lab["id"])
         .drop("id")
+        # broadcast-ok: 3-query label set
         .join(F.broadcast(qlab), "query_id")
         .withColumn(
             "rel", (F.col("label") == F.col("qlabel")).cast("int")
@@ -692,6 +696,7 @@ def q_retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     idcg = F.expr(
         _dec_case(f"LEAST(n_rel, {_RRF_TOPK})", _CUM, "1")
     ).cast("double")
+    # broadcast-ok: one row per query — 3-query probe set
     return m.join(F.broadcast(nrel), "query_id").select(
         "query_id",
         "ranker",
@@ -890,6 +895,7 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
 
     grid = (
+        # broadcast-ok: char-bigram vocab — bounded by alphabet^2, not corpus size
         nl.crossJoin(F.broadcast(vocab))
         .crossJoin(F.broadcast(vsz))
         .join(
@@ -911,9 +917,11 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", _ln_e12(F.col("n_docs"), F.col("nd")).alias("pw"))
     )
     scores = (
+        # broadcast-ok: langs x char-bigram vocab — alphabet-bounded
         docb.join(F.broadcast(grid), "b")
         .groupBy("doc_id", "lang")
         .agg(F.sum(F.col("c") * F.col("w")).cast("long").alias("s"))
+        # broadcast-ok: one row per language
         .join(F.broadcast(prior_w), "lang")
         .select(
             "doc_id", "lang", (F.col("s") + F.col("pw")).alias("score")
@@ -1022,15 +1030,20 @@ def q_pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1000000000000
     ).cast("long")
     return (
+        # The unigram-count table is vocabulary-sized (Heaps' law:
+        # grows with the corpus), so no forced broadcast — unlike the
+        # frozen reference LMs in unigram_logprob_quality, this df is
+        # derived from the input corpus itself. AQE broadcasts it
+        # when it fits. `nd` is a 1-row scalar: always broadcast-ok.
         pairs.join(
-            F.broadcast(df.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))),
+            df.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a")),
             "tok_a",
         )
         .join(
-            F.broadcast(df.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))),
+            df.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b")),
             "tok_b",
         )
-        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(nd))  # broadcast-ok: single-row global count
         .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", pmi_e12.alias("pmi_e12"))
         .orderBy(F.desc("pmi_e12"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(20)
@@ -1126,6 +1139,7 @@ def q_quantile_normalization_sources(
     w = Window.partitionBy("source").orderBy("v")
     per_src = per_src.withColumn("cum", F.sum("t").over(w))
     mapped = (
+        # broadcast-ok: one row per source — bounded enum
         per_src.join(F.broadcast(ns), "source")
         .crossJoin(F.broadcast(nn))
         .select(
@@ -1147,6 +1161,7 @@ def q_quantile_normalization_sources(
     # domain-sized pooled table, then a min per mapped row)
     xlat = (
         mapped.join(
+            # broadcast-ok: one row per distinct length value — bounded by the doc-length cap, not corpus size
             F.broadcast(pooled), F.col("pcum") >= F.col("target_rank")
         )
         .groupBy("source", "v", "t")
@@ -1449,6 +1464,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = shl.select(F.col("doc_id").alias("da"), F.col("shg").alias("sha"))
     b = shl.select(F.col("doc_id").alias("db"), F.col("shg").alias("shb"))
     sims = (
+        # broadcast-ok: shingles of the 20-row candidate pool
         a.crossJoin(F.broadcast(b))
         .where(F.col("da") != F.col("db"))
         .select(
@@ -1475,6 +1491,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(2, _MMR_K + 1):
         cand = (
             pool_sc.join(sel.select("doc_id"), "doc_id", "left_anti")
+            # broadcast-ok: pool^2 pairs — at most _MMR_POOL^2 = 400 rows
             .join(F.broadcast(sims), F.col("doc_id") == F.col("da"))
             .join(
                 F.broadcast(sel.select(F.col("doc_id").alias("sd"))),

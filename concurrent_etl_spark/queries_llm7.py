@@ -346,8 +346,10 @@ def q_skipgram_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     xc = c.groupBy("context").agg(F.sum("n_pairs").alias("xn"))
     tot = c.agg(F.sum("n_pairs").alias("t"))
     return (
-        c.join(F.broadcast(mc), "center")
-        .join(F.broadcast(xc), "context")
+        # no hint: per-center counts are vocabulary-sized (Heaps' law) — AQE broadcasts when small
+        c.join((mc), "center")
+        # no hint: per-context counts are vocabulary-sized
+        .join((xc), "context")
         .crossJoin(F.broadcast(tot))
         .select(
             "center",
@@ -481,8 +483,11 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spine = spark.range(1, 11).select(F.col("id").alias("dec"))
     j = (
+        # broadcast-ok: one row per corpus decile (10 rows)
         spine.join(F.broadcast(docs10), "dec", "left")
+        # broadcast-ok: one row per corpus decile (10 rows)
         .join(F.broadcast(uni10), "dec", "left")
+        # broadcast-ok: one row per corpus decile (10 rows)
         .join(F.broadcast(bi10), "dec", "left")
         .fillna(0, ["n_docs", "n_tokens", "n_uni", "n_bi"])
     )
@@ -675,6 +680,7 @@ def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = base.select("x", "y").distinct()
     pt = (
         probes.join(
+            # broadcast-ok: boxes = scheme x bucket — fixed 2 x 256 layout
             F.broadcast(boxes),
             (F.col("x").between(F.col("x0"), F.col("x1")))
             & (F.col("y").between(F.col("y0"), F.col("y1"))),
@@ -685,6 +691,7 @@ def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = (
         probes.select("x")
         .distinct()
+        # broadcast-ok: boxes — fixed 2 x 256 layout
         .join(F.broadcast(boxes), F.col("x").between(F.col("x0"), F.col("x1")))
         .groupBy("scheme")
         .agg(F.count(F.lit(1)).cast("long").alias("px_hits"))
@@ -692,6 +699,7 @@ def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     py = (
         probes.select("y")
         .distinct()
+        # broadcast-ok: boxes — fixed 2 x 256 layout
         .join(F.broadcast(boxes), F.col("y").between(F.col("y0"), F.col("y1")))
         .groupBy("scheme")
         .agg(F.count(F.lit(1)).cast("long").alias("py_hits"))
@@ -708,8 +716,11 @@ def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("y").cast("long").alias("n_y"),
     )
     return (
+        # broadcast-ok: one row per scheme (2 rows)
         nbx.join(F.broadcast(pt), "scheme")
+        # broadcast-ok: one row per scheme (2 rows)
         .join(F.broadcast(px), "scheme")
+        # broadcast-ok: one row per scheme (2 rows)
         .join(F.broadcast(py), "scheme")
         .crossJoin(F.broadcast(np_))
         .select(
@@ -1410,18 +1421,22 @@ def q_partition_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("lday"), F.col("first_arrival").alias("fa")
     )
     closed = (
+        # broadcast-ok: per-day rows — calendar-bounded
         days.join(F.broadcast(later), F.col("lday") > F.col("day"), "left")
         .groupBy("day")
         .agg(F.min("fa").alias("close_id"))
     )
     late = (
+        # broadcast-ok: per-day rows — calendar-bounded
         e.join(F.broadcast(closed), "day")
         .where(F.col("close_id").isNotNull() & (F.col("arrival") > F.col("close_id")))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("n_late"))
     )
     return (
+        # broadcast-ok: per-day rows — calendar-bounded
         days.join(F.broadcast(closed), "day")
+        # broadcast-ok: per-day rows — calendar-bounded
         .join(F.broadcast(late), "day", "left")
         .fillna(0, ["n_late"])
         .select(
@@ -1594,6 +1609,7 @@ def q_merkle_partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and("day_match").alias("month_match")
     )
     return (
+        # broadcast-ok: one row per month — calendar-bounded
         d.join(F.broadcast(m), F.expr("day div 32") == F.col("month"))
         .select(
             F.col("day").cast("long"),

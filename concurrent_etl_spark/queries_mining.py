@@ -150,11 +150,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     oriented = (
         edges.join(
-            F.broadcast(deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))),
+            # no hint: degree table is one row per node — corpus-proportional
+            (deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))),
             "u",
         )
         .join(
-            F.broadcast(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))),
+            # no hint: degree table is one row per node
+            (deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))),
             "v",
         )
         .select(
@@ -240,18 +242,21 @@ def q_bfs_bipartite_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = o.join(li, "ok").select("c", "s").distinct()
     c0 = e.select("c").where(F.col("c") <= 5).distinct()
     s1 = (
+        # broadcast-ok: seed set — distinct c <= 5, at most 6 rows
         e.join(F.broadcast(c0), "c")
         .select("s")
         .distinct()
     )
     c2 = (
-        e.join(F.broadcast(s1), "s")
+        # no hint: a BFS frontier can be hub-sized — not provably bounded
+        e.join((s1), "s")
         .select("c")
         .distinct()
         .join(c0, "c", "left_anti")
     )
     s3 = (
-        e.join(F.broadcast(c2), "c")
+        # no hint: a BFS frontier can be hub-sized
+        e.join((c2), "c")
         .select("s")
         .distinct()
         .join(s1, "s", "left_anti")
@@ -763,11 +768,13 @@ def q_link_prediction_jaccard(
     )
     return (
         cn.join(
-            F.broadcast(deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a"))),
+            # no hint: degree table is one row per node — corpus-proportional
+            (deg.select(F.col("u").alias("a"), F.col("d").alias("deg_a"))),
             "a",
         )
         .join(
-            F.broadcast(deg.select(F.col("u").alias("b"), F.col("d").alias("deg_b"))),
+            # no hint: degree table is one row per node
+            (deg.select(F.col("u").alias("b"), F.col("d").alias("deg_b"))),
             "b",
         )
         .select(

@@ -107,12 +107,14 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     per = (
         ew.join(
-            F.broadcast(deg.select(F.col("node"), F.col("deg").alias("dx"))),
+            # no hint: degree table is one row per node — corpus-proportional
+            (deg.select(F.col("node"), F.col("deg").alias("dx"))),
             F.col("src") == F.col("node"),
         )
         .drop("node")
         .join(
-            F.broadcast(deg.select(F.col("node"), F.col("deg").alias("dy"))),
+            # no hint: degree table is one row per node
+            (deg.select(F.col("node"), F.col("deg").alias("dy"))),
             F.col("dst") == F.col("node"),
         )
         .select("dx", "dy")
@@ -252,7 +254,8 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r") * F.col("w") / F.col("deg") * 1e12, 0
         ).cast("bigint")
         msgs = (
-            ewd.join(F.broadcast(r), ewd.src == r.node)
+            # no hint: the PPR rank vector spans all reached nodes — corpus-proportional in the limit
+            ewd.join((r), ewd.src == r.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(contrib).cast("long").alias("ms"))
         )

@@ -571,6 +571,7 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 9)
     return (
         c.join(
+            # broadcast-ok: one row per mktsegment (5-value enum)
             F.broadcast(fences), c["c_mktsegment"] == fences["segment"]
         )
         .withColumns({"fence_lo": lo, "fence_hi": hi})

@@ -284,7 +284,8 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast side executes its chain once per query, which is
         # the cost model you'd want anyway.)
         r = (
-            ewd.join(F.broadcast(r), ewd.src == r.node)
+            # no hint: the rank vector is one row per node — corpus-proportional
+            ewd.join((r), ewd.src == r.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.round(
@@ -500,6 +501,7 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     ).cast("decimal(18,6)")
     return (
+        # broadcast-ok: one row per o_orderstatus (3-value enum)
         o.join(F.broadcast(bounds), "o_orderstatus")
         .groupBy(
             F.col("o_orderstatus").alias("status"),
@@ -1621,6 +1623,7 @@ def q_bloom_filter_probe_audit(
     )
     probe = (
         hashes.withColumn("word", F.expr("pos div 32"))
+        # broadcast-ok: bloom bit-words — at most m/32 = 128 rows
         .join(F.broadcast(words), "word", "left")
         .groupBy("k", "member")
         .agg(

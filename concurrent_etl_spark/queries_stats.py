@@ -73,6 +73,7 @@ def q_approx_median_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.5, 100)").alias("_approx")
     )
     below = (
+        # broadcast-ok: one row per returnflag (3-value enum)
         li.join(F.broadcast(approx), "returnflag")
         .groupBy("returnflag")
         .agg(
@@ -82,6 +83,7 @@ def q_approx_median_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
+        # broadcast-ok: one row per returnflag (3-value enum)
         exact.join(F.broadcast(below), "returnflag")
         .select(
             "returnflag",
@@ -703,7 +705,9 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         12,
     ).cast("decimal(24,12)")
     per = (
+        # broadcast-ok: one row per status (bounded enum)
         cells.join(F.broadcast(rt), "status")
+        # broadcast-ok: one row per priority (bounded enum)
         .join(F.broadcast(ct), "priority")
         .crossJoin(F.broadcast(tt))
         .select(
@@ -1411,6 +1415,7 @@ def q_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = trans.groupBy("from_type").agg(
         F.sum("n_trans").cast("long").alias("row_total")
     )
+    # broadcast-ok: one row per event_type — bounded enum
     return trans.join(F.broadcast(rt), "from_type").select(
         "from_type",
         "to_type",
@@ -1628,7 +1633,8 @@ def q_ab_srm_bucketing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("converted", F.lit(1))
     )
     conv = (
-        assign.join(F.broadcast(conv_users), "user_id", "left")
+        # no hint: the converted-user set grows with the corpus
+        assign.join((conv_users), "user_id", "left")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_users"),
@@ -1856,6 +1862,7 @@ def q_isotonic_calibration_pav(
         F.col("cp").alias("cp_k"),
         F.col("cn").alias("cn_k"),
     )
+    # broadcast-ok: one row per score bin — fixed bin count
     pairs = a.join(F.broadcast(b), F.col("k") >= F.col("j")).select(
         "j",
         (
@@ -1866,11 +1873,13 @@ def q_isotonic_calibration_pav(
     minsuf = pairs.groupBy("j").agg(F.min("avg_jk").alias("ms"))
     iso = (
         bins.select("bin")
+        # broadcast-ok: one row per score bin — fixed bin count
         .join(F.broadcast(minsuf), F.col("j") <= F.col("bin"))
         .groupBy("bin")
         .agg(F.max("ms").alias("iso_rate"))
     )
     return (
+        # broadcast-ok: one row per score bin — fixed bin count
         bins.join(F.broadcast(iso), "bin")
         .select(
             F.col("bin").cast("long").alias("bin"),
@@ -2082,6 +2091,7 @@ def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = est.select(F.col("j").alias("jb"), F.col("e").alias("eb"))
     ranked = (
         a.join(
+            # broadcast-ok: one row per AMS repetition (16 rows)
             F.broadcast(b),
             (F.col("eb") < F.col("ea"))
             | ((F.col("eb") == F.col("ea")) & (F.col("jb") <= F.col("ja"))),
@@ -2096,6 +2106,7 @@ def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_distinct"),
         F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact"),
     )
+    # broadcast-ok: single median row
     return ex.crossJoin(F.broadcast(med)).select(
         "n_distinct",
         "f2_exact",
@@ -2193,6 +2204,7 @@ def q_conformal_threshold_coverage(
             " AS BIGINT)"
         ).alias("mean_cents")
     )
+    # broadcast-ok: one row per event_type — bounded enum
     cal = cal_half.join(F.broadcast(mu), "event_type").select(
         F.abs(F.col("cents") - F.col("mean_cents")).alias("v")
     )
@@ -2211,6 +2223,7 @@ def q_conformal_threshold_coverage(
     )
     test = (
         base.where(F.col("event_id") % 2 == 1)
+        # broadcast-ok: one row per event_type — bounded enum
         .join(F.broadcast(mu), "event_type")
         .select(F.abs(F.col("cents") - F.col("mean_cents")).alias("s"))
     )
@@ -2644,7 +2657,9 @@ def q_mutual_information_binned(
         * 1000000000000
     ).cast("long")
     return (
+        # broadcast-ok: marginals over fixed histogram bins
         cells.join(F.broadcast(rt), "px")
+        # broadcast-ok: marginals over fixed histogram bins
         .join(F.broadcast(ct), "qy")
         .crossJoin(F.broadcast(nn))
         .select("n", term.alias("term"))
@@ -2942,6 +2957,7 @@ def q_seasonal_zscore_anomalies(
     dev = nd * F.col("cents") - F.col("s")
     var_n2 = nd * F.col("ss") - F.col("s").cast("decimal(38,0)") * F.col("s")
     flagged = (
+        # broadcast-ok: one row per (dow, hod) cell — at most 168 rows
         base.join(F.broadcast(cell), ["dow", "hod"])
         .groupBy("dow", "hod", "n")
         .agg(

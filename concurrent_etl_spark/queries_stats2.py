@@ -130,6 +130,7 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(x0) + F.expr(f"id div {ny}")).alias("x"),
         (F.lit(y0) + F.col("id") % ny).alias("y"),
     )
+    # broadcast-ok: value-domain cell grid — bounded by quantity x price-bucket domain, not row count (see docstring)
     g = grid.join(F.broadcast(cells), ["x", "y"], "left").select(
         "x", "y", F.coalesce("c", F.lit(0)).alias("c")
     )
@@ -153,8 +154,11 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x") + 1).alias("x"), F.col("dom").alias("cx_left")
     )
     per = (
+        # broadcast-ok: value-domain grid shift (see docstring)
         cells.join(F.broadcast(a_shift), ["x", "y"], "left")
+        # broadcast-ok: value-domain grid shift
         .join(F.broadcast(left_shift), ["x", "y"], "left")
+        # broadcast-ok: value-domain grid shift
         .join(F.broadcast(cx_shift), ["x"], "left")
         .select(
             "c",
@@ -190,7 +194,9 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_all = F.expr("n * (n - 1) div 2")
     return (
         sums.crossJoin(F.broadcast(marg))
+        # broadcast-ok: per grid-axis marginals — value-domain bounded
         .crossJoin(F.broadcast(txr))
+        # broadcast-ok: per grid-axis marginals — value-domain bounded
         .crossJoin(F.broadcast(tyr))
         .select(
             "n",
@@ -891,6 +897,7 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m2 = means.select(F.col("b").alias("b2"), F.col("m_e4").alias("m2_e4"))
     ranked = (
+        # broadcast-ok: one row per bootstrap replicate (_BOOT_B rows)
         means.crossJoin(F.broadcast(m2))
         .groupBy("b", "m_e4")
         .agg(

@@ -122,7 +122,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # turns the 100 TB plan into band-sized work (the oracle filters
     # after the aggregate; restriction commutes with per-part mins)
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(part.select("p_partkey")),
+        # no hint: filtered part keys scale with SF — AQE broadcasts when small
+        (part.select("p_partkey")),
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
@@ -130,7 +131,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
     )
     eu_cost = cost.join(
-        F.broadcast(_region_suppliers(spark, sf_dir, "EUROPE")),
+        # no hint: region suppliers scale with SF
+        (_region_suppliers(spark, sf_dir, "EUROPE")),
         cost["l_suppkey"] == F.col("s_suppkey"),
     )
     best = eu_cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
@@ -142,7 +144,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (eu_cost["l_partkey"] == best["b_partkey"])
             & (eu_cost["supply_cost"] == best["min_cost"]),
         )
-        .join(F.broadcast(part), eu_cost["l_partkey"] == part["p_partkey"])
+        # no hint: part scales with SF
+        .join((part), eu_cost["l_partkey"] == part["p_partkey"])
         .select(
             F.col("s_acctbal").alias("acctbal"),
             F.col("s_name").alias("supplier_name"),
@@ -253,7 +256,8 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     eu = _region_suppliers(spark, sf_dir, "EUROPE").select("s_suppkey")
     part_value = (
-        li.join(F.broadcast(eu), li["l_suppkey"] == eu["s_suppkey"])
+        # no hint: region suppliers scale with SF
+        li.join((eu), li["l_suppkey"] == eu["s_suppkey"])
         .groupBy("l_partkey")
         .agg(
             F.sum(
@@ -372,9 +376,11 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bridge.join(
-            F.broadcast(bad), bridge["l_suppkey"] == bad["s_suppkey"], "left_anti"
+            # no hint: supplier scales with SF
+            (bad), bridge["l_suppkey"] == bad["s_suppkey"], "left_anti"
         )
-        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        # no hint: part scales with SF
+        .join((part), F.col("l_partkey") == part["p_partkey"])
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("part_type"),
@@ -443,7 +449,8 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty_dec = F.col("l_quantity").cast("decimal(18,4)")
     zero_dec = F.lit(0).cast("decimal(18,4)")
     supp_qty = (
-        li.join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        # no hint: filtered part keys scale with SF
+        li.join((red), li["l_partkey"] == red["p_partkey"])
         .groupBy("l_suppkey")
         .agg(
             F.sum(F.when(in_1997, qty_dec).otherwise(zero_dec)).alias("qty_1997"),
@@ -455,7 +462,8 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         > F.col("qty_total") * F.expr("CAST(0.16 AS DECIMAL(3,2))")
     ).select("l_suppkey")
     return _region_suppliers(spark, sf_dir, "ASIA").join(
-        F.broadcast(hot), F.col("s_suppkey") == hot["l_suppkey"], "left_semi"
+        # no hint: qualifying suppliers scale with SF
+        (hot), F.col("s_suppkey") == hot["l_suppkey"], "left_semi"
     ).select(
         F.col("s_suppkey").alias("suppkey"),
         F.col("s_name").alias("supplier_name"),
@@ -554,7 +562,8 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     am = _region_suppliers(spark, sf_dir, "AMERICA")
     return (
-        blamed.join(F.broadcast(am), blamed["l_suppkey"] == am["s_suppkey"])
+        # no hint: region suppliers scale with SF
+        blamed.join((am), blamed["l_suppkey"] == am["s_suppkey"])
         .groupBy(F.col("s_name").alias("supplier_name"))
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "supplier_name")

@@ -195,6 +195,7 @@ def stream_static_enrich(
     stream-side outer at most ('left'): full/right outer against a
     static side is not defined for streams.
     """
+    # broadcast-ok: API contract — `dim` is a dimension table (J1)
     return stream.join(F.broadcast(dim), keys, how)
 
 
