@@ -211,6 +211,9 @@ _CHECK_FIRST = [
     "yoy_revenue_growth",
     "cdc_apply_changes",
     "attribution_left_outer",
+    # --- cohort 5: post-freeze registrations (r7+) — appended in
+    #     registration order, behind every frozen-era name ---
+    "image_jpeg_decode",
 ]
 
 def _driver_verified() -> set[str]:

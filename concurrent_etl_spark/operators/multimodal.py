@@ -104,7 +104,18 @@ def decode_image(payload: bytes) -> object:
         return (img.height, img.width, img.mode, img.tobytes())
     buf = bytes(payload)
     if buf[:2] == b"\xff\xd8":  # JPEG SOI
-        px = jpeg_decode_gray(buf)
+        # malformed/truncated streams raise ValueError (a data
+        # error wherever it runs); JPEG VARIANTS the vendored
+        # baseline decoder doesn't cover (color, progressive, ...)
+        # re-raise the environment guard — PIL decodes them fine
+        try:
+            px = jpeg_decode_gray(buf)
+        except UnsupportedJpegError as exc:
+            raise NotImplementedError(
+                f"JPEG variant beyond the vendored baseline decoder "
+                f"({exc}); decoding it requires PIL/opencv, which "
+                "this container does not ship"
+            ) from exc
         return (px.shape[0], px.shape[1], "L", px.tobytes())
     raise NotImplementedError(
         "non-JPEG compressed image decode requires PIL/opencv, which "
@@ -1583,6 +1594,11 @@ class _BitReader:
             b = self.buf[self.pos]
             self.pos += 1
             if b == 0xFF:
+                # stuffed-byte lookahead needs one more byte; a
+                # stream ending right after 0xFF is truncated, not
+                # an IndexError (uniform truncation contract)
+                if self.pos >= len(self.buf):
+                    raise ValueError("truncated entropy-coded segment")
                 nxt = self.buf[self.pos]
                 if nxt == 0x00:
                     self.pos += 1  # stuffed byte
@@ -1615,6 +1631,15 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+class UnsupportedJpegError(ValueError):
+    """A well-formed JPEG using a feature the vendored baseline
+    decoder does not implement (progressive, multi-component/color,
+    subsampling, 16-bit quant tables, restart intervals). Distinct
+    from plain ``ValueError`` (malformed/truncated data) so
+    ``decode_image`` can re-raise its environment guard: these
+    streams ARE decodable where PIL is installed."""
+
+
 def jpeg_decode_gray(buf: bytes):
     """Decode a baseline single-component JPEG to an h x w uint8
     numpy raster. Full marker walk: DQT (zigzag-stored, possibly
@@ -1639,18 +1664,28 @@ def jpeg_decode_gray(buf: bytes):
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("marker sync lost")
+        if pos + 1 >= len(buf):
+            raise ValueError("truncated marker")
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             raise ValueError("EOI before SOS")
+        if pos + 2 > len(buf):
+            raise ValueError("truncated segment length")
         (ln,) = struct.unpack_from(">H", buf, pos)
+        if ln < 2 or pos + ln > len(buf):
+            raise ValueError("truncated marker segment")
         body = buf[pos + 2 : pos + ln]
         if marker == 0xDB:  # DQT
             b = 0
             while b < len(body):
                 pq, tq = body[b] >> 4, body[b] & 0x0F
                 if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
+                    raise UnsupportedJpegError(
+                        "16-bit quant tables unsupported"
+                    )
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 zz = list(body[b + 1 : b + 65])
                 tab = [0] * 64
                 for i, idx in enumerate(_ZIGZAG):
@@ -1658,28 +1693,42 @@ def jpeg_decode_gray(buf: bytes):
                 qtables[tq] = tab
                 b += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc != 1:
-                raise ValueError("only 8-bit single-component supported")
+                raise UnsupportedJpegError(
+                    "only 8-bit single-component supported"
+                )
             # component spec: id at body[6], sampling at [7], tq at [8]
             if body[7] != 0x11:
-                raise ValueError("subsampling unsupported")
+                raise UnsupportedJpegError("subsampling unsupported")
             comp_q = body[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0) supported")
+            raise UnsupportedJpegError(
+                "only baseline sequential (SOF0) supported"
+            )
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[b] >> 4, body[b] & 0x0F
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
+                if b + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = list(body[b + 17 : b + 17 + n])
                 htables[(tc, th)] = _huff_decoder(bits, vals)
                 b += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
             if struct.unpack_from(">H", body, 0)[0] != 0:
-                raise ValueError("restart intervals unsupported")
+                raise UnsupportedJpegError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
+            if len(body) < 3:
+                raise ValueError("truncated SOS segment")
             td, ta = body[2] >> 4, body[2] & 0x0F
             pos += ln
             break
@@ -1688,6 +1737,10 @@ def jpeg_decode_gray(buf: bytes):
         raise ValueError("no SOS marker")
     if h is None:
         raise ValueError("no SOF0 before SOS")
+    if (0, td) not in htables or (1, ta) not in htables:
+        raise ValueError("SOS references a missing Huffman table")
+    if comp_q not in qtables:
+        raise ValueError("SOF0 references a missing quant table")
     dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
     q = np.array(qtables[comp_q], dtype=np.float64).reshape(8, 8)
     C = _dct_matrix()

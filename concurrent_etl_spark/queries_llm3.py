@@ -674,12 +674,10 @@ def q_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_decode_features(media)
 
 
-#: jpeg_decode_stats oracle — REGISTRATION DEFERRED TO ROUND 7: the
-#: catalog is frozen at 338 until the driver-unchecked tail drains
-#: (VERDICT r5 item 1); the query function + oracle below are
-#: complete and pytest-pinned with the driver's exact comparison
-#: (tests/test_multimodal_codecs.py) so r7 registration is a
-#: two-line @query decoration.
+#: jpeg_decode oracle — registered in round 7 (the r5/r6 catalog
+#: freeze lifted once the driver-unchecked tail drained; the codec
+#: and this oracle were complete and pytest-pinned a round earlier,
+#: tests/test_multimodal_codecs.py).
 #:
 #: The fixture is 8x8-FLAT blocks, so the only nonzero DCT
 #: coefficient is DC = 8*(v-128) exactly and the DECODED raster has
@@ -716,6 +714,7 @@ JPEG_DECODE_ORACLE = """
 """
 
 
+@query("image_jpeg_decode", oracle=JPEG_DECODE_ORACLE)
 def q_image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec round trip on pure numpy: deterministic
     grayscale rasters are encoded as genuine baseline JFIF JPEGs

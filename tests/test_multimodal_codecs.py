@@ -477,3 +477,60 @@ class TestJpegCodec:
         # cut inside the entropy-coded segment (before EOI)
         with _pytest.raises(ValueError, match="truncated|marker"):
             jpeg_decode_gray(buf[: len(buf) - 10])
+
+    def test_bitreader_truncation_after_ff_is_valueerror(self):
+        """ADVICE r6: a stream ending immediately after a 0xFF byte
+        must raise the uniform truncation ValueError, not IndexError."""
+        import pytest as _pytest
+
+        from concurrent_etl_spark.operators.multimodal import _BitReader
+
+        with _pytest.raises(ValueError, match="truncated"):
+            _BitReader(b"\xff", 0).read_bit()
+
+    def test_malformed_segments_raise_valueerror_not_internal(self):
+        """ADVICE r6: truncated segment lengths and missing DQT/DHT
+        table ids surface as ValueError, never struct.error/KeyError."""
+        import pytest as _pytest
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_bytes,
+            jpeg_decode_gray,
+        )
+
+        # segment length field itself cut off
+        with _pytest.raises(ValueError, match="truncated"):
+            jpeg_decode_gray(b"\xff\xd8\xff\xdb\x00")
+        # SOS arrives with no DHT segments seen -> missing-table check
+        buf = bytearray(jpeg_bytes(0))
+        while True:
+            i = bytes(buf).find(b"\xff\xc4")
+            if i < 0:
+                break
+            ln = int.from_bytes(buf[i + 2 : i + 4], "big")
+            del buf[i : i + 2 + ln]
+        with _pytest.raises(ValueError, match="missing Huffman"):
+            jpeg_decode_gray(bytes(buf))
+
+    def test_color_jpeg_routes_to_environment_guard(self):
+        """ADVICE r6: a valid-but-unsupported variant (3-component
+        color SOF0) is an UnsupportedJpegError from the decoder and
+        the documented NotImplementedError guard from decode_image."""
+        import pytest as _pytest
+
+        from concurrent_etl_spark.operators.multimodal import (
+            UnsupportedJpegError,
+            _pil_available,
+            decode_image,
+            jpeg_bytes,
+            jpeg_decode_gray,
+        )
+
+        buf = bytearray(jpeg_bytes(3))
+        i = bytes(buf).index(b"\xff\xc0")
+        buf[i + 9] = 3  # SOF0 component count: body[5] = nc
+        with _pytest.raises(UnsupportedJpegError, match="single-component"):
+            jpeg_decode_gray(bytes(buf))
+        if not _pil_available():
+            with _pytest.raises(NotImplementedError, match="variant"):
+                decode_image(bytes(buf))
