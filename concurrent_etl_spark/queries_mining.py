@@ -325,18 +325,29 @@ def q_kcore_interaction_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: each round is two degree aggregations (map-side
     combinable, keyed on each side of the edge) and two semi-join
     filters back onto the edge list — no pairwise expansion anywhere.
-    Each round's edge set is persisted and materialized with ONE
-    count() (bounding plan depth: an unmaterialized round references
-    its parent three times, so the lineage would grow 3^r); the
-    per-round survival stats are NOT collected eagerly — they return
-    as one lazy 5-agg union over the cached rounds, so the whole
-    query is 4 driver-blocking jobs plus a single cache-fed stats job
-    at execution (the eager-stats formulation paid 5 extra
-    expand-aggregate jobs of pure scheduling latency per run — the
-    flat scaling curve shows this query is orchestration-bound, not
-    data-bound). Rounds are a FIXED unroll (the oracle chains the
-    same CTEs); production fixpoint looping adds a converged-check on
-    the same plan.
+    Each round is materialized with an EAGER ``localCheckpoint``
+    (house precedent: power_iteration): unlike persist+count, the
+    checkpoint TRUNCATES lineage, so every round's plan is a flat
+    scan→agg→join over the previous round's blocks instead of a tree
+    Catalyst re-analyzes from the raw scans each time (plan depth
+    3^r — re-optimization was the dominant per-round cost at every
+    SF: the r6 survival curve showed nsec-per-edge-round falling
+    850k→3.5k down the decades, i.e. fixed orchestration, and this
+    change cut the isolated sf0.1 time 8.2→3.6 s with a bit-identical
+    curve). Driver-blocking jobs: R+1 eager checkpoints plus one
+    stats job over the checkpointed rounds. On a real cluster swap
+    ``localCheckpoint`` for ``checkpoint`` against a reliable dir —
+    same plan shape, executor-loss-proof at the price of one HDFS
+    write per round (checkpoint-per-round is also the standard
+    fixpoint-loop recipe). The per-round survival stats return as
+    one lazy 5-agg union over the checkpointed rounds. Rounds are a
+    FIXED unroll (the oracle chains the same CTEs); production
+    fixpoint looping adds a converged-check on the same plan.
+    Checkpointed blocks are reclaimed by the ContextCleaner when the
+    result frame is dropped (no explicit unpersist handle exists for
+    checkpoint blocks, so there is no leak path for a mid-build
+    failure either — the ADVICE r5 cleanup concern applied to the
+    old persist() formulation only).
     """
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("u")
@@ -344,31 +355,23 @@ def q_kcore_interaction_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v")
     )
-    rounds = [o.join(li, "ok").select("u", "v").distinct().persist()]
-    # construction-time failure cleanup (ADVICE r5): a count() that
-    # dies mid-build must not leak the already-cached rounds — the
-    # SUCCESS path legitimately returns a lazy plan over the caches
-    # (harness clearCache's after execution), but an exception here
-    # means no consumer ever will.
-    try:
-        for _ in range(_KCORE_R):
-            e = rounds[-1]
-            du = e.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
-            dv = e.groupBy("v").agg(F.count(F.lit(1)).alias("dv"))
-            nxt = (
-                e.join(du.where(F.col("du") >= _KCORE_K).select("u"), "u")
-                .join(dv.where(F.col("dv") >= _KCORE_K).select("v"), "v")
-                .select("u", "v")
-                .persist()
-            )
-            nxt.count()  # materialize: bounds lineage AND feeds the stats union
-            rounds.append(nxt)
-    except BaseException:
-        for er in rounds:
-            er.unpersist()
-        raise
-    # persist convention (catalog.py): the cached rounds are consumed
-    # by the returned plan; the harness clears caches after execution
+    rounds = [
+        o.join(li, "ok")
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    ]
+    for _ in range(_KCORE_R):
+        e = rounds[-1]
+        du = e.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+        dv = e.groupBy("v").agg(F.count(F.lit(1)).alias("dv"))
+        nxt = (
+            e.join(du.where(F.col("du") >= _KCORE_K).select("u"), "u")
+            .join(dv.where(F.col("dv") >= _KCORE_K).select("v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(nxt)
     stats = None
     for r, er in enumerate(rounds):
         s = er.agg(
