@@ -272,13 +272,14 @@ def q_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = F.round(
             F.col("r") * F.col("w") / F.col("deg") * 1e12, 0
         ).cast("bigint")
-        # the rank vector is node-set-sized — (customer + supplier)
-        # cardinality, this schema's dim class — so broadcasting it
-        # makes each iteration a map-side join over the cached edge
-        # list with the per-node agg as the only shuffle (measured
-        # ~10% at sf0.1). For a graph whose node set scales with the
-        # data (web graphs), drop the hint and let AQE plan the
-        # shuffle join. (Measured negative result: localCheckpoint
+        # the rank vector is node-set-sized, which SCALES with the
+        # data (r7: the explicit F.broadcast hint was dropped for
+        # exactly that reason) — at this schema's node counts AQE
+        # still broadcasts it at runtime, keeping each iteration a
+        # map-side join over the cached edge list with the per-node
+        # agg as the only shuffle; on a web-scale graph the same
+        # plan degrades gracefully to a shuffle join instead of a
+        # driver OOM. (Measured negative result: localCheckpoint
         # between iterations to truncate lineage was noise-level at
         # best and hides the plan from the audit tooling — the
         # broadcast side executes its chain once per query, which is
