@@ -287,14 +287,21 @@ _KCORE_R = 4
 
 
 def _kcore_oracle() -> str:
+    # AS MATERIALIZED: each e{r} is referenced three times by e{r+1}
+    # (the edge scan + both degree subqueries) and once more by the
+    # stats union — DuckDB's default CTE inlining re-derives e0
+    # O(3^R) times, which at the sf1 gate scale (6M edges) exploded
+    # temp spill past the sandbox disk. Materializing each round once
+    # mirrors the Spark side's per-round localCheckpoint exactly.
     ctes = [
-        "e0 AS (SELECT DISTINCT o.o_custkey AS u, l.l_suppkey AS v"
+        "e0 AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS u,"
+        " l.l_suppkey AS v"
         "       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)"
     ]
     for r in range(1, _KCORE_R + 1):
         p = f"e{r - 1}"
         ctes.append(
-            f"e{r} AS (SELECT e.u, e.v FROM {p} e"
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM {p} e"
             f" JOIN (SELECT u FROM {p} GROUP BY u"
             f"       HAVING COUNT(*) >= {_KCORE_K}) du ON e.u = du.u"
             f" JOIN (SELECT v FROM {p} GROUP BY v"
