@@ -173,14 +173,19 @@ def _pr_sql() -> str:
     WITH raw AS (
       SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    cw AS (SELECT src, dst, COUNT(*) AS w FROM raw GROUP BY 1, 2),
-    ew AS (SELECT src, dst, w FROM cw
+    -- MATERIALIZED: ew is referenced 4x (deg/nodes/it1/it2) and cw
+    -- 2x — DuckDB's default inlining re-derives the 6M-row raw join
+    -- per reference, which blew temp spill at the sf1 gate (the
+    -- kcore-oracle lesson); materializing mirrors Spark's persist
+    cw AS MATERIALIZED (SELECT src, dst, COUNT(*) AS w FROM raw
+                        GROUP BY 1, 2),
+    ew AS MATERIALIZED (SELECT src, dst, w FROM cw
            UNION ALL SELECT dst AS src, src AS dst, w FROM cw),
-    deg AS (SELECT src, SUM(w) AS deg FROM ew GROUP BY 1),
-    nodes AS (SELECT DISTINCT src AS node FROM ew),
+    deg AS MATERIALIZED (SELECT src, SUM(w) AS deg FROM ew GROUP BY 1),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ew),
     n AS (SELECT COUNT(*) AS n FROM nodes),
     r0 AS (SELECT node, round(1.0 / n.n, 12) AS r FROM nodes, n),
-    it1 AS (
+    it1 AS MATERIALIZED (
       SELECT e.dst AS node,
              round((1 - {_PR_D}) / any_value(n.n) + {_PR_D} *
                (CAST(SUM(CAST(round(r0.r * e.w / d.deg * 1e12, 0)
