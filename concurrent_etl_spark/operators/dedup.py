@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from concurrent_etl_spark.operators.text import (
+    ascii_fold,
     content_hash,
     shingles_from_tokens,
     tokens,
@@ -116,7 +117,7 @@ def staged_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     not once per shingle (see text.shingles_from_tokens).
     """
     return (
-        docs.select("doc_id", tokens(F.lower(F.col(text_col))).alias("_toks"))
+        docs.select("doc_id", tokens(ascii_fold(F.col(text_col))).alias("_toks"))
         .select("doc_id", shingles_from_tokens(F.col("_toks"), 2).alias("sh"))
     )
 
@@ -402,7 +403,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     aggregations — all map-side combinable; no pairwise work here.
     """
     tok = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+        "doc_id", F.explode(tokens(ascii_fold(F.col(text_col)))).alias("tok")
     ).withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     )
@@ -506,7 +507,7 @@ def span_pairs(
     argument and the closed-form oracle.
     """
     cs = F.transform(
-        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("."), 0),
+        F.regexp_extract_all(ascii_fold(F.col(text_col)), F.lit("."), 0),
         F.ascii,
     )
     staged = docs.select("doc_id", cs.alias("cs")).where(F.size("cs") >= k)

@@ -32,13 +32,43 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+#: translate() argument pair for the ASCII case fold — see ascii_fold.
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_fold(col: Column | str) -> Column:
+    """ASCII-only case fold: translate A-Z to a-z, leave every other
+    codepoint untouched.
+
+    This — not lower() — is the catalog's text-normalization
+    primitive, because full Unicode case mapping is library-dependent
+    and therefore not cross-engine (or cross-version) deterministic:
+    Java (Spark) applies contextual rules — lower('İ') is i + U+0307
+    (two codepoints), lower('ΟΔΟΣ') ends in final sigma ς — while
+    utf8proc (DuckDB) maps İ to plain 'i' and every Σ to σ, and
+    upper('ß') is 'SS' in Java but 'ẞ' in utf8proc. A dedup/token
+    pipeline whose groups depend on which C library lowercased the
+    shard is not reproducible at 100 TB; the deterministic
+    cross-engine subset is the ASCII fold (per-codepoint translate,
+    bit-identical everywhere), the same choice C4's and many
+    production dedup pipelines make. Non-ASCII case pairs simply stay
+    distinct — a documented semantics trade, not an accident (the
+    unicode adversarial corpus pins it).
+    """
+    return F.translate(_c(col), ASCII_UPPER, ASCII_LOWER)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens, empties dropped (array<string>)."""
     # explicit class, not \s: Java \s includes vertical tab \x0B but
     # RE2 (the oracle engine) does not — the one character where the
-    # two engines' whitespace definitions diverge
+    # two engines' whitespace definitions diverge. No trim(): the
+    # empty-token filter already handles leading/trailing ASCII
+    # whitespace, and the two engines' trim() sets differ outside
+    # ASCII (DuckDB strips U+3000 ideographic space, Spark does not).
     return F.filter(
-        F.split(F.trim(_c(col)), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
+        F.split(_c(col), r"[ \t\n\x0B\f\r]+"), lambda x: x != ""
     )
 
 
@@ -130,7 +160,7 @@ def quality_score(text_col: Column | str) -> Column:
 
 def lang_scores(text_col: Column | str) -> dict[str, Column]:
     """Stopword-hit ratio per language (the language-ID heuristic)."""
-    t = tokens(F.lower(_c(text_col)))
+    t = tokens(ascii_fold(text_col))
     out = {}
     for lang, words in LANG_STOPWORDS.items():
         hits = F.size(F.filter(t, lambda x: x.isin(*words)))  # noqa: B023
@@ -163,9 +193,9 @@ def fingerprint(text_col: Column | str, k: int = 4) -> Column:
     """Bottom-k shingle-hash document fingerprint (winnowing-style).
 
     md5 each bigram shingle, sort, keep the k smallest, concatenate —
-    a compact near-dup-stable sketch. Normalization: lower + trim.
+    a compact near-dup-stable sketch. Normalization: ASCII fold.
     """
-    sh = shingles(F.lower(_c(text_col)), 2)
+    sh = shingles(ascii_fold(text_col), 2)
     hashed = F.array_sort(F.transform(sh, F.md5))
     return F.array_join(F.slice(hashed, 1, k), "")
 
@@ -201,7 +231,7 @@ def pii_counts(text_col: Column | str) -> dict[str, Column]:
 
 
 def content_hash(text_col: Column | str) -> Column:
-    """Exact-dup content hash: md5 of whitespace-normalized lowercase.
+    """Exact-dup content hash: md5 of whitespace-normalized folded text.
 
     TOTAL over NULL text (ADVICE r5): array_join of the NULL token
     array is NULL, so without the coalesce a NULL-text row would keep
@@ -210,7 +240,7 @@ def content_hash(text_col: Column | str) -> Column:
     md5('') — NULL text canonicalizes with empty/whitespace-only text
     in BOTH engines (they are the same document for dedup purposes).
     """
-    norm = F.array_join(tokens(F.lower(_c(text_col))), " ")
+    norm = F.array_join(tokens(ascii_fold(text_col)), " ")
     return F.md5(F.coalesce(norm, F.lit("")))
 
 
@@ -228,7 +258,7 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         c.alias("_text"),
         tokens(c).alias("toks"),
-        tokens(F.lower(c)).alias("toks_l"),
+        tokens(ascii_fold(c)).alias("toks_l"),
         F.length(c).alias("n_chars_actual"),
         F.length(
             F.regexp_replace(c, r"[ \t\n\x0B\f\r]", "")

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.engine import load_table
 from concurrent_etl_spark.operators import text as T
-from concurrent_etl_spark.queries_llm import _shingles, _tok
+from concurrent_etl_spark.queries_llm import _FOLD, _shingles, _tok
 
 
 @query(
@@ -143,7 +143,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "repetition_ratio",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_tok('lower(text)')} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_tok(_FOLD)} AS toks FROM documents),
     g AS (
       SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
       FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)),
@@ -167,7 +167,7 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(
-        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+        "doc_id", T.tokens(T.ascii_fold("text")).alias("toks")
     )
     grams = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 2),
@@ -191,7 +191,7 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_novelty",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, unnest({_shingles('lower(text)')}) AS s FROM documents),
+      SELECT doc_id, unnest({_shingles(_FOLD)}) AS s FROM documents),
     dfreq AS (SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY 1)
     SELECT sh.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_shingles,
@@ -220,7 +220,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form re-tokenizes per element inside the HOF lambda (measured
     # 5.8s -> 0.9s for this explode at sf0.1)
     sh = (
-        docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("_t"))
+        docs.select("doc_id", T.tokens(T.ascii_fold("text")).alias("_t"))
         .select(
             "doc_id",
             F.explode(T.shingles_from_tokens(F.col("_t"), 2)).alias("s"),

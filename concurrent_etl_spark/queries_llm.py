@@ -29,11 +29,23 @@ from concurrent_etl_spark.operators import text as T
 # shared oracle SQL fragments (must mirror operators/text.py exactly)
 # ---------------------------------------------------------------------------
 
+#: ASCII case fold of the text column — mirrors
+#: operators/text.ascii_fold exactly (translate is per-codepoint 1:1
+#: in both engines; lower() is NOT cross-engine deterministic — see
+#: the ascii_fold docstring for the İ/Σ/ß divergence table).
+_FOLD = (
+    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+    " 'abcdefghijklmnopqrstuvwxyz')"
+)
+
+
 def _tok(x: str) -> str:
     # explicit class, not \s: RE2's \s lacks \x0B, Java's has it —
-    # mirror operators/text.tokens exactly
+    # mirror operators/text.tokens exactly (no trim(): the empty
+    # filter covers ASCII edges, and DuckDB's trim strips U+3000
+    # where Spark's does not)
     return (
-        f"list_filter(string_split_regex(trim({x}),"
+        f"list_filter(string_split_regex({x},"
         f" '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')"
     )
 
@@ -85,7 +97,7 @@ _BANDS = (
 )
 
 _LSH_PAIRS = f"""
-sh AS (SELECT * FROM (SELECT doc_id, {_shingles('lower(text)')} AS sh
+sh AS (SELECT * FROM (SELECT doc_id, {_shingles(_FOLD)} AS sh
        FROM corpus) WHERE len(sh) > 0),
 hs AS (SELECT doc_id, sh,
               list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
@@ -117,7 +129,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_CORPUS_EXACT},
     h AS (SELECT doc_id,
-                 md5(coalesce(array_to_string({_tok('lower(text)')}, ' '), ''))
+                 md5(coalesce(array_to_string({_tok(_FOLD)}, ' '), ''))
                    AS content_hash
           FROM corpus)
     SELECT content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id,
@@ -211,7 +223,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=f"""
     WITH {_CORPUS_NEAR},
-    tok AS (SELECT doc_id, unnest({_tok('lower(text)')}) AS t FROM corpus),
+    tok AS (SELECT doc_id, unnest({_tok(_FOLD)}) AS t FROM corpus),
     h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM tok),
     bitsum AS (
       SELECT doc_id, i.bit_idx,
@@ -442,7 +454,7 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _oracle_lang_sql() -> str:
-    tl = _tok("lower(text)")
+    tl = _tok(_FOLD)
     scores = []
     for lang in sorted(T.LANG_STOPWORDS):
         words = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS[lang])
@@ -476,10 +488,10 @@ def _text_stats_sql(src: str = "documents") -> str:
                 WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
                 WHEN s_es >= s_fr THEN 'es'
                 ELSE 'fr' END AS lang_guess,
-           md5(coalesce(array_to_string({_tok('lower(text)')}, ' '), ''))
+           md5(coalesce(array_to_string({_tok(_FOLD)}, ' '), ''))
              AS content_hash,
            coalesce(array_to_string(list_slice(list_sort(
-             list_transform({_shingles('lower(text)')}, x -> md5(x))), 1, 4), ''),
+             list_transform({_shingles(_FOLD)}, x -> md5(x))), 1, 4), ''),
              '') AS fingerprint
     FROM (
       SELECT doc_id, text,
@@ -643,7 +655,7 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitters_tokens",
     oracle=f"""
     WITH tok AS (
-      SELECT unnest({_tok('lower(text)')}) AS token FROM documents)
+      SELECT unnest({_tok(_FOLD)}) AS token FROM documents)
     SELECT token, COUNT(*) AS n
     FROM tok GROUP BY token
     ORDER BY n DESC, token ASC
@@ -663,7 +675,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     return (
-        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+        docs.select(F.explode(T.tokens(T.ascii_fold("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
@@ -675,7 +687,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_top_terms",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest({_tok('lower(text)')}) AS token FROM documents),
+      SELECT doc_id, unnest({_tok(_FOLD)}) AS token FROM documents),
     tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
     dfq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
@@ -704,7 +716,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tok = docs.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+        "doc_id", F.explode(T.tokens(T.ascii_fold("text"))).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
@@ -806,10 +818,12 @@ def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     class ChunkDoc:
         def eval(self, doc_id, text):  # noqa: ANN001 — UDTF contract
             # explicit class: Python \s is unicode-wide (NBSP, \x85)
-            # — a third whitespace definition neither engine uses
+            # — a third whitespace definition neither engine uses.
+            # No .strip() either: Python strips U+3000 where the SQL
+            # tokenizers do not; the empty filter covers ASCII edges
             toks = [
                 t
-                for t in re.split(r"[ \t\n\x0B\f\r]+", (text or "").strip())
+                for t in re.split(r"[ \t\n\x0B\f\r]+", text or "")
                 if t
             ]
             for i in range(math.ceil(len(toks) / 50)):
@@ -902,7 +916,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bigram_lm_counts",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_tok('lower(text)')} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_tok(_FOLD)} AS toks FROM documents),
     bg AS (
       SELECT toks[i] AS w1, toks[i + 1] AS w2
       FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
@@ -925,7 +939,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     n >= 3 to keep the result the size of the frequent-bigram set.
     """
     docs = _docs(spark, sf_dir)
-    toks = docs.select(T.tokens(F.lower(F.col("text"))).alias("toks"))
+    toks = docs.select(T.tokens(T.ascii_fold("text")).alias("toks"))
     bg = toks.select(
         F.explode(
             F.expr(
@@ -956,7 +970,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature_hashing",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest({_tok('lower(text)')}) AS token FROM documents)
+      SELECT doc_id, unnest({_tok(_FOLD)}) AS token FROM documents)
     SELECT doc_id,
            CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 1024
                 AS INTEGER) AS bucket,
@@ -976,7 +990,7 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 50)
     tok = docs.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+        "doc_id", F.explode(T.tokens(T.ascii_fold("text"))).alias("token")
     )
     bucket = (
         F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.operators import text as T
 from concurrent_etl_spark.queries_llm import (
+    _FOLD,
     _docs,
     _shingles,
     _text_stats_sql,
@@ -58,7 +59,7 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab_coverage_topk",
     oracle=f"""
     WITH tok AS (
-      SELECT unnest({_tok('lower(text)')}) AS token FROM documents),
+      SELECT unnest({_tok(_FOLD)}) AS token FROM documents),
     c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
     r AS (
@@ -85,7 +86,7 @@ def q_vocab_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are integer-exact; the share divides once at the end.
     """
     docs = _docs(spark, sf_dir)
-    tok = docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+    tok = docs.select(F.explode(T.tokens(T.ascii_fold("text"))).alias("token"))
     c = tok.groupBy("token").agg(F.count("*").alias("n"))
     total = c.agg(F.sum("n").cast("bigint").alias("total"))
     top = c.orderBy(F.desc("n"), F.asc("token")).limit(100)
@@ -152,7 +153,7 @@ def q_data_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bigram_doc_score",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_tok('lower(text)')} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_tok(_FOLD)} AS toks FROM documents),
     bg AS (
       SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
       FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
@@ -181,7 +182,7 @@ def q_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the join keys are uniform token hashes — no skew salt needed.
     """
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    toks = docs.select("doc_id", T.tokens(T.ascii_fold("text")).alias("toks"))
     bg = (
         toks.select(
             "doc_id",
@@ -244,7 +245,7 @@ def q_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS text
       FROM documents WHERE doc_id < 40),
     sh AS (
-      SELECT doc_id, split, unnest({_shingles('lower(text)')}) AS s
+      SELECT doc_id, split, unnest({_shingles(_FOLD)}) AS s
       FROM corpus),
     pairs AS (
       SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
@@ -285,7 +286,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens staged first — unstaged shingles(text) re-tokenizes per
     # element inside the HOF (the O(n^2) trap text.py documents)
     sh = corpus.select(
-        "doc_id", "split", T.tokens(F.lower(F.col("text"))).alias("_t")
+        "doc_id", "split", T.tokens(T.ascii_fold("text")).alias("_t")
     ).select(
         "doc_id",
         "split",
@@ -325,7 +326,7 @@ _RK_K = 8  # window length in characters
     oracle=f"""
     WITH chars AS (
       SELECT doc_id,
-             list_transform(regexp_extract_all(lower(text), '.'),
+             list_transform(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '.'),
                             c -> ord(c)) AS cs
       FROM documents),
     hashes AS (
@@ -359,7 +360,7 @@ def q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     cs = F.transform(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit("."), 0), F.ascii
+        F.regexp_extract_all(T.ascii_fold("text"), F.lit("."), 0), F.ascii
     )
     staged = docs.select("doc_id", cs.alias("cs")).where(
         F.size("cs") >= _RK_K
@@ -541,14 +542,14 @@ def _curation_rank_sql() -> str:
     return f"""
     WITH stats AS ({_text_stats_sql('documents')}),
     sh AS (
-      SELECT doc_id, unnest({_shingles('lower(text)')}) AS s FROM documents),
+      SELECT doc_id, unnest({_shingles(_FOLD)}) AS s FROM documents),
     dfreq AS (SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY 1),
     nov AS (
       SELECT sh.doc_id,
              round(CAST(SUM(CASE WHEN d.n_docs = 1 THEN 1 ELSE 0 END)
                    AS DOUBLE) / COUNT(*), 9) AS novelty
       FROM sh JOIN dfreq d ON sh.s = d.s GROUP BY 1),
-    t AS (SELECT doc_id, {_tok('lower(text)')} AS toks FROM documents),
+    t AS (SELECT doc_id, {_tok(_FOLD)} AS toks FROM documents),
     bg AS (
       SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
       FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
@@ -594,7 +595,7 @@ def q_curation_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide explode/tokenize executes once per signal instead of
     # once per branch (measured ~1.5x on the whole composite at sf0.1)
     sh = (
-        docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("_t"))
+        docs.select("doc_id", T.tokens(T.ascii_fold("text")).alias("_t"))
         .select(
             "doc_id",
             F.explode(T.shingles_from_tokens(F.col("_t"), 2)).alias("s"),
@@ -609,7 +610,7 @@ def q_curation_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(novel).cast("double") / F.count("*"), 9).alias("novelty"))
     )
 
-    toks = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    toks = docs.select("doc_id", T.tokens(T.ascii_fold("text")).alias("toks"))
     bg = toks.select(
         "doc_id",
         F.explode(
@@ -924,7 +925,7 @@ def cms_cells(tok_counts: DataFrame) -> DataFrame:
     "cms_frequency_sketch",
     oracle=f"""
     WITH tok AS (
-      SELECT unnest({_tok('lower(text)')}) AS tok FROM documents),
+      SELECT unnest({_tok(_FOLD)}) AS tok FROM documents),
     exact AS (
       SELECT tok, COUNT(*) AS exact_count FROM tok GROUP BY tok),
     rows_ AS (SELECT unnest(range(0, {_CMS_D})) AS i),
@@ -973,7 +974,7 @@ def q_cms_frequency_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok_counts = (
-        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        docs.select(F.explode(tokens(T.ascii_fold("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("exact_count"))
         .persist()

@@ -24,7 +24,13 @@ from concurrent_etl_spark.operators.dedup import (
     staged_shingles,
     with_injected_near_dups,
 )
-from concurrent_etl_spark.queries_llm import _CORPUS_NEAR, _LSH_PAIRS, _docs, _tok
+from concurrent_etl_spark.queries_llm import (
+    _CORPUS_NEAR,
+    _FOLD,
+    _LSH_PAIRS,
+    _docs,
+    _tok,
+)
 
 
 @query(
@@ -32,7 +38,7 @@ from concurrent_etl_spark.queries_llm import _CORPUS_NEAR, _LSH_PAIRS, _docs, _t
     oracle=f"""
     WITH words AS (
       SELECT t AS word, COUNT(*) AS wc
-      FROM (SELECT unnest({_tok('lower(text)')}) AS t FROM documents)
+      FROM (SELECT unnest({_tok(_FOLD)}) AS t FROM documents)
       GROUP BY 1),
     chars AS (
       SELECT word, wc, regexp_extract_all(word, '.') AS ch FROM words),
@@ -58,7 +64,7 @@ def q_bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     words = (
-        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("word"))
+        docs.select(F.explode(T.tokens(T.ascii_fold("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("wc"))
     )
@@ -87,7 +93,7 @@ def q_bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_diversity_simpson",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest({_tok('lower(text)')}) AS t FROM documents),
+      SELECT doc_id, unnest({_tok(_FOLD)}) AS t FROM documents),
     c AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
     SELECT doc_id,
            CAST(SUM(c) AS BIGINT) AS n_tokens,
@@ -112,7 +118,7 @@ def q_token_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     tok = docs.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("t")
+        "doc_id", F.explode(T.tokens(T.ascii_fold("text"))).alias("t")
     )
     c = tok.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
     n = F.sum("c")
@@ -760,7 +766,7 @@ _DS_T = 3  # min shared sampled windows to report a pair
     WITH {{corpus}},
     chars AS (
       SELECT doc_id,
-             list_transform(regexp_extract_all(lower(text), '.'),
+             list_transform(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '.'),
                             c -> ord(c)) AS cs
       FROM corpus),
     subs AS (
@@ -836,7 +842,7 @@ def q_duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zipf_slope_fit",
     oracle=f"""
     WITH tok AS (
-      SELECT unnest({_tok('lower(text)')}) AS token FROM documents),
+      SELECT unnest({_tok(_FOLD)}) AS token FROM documents),
     c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
     top AS (
       SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
@@ -884,7 +890,7 @@ def q_zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     tok = docs.select(
-        F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+        F.explode(T.tokens(T.ascii_fold("text"))).alias("token")
     )
     c = tok.groupBy("token").agg(F.count("*").alias("n"))
     top = c.orderBy(F.desc("n"), F.asc("token")).limit(500)
@@ -1341,7 +1347,7 @@ def _detector_agreement_sql() -> str:
     span_cte = f"""
     chars AS (
       SELECT doc_id,
-             list_transform(regexp_extract_all(lower(text), '.'),
+             list_transform(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '.'),
                             c -> ord(c)) AS cs
       FROM corpus),
     subs AS (
@@ -1441,7 +1447,7 @@ def q_dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id < 40),
     t AS (
       SELECT doc_id, text, md5(text) AS h,
-             len({_tok('lower(text)')}) AS n_tokens
+             len({_tok(_FOLD)}) AS n_tokens
       FROM corpus),
     keep AS (
       SELECT h, MIN(doc_id) AS keep_id FROM t GROUP BY h)
@@ -1475,7 +1481,7 @@ def q_dedup_impact_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         F.md5("text").alias("h"),
-        F.size(T.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+        F.size(T.tokens(T.ascii_fold("text"))).alias("n_tokens"),
     )
     keep = t.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     j = t.join(keep, "h")
@@ -1499,7 +1505,7 @@ def q_dedup_impact_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
       SELECT lang,
              CASE WHEN doc_id % 2 = 0 THEN 'p' ELSE 'q' END AS split,
-             unnest({_tok('lower(text)')}) AS tok
+             unnest({_tok(_FOLD)}) AS tok
       FROM documents),
     c AS (
       SELECT lang, tok,
@@ -1549,7 +1555,7 @@ def q_kl_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "lang",
         F.when(F.col("doc_id") % 2 == 0, "p").otherwise("q").alias("split"),
-        F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"),
+        F.explode(T.tokens(T.ascii_fold("text"))).alias("tok"),
     )
     c = tok.groupBy("lang", "tok").agg(
         F.sum(F.when(F.col("split") == "p", 1).otherwise(0)).alias("cp"),
@@ -1583,7 +1589,7 @@ def q_kl_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
       SELECT doc_id,
-             len({_tok('lower(text)')}) AS n_tokens,
+             len({_tok(_FOLD)}) AS n_tokens,
              CASE WHEN n_chars BETWEEN 200 AND 2000 THEN 0.5 ELSE 0.0 END
                + CASE WHEN lang = 'en' THEN 0.25 ELSE 0.0 END
                + CASE WHEN (doc_id % 10) >= 2 THEN 0.25 ELSE 0.0 END
@@ -1622,7 +1628,7 @@ def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     s = docs.select(
         "doc_id",
-        F.size(T.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+        F.size(T.tokens(T.ascii_fold("text"))).alias("n_tokens"),
         (
             F.when(F.col("n_chars").between(200, 2000), 0.5).otherwise(0.0)
             + F.when(F.col("lang") == "en", 0.25).otherwise(0.0)
@@ -1653,7 +1659,7 @@ def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "inverted_index_postings",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest({_tok('lower(text)')}) AS term
+      SELECT doc_id, unnest({_tok(_FOLD)}) AS term
       FROM documents),
     post AS (
       SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
@@ -1686,7 +1692,7 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     tok = docs.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+        "doc_id", F.explode(T.tokens(T.ascii_fold("text"))).alias("term")
     )
     post = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
     stats = post.groupBy("term").agg(
@@ -1701,7 +1707,7 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "bm25_retrieval_topk",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {_tok('lower(text)')} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_tok(_FOLD)} AS toks FROM documents),
     dl AS (SELECT doc_id, len(toks) AS dl FROM t),
     g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
@@ -1752,7 +1758,7 @@ def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["query", "stream", "merge"]
     docs = _docs(spark, sf_dir)
     t = docs.select(
-        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+        "doc_id", T.tokens(T.ascii_fold("text")).alias("toks")
     )
     dl = t.select("doc_id", F.size("toks").alias("dl"))
     g = dl.agg(

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.operators import text as T
-from concurrent_etl_spark.queries_llm import _docs, _tok
+from concurrent_etl_spark.queries_llm import _FOLD, _docs, _tok
 
 #: context-window capacity (tokens) for both packers; small enough
 #: that the sf0.01 gate exercises many bins per shard, large enough
@@ -273,7 +273,7 @@ def q_shard_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_logprob_quality",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest({_tok('lower(text)')}) AS t FROM documents),
+      SELECT doc_id, unnest({_tok(_FOLD)}) AS t FROM documents),
     vocab AS (
       SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
     tot AS (
@@ -314,7 +314,7 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id",
-        F.explode(T.tokens(F.lower(F.col("text")))).alias("t"),
+        F.explode(T.tokens(T.ascii_fold("text"))).alias("t"),
     )
     vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
     tot = vocab.agg(
@@ -355,10 +355,10 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH hashed AS (
       SELECT doc_id,
-             md5(coalesce(array_to_string({_tok('lower(text)')}, ' '), ''))
+             md5(coalesce(array_to_string({_tok(_FOLD)}, ' '), ''))
                AS h,
              len({_tok('text')}) AS n_tok,
-             len(list_distinct({_tok('lower(text)')})) AS n_uniq
+             len(list_distinct({_tok(_FOLD)})) AS n_uniq
       FROM documents),
     kept AS (
       SELECT doc_id, n_tok FROM (
@@ -403,7 +403,7 @@ def q_llm_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition is free plan fusion.
     """
     docs = _docs(spark, sf_dir)
-    toks = T.tokens(F.lower(F.col("text")))
+    toks = T.tokens(T.ascii_fold("text"))
     hashed = docs.select(
         "doc_id",
         F.md5(F.concat_ws(" ", toks)).alias("h"),
@@ -457,7 +457,7 @@ def q_llm_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source,
              md5(text) AS raw_h,
              md5(trim(regexp_replace(
-                   regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', ' ', 'g'),
                    '\\s+', ' ', 'g'))) AS norm_h
       FROM documents)
     SELECT source,
@@ -486,7 +486,7 @@ def q_text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            F.regexp_replace(T.ascii_fold("text"), "[^a-z0-9 ]", " "),
             r"\s+",
             " ",
         )
@@ -517,7 +517,7 @@ _JACCARD_T_PCT = 90  # threshold as integer percent: exact arithmetic
     "prefix_filter_jaccard_join",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct({_tok('lower(text)')})) AS t
+      SELECT doc_id, unnest(list_distinct({_tok(_FOLD)})) AS t
       FROM documents),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
     df AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY t),
@@ -601,7 +601,7 @@ def q_prefix_filter_jaccard_join(
     arrs = docs.select(
         "doc_id",
         F.array_sort(
-            F.array_distinct(T.tokens(F.lower(F.col("text"))))
+            F.array_distinct(T.tokens(T.ascii_fold("text")))
         ).alias("arr"),
     ).persist()
     # arr is persisted (attribute explode is clone-free), but the
@@ -748,8 +748,20 @@ def q_dedup_incremental_batch(
     )
 
     docs = _docs(spark, sf_dir)
+    # empty-shingle gate (same as operators/dedup.minhash_lsh_pairs,
+    # same scan-pushed raw-text form): a <2-token doc has no bigrams,
+    # and an EMPTY hash list degenerates the minhash to the seed
+    # constants — every empty doc would share one band bucket and
+    # pair all-pairs (found by the unicode corpus: a single-token doc
+    # in the batch probed 11 spurious index candidates while the
+    # oracle's NULL minhash matched none)
+    gated = docs.where(
+        F.col("text").rlike(
+            r"[^ \t\n\x0B\f\r][ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]"
+        )
+    )
     sigs = (
-        staged_shingles(docs, "text")
+        staged_shingles(gated, "text")
         .select("doc_id", hash_shingles(F.col("sh")).alias("hs"))
         .select(
             "doc_id", minhash_signature_from_hashes(F.col("hs")).alias("sig")
@@ -819,7 +831,8 @@ def _incremental_oracle() -> str:
 
     return f"""
     WITH corpus AS (SELECT doc_id, text FROM documents),
-    sh AS (SELECT doc_id, {_shingles('lower(text)')} AS sh FROM corpus),
+    sh AS (SELECT * FROM (SELECT doc_id, {_shingles(_FOLD)} AS sh
+           FROM corpus) WHERE len(sh) > 0),
     hs AS (SELECT doc_id, sh,
                   list_transform(sh,
                     x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
@@ -872,8 +885,8 @@ _GOPHER_STOPWORDS = "'the','be','to','of','and','that','have','with'"
     "gopher_quality_rules",
     oracle=f"""
     WITH d AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS w,
-             lower(text) AS t
+      SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w,
+             translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t
       FROM documents),
     m AS (
       SELECT doc_id,
@@ -927,8 +940,8 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     free map-side-combinable agg. At 100 TB: a single linear pass.
     """
     docs = _docs(spark, sf_dir)
-    w = F.split(F.lower(F.col("text")), " ")
-    t = F.lower(F.col("text"))
+    w = F.split(T.ascii_fold("text"), " ")
+    t = T.ascii_fold("text")
     m = docs.select(
         F.size(w).alias("n"),
         F.aggregate(
@@ -985,7 +998,7 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ccnet_perplexity_buckets",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, unnest({_tok('lower(text)')}) AS t FROM documents),
+      SELECT doc_id, unnest({_tok(_FOLD)}) AS t FROM documents),
     vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS v FROM vocab),
     lp AS (
@@ -1036,7 +1049,7 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     tok = docs.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("t")
+        "doc_id", F.explode(T.tokens(T.ascii_fold("text"))).alias("t")
     )
     vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
     tot = vocab.agg(

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.operators import text as T
-from concurrent_etl_spark.queries_llm import _docs, _tok
+from concurrent_etl_spark.queries_llm import _FOLD, _docs, _tok
 
 #: hashed-feature buckets for the DSIR bag model. 256 keeps every
 #: bucket populated at sf0.001 while still forcing real collisions —
@@ -58,7 +58,7 @@ _BUCKET_SQL = f"(('0x' || substr(md5(token), 1, 8))::BIGINT % {_B})"
     "dsir_importance_resample",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, lang, unnest({_tok('lower(text)')}) AS token
+      SELECT doc_id, lang, unnest({_tok(_FOLD)}) AS token
       FROM documents),
     tb AS (
       SELECT doc_id, lang, {_BUCKET_SQL} AS b FROM tok),
@@ -110,7 +110,7 @@ def q_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tb = docs.select(
         "doc_id",
         "lang",
-        F.explode(T.tokens(F.lower(F.col("text")))).alias("token"),
+        F.explode(T.tokens(T.ascii_fold("text"))).alias("token"),
     ).select(
         "doc_id",
         "lang",
@@ -331,10 +331,10 @@ def q_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate_ngram_windows",
     oracle=f"""
     WITH ev AS (
-      SELECT doc_id, {_tok('lower(text)')} AS toks
+      SELECT doc_id, {_tok(_FOLD)} AS toks
       FROM documents WHERE doc_id % 10 = 0),
     tr AS (
-      SELECT {_tok('lower(text)')} AS toks
+      SELECT {_tok(_FOLD)} AS toks
       FROM documents WHERE doc_id % 10 <> 0),
     evw AS (
       SELECT DISTINCT doc_id,
@@ -395,7 +395,7 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         (F.col("doc_id") % 10 == 0).alias("is_eval"),
-        T.tokens(F.lower(F.col("text"))).alias("toks"),
+        T.tokens(T.ascii_fold("text")).alias("toks"),
     )
     wins = toks.select(
         "doc_id",
@@ -525,7 +525,7 @@ def _scurve_case_sql() -> str:
     oracle=f"""
     WITH {_CORPUS_NEAR_COHORT},
     {_LSH_PAIRS},
-    shl AS (SELECT doc_id, {_shingles('lower(text)')} AS shg FROM corpus),
+    shl AS (SELECT doc_id, {_shingles(_FOLD)} AS shg FROM corpus),
     tokf AS (SELECT doc_id, unnest(shg) AS t FROM shl),
     sizes AS (SELECT doc_id, len(shg) AS sz FROM shl),
     dfr AS (SELECT t, COUNT(*) AS df FROM tokf GROUP BY t),

@@ -57,8 +57,8 @@ from pyspark.sql import functions as F
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.engine import load_table
 from concurrent_etl_spark.operators import similarity as S
-from concurrent_etl_spark.operators.text import tokens
-from concurrent_etl_spark.queries_llm import _docs, _oracle_cos, _tok
+from concurrent_etl_spark.operators.text import ascii_fold, tokens
+from concurrent_etl_spark.queries_llm import _FOLD, _docs, _oracle_cos, _tok
 
 #: tokens per derived line. 8 keeps multi-line documents at sf0.001
 #: (docs run ~25-110 tokens) while making natural 8-gram collisions
@@ -195,8 +195,8 @@ _C4_PROBES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _C4_PROBES)
       SELECT doc_id, n_words,
              (n_words < 5)                              AS f_short,
              contains(line, '{{')                       AS f_brace,
-             contains(lower(line), 'javascript')        AS f_js,
-             contains(lower(line), 'lorem ipsum')       AS f_lorem
+             contains(translate(line, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'javascript')        AS f_js,
+             contains(translate(line, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'lorem ipsum')       AS f_lorem
       FROM lines
     ),
     l AS (
@@ -253,8 +253,8 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         (F.col("n_words") < 5).alias("f_short"),
         F.col("line").contains("{").alias("f_brace"),
-        F.lower("line").contains("javascript").alias("f_js"),
-        F.lower("line").contains("lorem ipsum").alias("f_lorem"),
+        ascii_fold("line").contains("javascript").alias("f_js"),
+        ascii_fold("line").contains("lorem ipsum").alias("f_lorem"),
     )
     l = l.withColumn(
         "kept", ~(F.col("f_short") | F.col("f_brace") | F.col("f_js") | F.col("f_lorem"))
@@ -297,7 +297,7 @@ def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_merge_candidates",
     oracle=f"""
     WITH tok AS (
-      SELECT u.token FROM documents, unnest({_tok('lower(text)')}) AS u(token)
+      SELECT u.token FROM documents, unnest({_tok(_FOLD)}) AS u(token)
     ),
     words AS (SELECT token AS word, COUNT(*) AS n FROM tok GROUP BY token),
     pairs AS (
@@ -321,7 +321,7 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     words = (
-        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        docs.select(F.explode(tokens(ascii_fold("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -360,7 +360,7 @@ _RRF_DEPTH, _RRF_TOPK = 50, 10
 #: top-k; ``retrieval_eval_ndcg`` scores all three rankers against
 #: label relevance.
 _RRF_CORE_SQL = f"""d AS (
-      SELECT doc_id, list_distinct({_tok('lower(text)')}) AS tk FROM documents
+      SELECT doc_id, list_distinct({_tok(_FOLD)}) AS tk FROM documents
     ),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     base AS (
@@ -409,7 +409,7 @@ def _rrf_frames(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Spark twin of ``_RRF_CORE_SQL``: returns the base corpus, the
     query side, both depth-50 rankings, and the fused ranking."""
     docs = _docs(spark, sf_dir).select(
-        "doc_id", F.array_distinct(tokens(F.lower(F.col("text")))).alias("tk")
+        "doc_id", F.array_distinct(tokens(ascii_fold("text"))).alias("tk")
     )
     emb = load_table(spark, sf_dir, "embeddings")
     base = docs.join(
@@ -947,7 +947,7 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pmi_collocations_topk",
     oracle=f"""
     WITH dt AS (
-      SELECT DISTINCT doc_id, unnest({_tok('lower(text)')}) AS tok
+      SELECT DISTINCT doc_id, unnest({_tok(_FOLD)}) AS tok
       FROM documents),
     nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
            FROM documents),
@@ -1003,7 +1003,7 @@ def q_pmi_collocations_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = (
         docs.select(
             "doc_id",
-            F.explode(tokens(F.lower(F.col("text")))).alias("tok"),
+            F.explode(tokens(ascii_fold("text"))).alias("tok"),
         )
         .distinct()
     )
@@ -1181,7 +1181,7 @@ def q_quantile_normalization_sources(
     "negative_sampling_table",
     oracle=f"""
     WITH tok AS (
-      SELECT unnest({_tok('lower(text)')}) AS t FROM documents),
+      SELECT unnest({_tok(_FOLD)}) AS t FROM documents),
     freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t),
     pow34 AS (
       SELECT t, f,
@@ -1227,7 +1227,7 @@ def q_negative_sampling_table(
     docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(
-            F.explode(tokens(F.lower(F.col("text")))).alias("t")
+            F.explode(tokens(ascii_fold("text"))).alias("t")
         )
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
@@ -1278,8 +1278,8 @@ _PHRASES = [("merge data", ["merge", "data"]), ("sort the table", ["sort", "the"
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
-             unnest({_tok('lower(text)')}) AS t,
-             generate_subscripts({_tok('lower(text)')}, 1) AS pos
+             unnest({_tok(_FOLD)}) AS t,
+             generate_subscripts({_tok(_FOLD)}, 1) AS pos
       FROM documents),
     m1 AS (
       SELECT 'merge data' AS phrase, p1.doc_id, p1.pos
@@ -1321,7 +1321,7 @@ def q_phrase_query_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id",
-        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos0", "t"),
+        F.posexplode(tokens(ascii_fold("text"))).alias("pos0", "t"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
     tok = tok.persist()
 
@@ -1380,7 +1380,7 @@ def _mmr_oracle() -> str:
     )
     return f"""
     WITH tok AS (
-      SELECT doc_id, unnest({_tok('lower(text)')}) AS t FROM documents),
+      SELECT doc_id, unnest({_tok(_FOLD)}) AS t FROM documents),
     rel AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rel
       FROM tok WHERE t IN ({terms}) GROUP BY doc_id),
@@ -1391,7 +1391,7 @@ def _mmr_oracle() -> str:
     pool_sc AS (
       SELECT doc_id, rel * 1000 // mx.mr AS rel_pm FROM pool, mx),
     shl AS (
-      SELECT doc_id, {_shingles_sql('lower(text)')} AS shg
+      SELECT doc_id, {_shingles_sql(_FOLD)} AS shg
       FROM documents
       WHERE doc_id IN (SELECT doc_id FROM pool)),
     sims AS (
@@ -1438,7 +1438,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     tok = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t")
+        "doc_id", F.explode(tokens(ascii_fold("text"))).alias("t")
     )
     rel = (
         tok.where(F.col("t").isin(*_MMR_TERMS))

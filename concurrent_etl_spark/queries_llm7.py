@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.engine import load_table
-from concurrent_etl_spark.queries_llm import _tok
+from concurrent_etl_spark.operators.text import ascii_fold
+from concurrent_etl_spark.queries_llm import _FOLD, _tok
 
 #: winnowing parameters: char-gram length K, window width W.
 #: Guarantee (Schleimer et al. §3): any shared substring of length
@@ -61,7 +62,7 @@ _MAX_CHARS = _POS_MAX + _WIN_K - 1
 #: selection itself, reused verbatim by both winnowing queries so the
 #: two oracles cannot drift apart.
 _WINNOW_CTES = f"""src AS (
-      SELECT doc_id, lower(text) AS txt FROM documents
+      SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS txt FROM documents
       WHERE length(text) >= {_WIN_K + _WIN_W - 1}
         AND length(text) <= {_MAX_CHARS}),
     g AS (
@@ -91,7 +92,7 @@ def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") >= _WIN_K + _WIN_W - 1)
         & (F.length("text") <= _MAX_CHARS)
     )
-    src = docs.select("doc_id", F.lower(F.col("text")).alias("txt"))
+    src = docs.select("doc_id", ascii_fold("text").alias("txt"))
     grams = src.select(
         "doc_id",
         F.expr(
@@ -224,7 +225,7 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("text") >= _WIN_K + _WIN_W - 1)
         & (F.length("text") <= _MAX_CHARS)
     )
-    src = docs.select("doc_id", F.lower(F.col("text")).alias("txt"))
+    src = docs.select("doc_id", ascii_fold("text").alias("txt"))
     fp = _winnow_sel(spark, sf_dir)
     dfreq = fp.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     agg = (
@@ -257,7 +258,7 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "skipgram_window_counts",
     oracle=f"""
-    WITH src AS (SELECT doc_id, {_tok('lower(text)')} AS tk FROM documents),
+    WITH src AS (SELECT doc_id, {_tok(_FOLD)} AS tk FROM documents),
     tok AS (
       SELECT doc_id, unnest(tk) AS t,
              generate_subscripts(tk, 1) AS pos
@@ -314,7 +315,7 @@ def q_skipgram_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = (
-        docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+        docs.select("doc_id", tokens(ascii_fold("text")).alias("tk"))
         # _outer + isNotNull, NOT plain posexplode (house idiom, see
         # winnowing above): plain posexplode lets
         # InferFiltersFromGenerate clone the computed token transform
@@ -374,7 +375,7 @@ def q_skipgram_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "heaps_law_curve",
     oracle=f"""
-    WITH src AS (SELECT doc_id, {_tok('lower(text)')} AS tk FROM documents),
+    WITH src AS (SELECT doc_id, {_tok(_FOLD)} AS tk FROM documents),
     mx AS (SELECT max(doc_id) + 1 AS m FROM src),
     d AS (
       SELECT s.doc_id * 10 // mx.m + 1 AS dec, len(s.tk) AS n_tok
@@ -449,7 +450,7 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    src = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("tk"))
+    src = docs.select("doc_id", tokens(ascii_fold("text")).alias("tk"))
     mx = src.agg((F.max("doc_id") + 1).alias("m"))
     d = src.crossJoin(F.broadcast(mx)).select(
         F.expr("doc_id * 10 div m + 1").alias("dec"),
@@ -842,7 +843,7 @@ def q_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_ablation_influence",
     oracle=f"""
     WITH d AS (
-      SELECT source, len({_tok('lower(text)')}) AS n_tok,
+      SELECT source, len({_tok(_FOLD)}) AS n_tok,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
       FROM documents),
     g AS (
@@ -902,7 +903,7 @@ def q_source_ablation_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "source",
-        F.size(tokens(F.lower(F.col("text")))).alias("n_tok"),
+        F.size(tokens(ascii_fold("text"))).alias("n_tok"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
     )
     g = d.groupBy("source").agg(
@@ -952,7 +953,7 @@ def _containment_sh_pairs(spark: SparkSession, sf_dir: str):
 
     docs = load_table(spark, sf_dir, "documents")
     src = docs.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
+        "doc_id", tokens(ascii_fold("text")).alias("tk")
     ).where(F.size("tk") >= 3)
     # persisted: consumed by dfreq, the gate join, both intersection
     # sides and the size table — five consumers would each re-run the
@@ -1015,8 +1016,8 @@ def containment_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
 @query(
     "containment_similarity_join",
     oracle=f"""
-    WITH src AS (SELECT doc_id, {_tok('lower(text)')} AS tk FROM documents
-                 WHERE len({_tok('lower(text)')}) >= 3),
+    WITH src AS (SELECT doc_id, {_tok(_FOLD)} AS tk FROM documents
+                 WHERE len({_tok(_FOLD)}) >= 3),
     sh AS (
       SELECT DISTINCT doc_id,
              array_to_string(list_slice(tk, i, i + 2), ' ') AS s

@@ -354,7 +354,7 @@ def q_null_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lateral_explode_tokens",
     oracle="""
     SELECT doc_id,
-           unnest(list_filter(string_split_regex(trim(text),
+           unnest(list_filter(string_split_regex(text,
                                 '[ \\t\\n\\x0B\\f\\r]+'),
                               t -> t <> '')) AS token
     FROM documents WHERE doc_id < 20

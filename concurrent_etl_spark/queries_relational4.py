@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.catalog import dsum as _dsum
 from concurrent_etl_spark.engine import load_table
+from concurrent_etl_spark.operators.text import ascii_fold
 
 
 @query(
@@ -527,7 +528,7 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)),
+             list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                            '[ \\t\\n\\x0B\\f\\r]+'),
                          t -> t LIKE 'w%') AS tz
       FROM documents)
@@ -546,7 +547,7 @@ def q_explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tz = F.filter(
-        F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+"),
+        F.split(ascii_fold("text"), r"[ \t\n\x0B\f\r]+"),
         lambda t: t.startswith("w"),
     )
     return docs.select("doc_id", tz.alias("tz")).select(

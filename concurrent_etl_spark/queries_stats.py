@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.engine import load_table
+from concurrent_etl_spark.operators.text import ascii_fold
 
 
 @query(
@@ -843,8 +844,8 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH scored AS (
       SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
-             (100000 * (length(lower(text))
-                        - length(replace(lower(text), 'e', ''))))
+             (100000 * (length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
+                        - length(replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'e', ''))))
                // length(text) AS v
       FROM documents WHERE length(text) > 0),
     tot AS (
@@ -899,8 +900,8 @@ def q_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.where(F.length("text") > 0).select(
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("g"),
         F.expr(
-            "(100000 * (length(lower(text))"
-            " - length(replace(lower(text), 'e', '')))) div length(text)"
+            "(100000 * (length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))"
+            " - length(replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'e', '')))) div length(text)"
         ).alias("v"),
     )
     tot = scored.agg(
@@ -1770,8 +1771,8 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH scored AS (
       SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             (100000 * (length(lower(text))
-                        - length(replace(lower(text), 'e', ''))))
+             (100000 * (length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
+                        - length(replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'e', ''))))
                // length(text) // 1000 AS bin
       FROM documents WHERE length(text) > 0),
     bins AS (
@@ -1832,8 +1833,8 @@ def q_isotonic_calibration_pav(
     scored = docs.where(F.length("text") > 0).select(
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
         F.expr(
-            "((100000 * (length(lower(text))"
-            " - length(replace(lower(text), 'e', ''))))"
+            "((100000 * (length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))"
+            " - length(replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'e', ''))))"
             " div length(text)) div 1000"
         ).alias("bin"),
     )
@@ -1991,7 +1992,7 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ams_f2_sketch",
     oracle="""
     WITH tok AS (
-      SELECT unnest(list_filter(string_split_regex(trim(lower(text)),
+      SELECT unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                                 '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS t
       FROM documents),
     freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t),
@@ -2051,7 +2052,7 @@ def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(
-            F.explode(tokens(F.lower(F.col("text")))).alias("t")
+            F.explode(tokens(ascii_fold("text"))).alias("t")
         )
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))

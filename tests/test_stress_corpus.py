@@ -468,3 +468,98 @@ def test_all_dup_corpus_query_matches_oracle(
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf)
     assert value_hash(sdf) == value_hash(odf)
+
+
+# ---------------------------------------------------------------------------
+# unicode corpus: cross-engine string-semantics divergence (round 7)
+# ---------------------------------------------------------------------------
+
+#: every query the round-7 unicode sweep flagged. Two mechanism
+#: classes, both fixed two-engine:
+#:   1. lower() is not cross-engine deterministic (Java's contextual
+#:      case mapping vs DuckDB/utf8proc: lower('İ') is 'i'+U+0307 vs
+#:      'i', lower('ΟΔΟΣ') ends ς vs σ) — every tokenize/normalize
+#:      path now uses operators/text.ascii_fold (translate A-Z→a-z,
+#:      per-codepoint, bit-identical in both engines).
+#:   2. trim() whitespace sets differ outside ASCII (DuckDB strips
+#:      U+3000 ideographic space, Spark does not) — trim() left both
+#:      tokenizers (the empty-token filter already covers ASCII).
+#: Plus one latent bug only this corpus could catch:
+#: dedup_incremental_batch's missing empty-shingle gate (a
+#: single-token batch doc's degenerate minhash — aggregate over an
+#: empty hash list collapses to the seed constants — probed 11
+#: spurious index candidates; the oracle's NULL minhash matched none).
+#: (chunk_documents_udtf joined the set late: its Python UDTF used
+#: str.strip() — a THIRD trim definition, unicode-wide — fixed by
+#: dropping the strip and keeping the empty filter.)
+UNICODE_SET = [
+    "ams_f2_sketch",
+    "chunk_documents_udtf",
+    "bigram_doc_score",
+    "bigram_lm_counts",
+    "ccnet_perplexity_buckets",
+    "contamination_check",
+    "curation_pipeline",
+    "dedup_exact",
+    "dedup_incremental_batch",
+    "dedup_simhash",
+    "dsir_importance_resample",
+    "feature_hashing",
+    "heaps_law_curve",
+    "lsh_scurve_tuning_audit",
+    "minhash_containment",
+    "negative_sampling_table",
+    "ngram_novelty",
+    "pmi_collocations_topk",
+    "rolling_hash_fingerprint",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_diversity_simpson",
+    "unigram_logprob_quality",
+    "vocab_coverage_topk",
+    "winnowing_fingerprint",
+    "winnowing_overlap_pairs",
+    "zipf_slope_fit",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("unicode_sf")
+    subprocess.run(
+        [sys.executable, str(REPO_ROOT / "tools" / "make_unicode_data.py"), str(d)],
+        check=True,
+        capture_output=True,
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def unicode_con(unicode_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{unicode_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", UNICODE_SET)
+def test_unicode_corpus_query_matches_oracle(
+    spark, unicode_dir, unicode_con, name
+):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    try:
+        sdf = queries[name](spark, unicode_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()
+    odf = unicode_con.sql(oracles[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    assert value_hash(sdf) == value_hash(odf)
+    # the divergence must actually be exercised: the incremental
+    # batch must CONTAIN a gated-out single-token unicode doc
+    if name == "dedup_incremental_batch":
+        assert 157 not in set(sdf["batch_doc"])
