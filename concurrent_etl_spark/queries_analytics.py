@@ -145,8 +145,15 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT doc_id, {_tok(_FOLD)} AS toks FROM documents),
     g AS (
-      SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram
-      FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)),
+      -- zip-with-shifts, not list_slice per position (O(n^2) in
+      -- DuckDB — see queries_llm._shingles); padded tails filtered
+      SELECT doc_id,
+             unnest(list_filter(list_transform(
+               list_zip(toks, (toks)[2:], (toks)[3:]),
+               p -> CASE WHEN p[3] IS NULL THEN NULL
+                    ELSE p[1] || ' ' || p[2] || ' ' || p[3] END),
+               x -> x IS NOT NULL)) AS gram
+      FROM t),
     c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2)
     SELECT doc_id,
            CAST(MAX(n) AS BIGINT) AS max_gram_n,

@@ -51,10 +51,17 @@ def _tok(x: str) -> str:
 
 
 def _shingles(x: str) -> str:
+    # zip-with-shifted-self, NOT list_slice per position: DuckDB's
+    # list_slice copies O(len) per call, making per-position slicing
+    # O(n^2) per document (measured 20.7 s for ONE 20k-token doc vs
+    # 0.04 s for the zip form — identical output, exact order). The
+    # padded last pair (p[2] IS NULL) is filtered.
     t = _tok(x)
     return (
-        f"list_distinct(list_transform(range(1, len({t})), "
-        f"i -> array_to_string(list_slice({t}, i, i + 1), ' ')))"
+        f"list_distinct(list_filter(list_transform("
+        f"list_zip({t}, ({t})[2:]), "
+        f"p -> CASE WHEN p[2] IS NULL THEN NULL "
+        f"ELSE p[1] || ' ' || p[2] END), x -> x IS NOT NULL))"
     )
 
 

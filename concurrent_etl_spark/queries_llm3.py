@@ -778,8 +778,11 @@ _DS_T = 3  # min shared sampled windows to report a pair
                       cs[i + j] *
                       CAST(pow({_DS_B}, {_DS_K} - 1 - j) AS BIGINT)),
                     'sum') % {_DS_P}) % {_DS_W} = 0),
+               -- per-position element indexing, not list_slice
+               -- (O(n) copy per call in DuckDB -> O(n^2/W) per doc)
                i -> array_to_string(
-                      list_slice(cs, i, i + {_DS_K} - 1), '-'))) AS subs
+                      list_transform(range(0, {_DS_K}),
+                                     j -> cs[i + j]), '-'))) AS subs
       FROM chars WHERE len(cs) >= {_DS_K}),
     ex AS (
       SELECT doc_id, len(subs) AS n_samp, unnest(subs) AS sub FROM subs),
@@ -1359,8 +1362,11 @@ def _detector_agreement_sql() -> str:
                       cs[i + j] *
                       CAST(pow({_DS_B}, {_DS_K} - 1 - j) AS BIGINT)),
                     'sum') % {_DS_P}) % {_DS_W} = 0),
+               -- per-position element indexing, not list_slice
+               -- (O(n) copy per call in DuckDB -> O(n^2/W) per doc)
                i -> array_to_string(
-                      list_slice(cs, i, i + {_DS_K} - 1), '-'))) AS subs
+                      list_transform(range(0, {_DS_K}),
+                                     j -> cs[i + j]), '-'))) AS subs
       FROM chars WHERE len(cs) >= {_DS_K}),
     ex AS (
       SELECT doc_id, unnest(subs) AS sub FROM subs),

@@ -336,15 +336,28 @@ def q_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr AS (
       SELECT {_tok(_FOLD)} AS toks
       FROM documents WHERE doc_id % 10 <> 0),
+    -- zip-with-shifts, not list_slice per position (O(n^2) in
+    -- DuckDB — see queries_llm._shingles); padded tails filtered
     evw AS (
       SELECT DISTINCT doc_id,
-             array_to_string(list_slice(toks, i, i + 4), ' ') AS w
-      FROM ev, unnest(range(1, len(toks) - 3)) AS u(i)
-      WHERE len(toks) >= 5),
+             unnest(list_filter(list_transform(
+               list_zip(toks, (toks)[2:], (toks)[3:], (toks)[4:],
+                        (toks)[5:]),
+               p -> CASE WHEN p[5] IS NULL THEN NULL
+                    ELSE p[1] || ' ' || p[2] || ' ' || p[3] || ' '
+                         || p[4] || ' ' || p[5] END),
+               x -> x IS NOT NULL)) AS w
+      FROM ev WHERE len(toks) >= 5),
     trw AS (
-      SELECT DISTINCT array_to_string(list_slice(toks, i, i + 4), ' ') AS w
-      FROM tr, unnest(range(1, len(toks) - 3)) AS u(i)
-      WHERE len(toks) >= 5),
+      SELECT DISTINCT
+             unnest(list_filter(list_transform(
+               list_zip(toks, (toks)[2:], (toks)[3:], (toks)[4:],
+                        (toks)[5:]),
+               p -> CASE WHEN p[5] IS NULL THEN NULL
+                    ELSE p[1] || ' ' || p[2] || ' ' || p[3] || ' '
+                         || p[4] || ' ' || p[5] END),
+               x -> x IS NOT NULL)) AS w
+      FROM tr WHERE len(toks) >= 5),
     nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM evw
            GROUP BY doc_id),
     hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nh

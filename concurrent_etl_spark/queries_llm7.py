@@ -1019,9 +1019,15 @@ def containment_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
     WITH src AS (SELECT doc_id, {_tok(_FOLD)} AS tk FROM documents
                  WHERE len({_tok(_FOLD)}) >= 3),
     sh AS (
+      -- zip-with-shifts, not list_slice per position (O(n^2) in
+      -- DuckDB — see queries_llm._shingles); padded tails filtered
       SELECT DISTINCT doc_id,
-             array_to_string(list_slice(tk, i, i + 2), ' ') AS s
-      FROM src, LATERAL (SELECT unnest(range(1, len(tk) - 1)) AS i)),
+             unnest(list_filter(list_transform(
+               list_zip(tk, (tk)[2:], (tk)[3:]),
+               p -> CASE WHEN p[3] IS NULL THEN NULL
+                    ELSE p[1] || ' ' || p[2] || ' ' || p[3] END),
+               x -> x IS NOT NULL)) AS s
+      FROM src),
     sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
     dfreq AS (
       SELECT s FROM sh GROUP BY s
