@@ -563,3 +563,72 @@ def test_unicode_corpus_query_matches_oracle(
     # batch must CONTAIN a gated-out single-token unicode doc
     if name == "dedup_incremental_batch":
         assert 157 not in set(sdf["batch_doc"])
+
+
+# ---------------------------------------------------------------------------
+# giant-document corpus: extreme per-document skew (round 7)
+# ---------------------------------------------------------------------------
+
+#: the per-row-skew representatives: token/shingle/char-window
+#: pipelines that each process doc 42 (50k tokens, hot vocab) and
+#: doc 84 (one 100k-char token, zero shingles) without per-document
+#: quadratics or gate failures. The round-7 full 339-query gate over
+#: this corpus was green with NO engine changes — the df-gates,
+#: _MAX_CHARS caps, empty-shingle gates, and staged-token idiom all
+#: hold; what it broke (and what this suite keeps fixed) was the
+#: ORACLE side's O(n^2) slice-per-position n-gram form, now the
+#: linear zip-with-shifts (queries_llm._shingles).
+GIANT_SET = [
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_incremental_batch",
+    "minhash_containment",
+    "containment_similarity_join",
+    "duplicate_span_pairs",
+    "winnowing_fingerprint",
+    "winnowing_overlap_pairs",
+    "repetition_ratio",
+    "decontaminate_ngram_windows",
+    "contamination_check",
+    "chunk_documents_udtf",
+    "rolling_hash_fingerprint",
+    "token_diversity_simpson",
+    "greedy_pack_bins",
+]
+
+
+@pytest.fixture(scope="module")
+def giant_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("giant_sf")
+    subprocess.run(
+        [sys.executable, str(REPO_ROOT / "tools" / "make_giant_data.py"), str(d)],
+        check=True,
+        capture_output=True,
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def giant_con(giant_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{giant_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", GIANT_SET)
+def test_giant_corpus_query_matches_oracle(spark, giant_dir, giant_con, name):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    try:
+        sdf = queries[name](spark, giant_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()
+    odf = giant_con.sql(oracles[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    assert value_hash(sdf) == value_hash(odf)
