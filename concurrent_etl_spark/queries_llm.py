@@ -103,19 +103,23 @@ _BANDS = (
     "|| sig[b*3+3]::VARCHAR))"
 )
 
+# MATERIALIZED: each CTE below is referenced 2-3x downstream and
+# DuckDB inlines non-materialized CTEs (recomputing the minhash
+# lambda pipeline per reference) - measured 133 s -> 29.5 s for
+# dedup_minhash_lsh's oracle at sf0.1, identical output.
 _LSH_PAIRS = f"""
-sh AS (SELECT * FROM (SELECT doc_id, {_shingles(_FOLD)} AS sh
+sh AS MATERIALIZED (SELECT * FROM (SELECT doc_id, {_shingles(_FOLD)} AS sh
        FROM corpus) WHERE len(sh) > 0),
-hs AS (SELECT doc_id, sh,
+hs AS MATERIALIZED (SELECT doc_id, sh,
               list_transform(sh, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
        FROM sh),
-sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM hs),
-bands AS (
+sig AS MATERIALIZED (SELECT doc_id, sh, {_SIG} AS sig FROM hs),
+bands AS MATERIALIZED (
   SELECT doc_id, sig, sh,
          unnest({_BANDS}) AS band_hash,
          generate_subscripts({_BANDS}, 1) AS band_idx
   FROM sig),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash

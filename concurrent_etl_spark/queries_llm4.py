@@ -831,25 +831,25 @@ def _incremental_oracle() -> str:
 
     return f"""
     WITH corpus AS (SELECT doc_id, text FROM documents),
-    sh AS (SELECT * FROM (SELECT doc_id, {_shingles(_FOLD)} AS sh
+    sh AS MATERIALIZED (SELECT * FROM (SELECT doc_id, {_shingles(_FOLD)} AS sh
            FROM corpus) WHERE len(sh) > 0),
-    hs AS (SELECT doc_id, sh,
+    hs AS MATERIALIZED (SELECT doc_id, sh,
                   list_transform(sh,
                     x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
            FROM sh),
-    sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM hs),
-    bands AS (
+    sig AS MATERIALIZED (SELECT doc_id, sh, {_SIG} AS sig FROM hs),
+    bands AS MATERIALIZED (
       SELECT doc_id, sig, sh,
              unnest({_BANDS}) AS band_hash,
              generate_subscripts({_BANDS}, 1) AS band_idx
       FROM sig),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS index_doc
       FROM bands a
       JOIN bands b ON a.band_idx = b.band_idx
                   AND a.band_hash = b.band_hash
       WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
-    scored AS (
+    scored AS MATERIALIZED (
       SELECT c.batch_doc, c.index_doc,
              list_aggregate(list_transform(list_zip(sa.sig, sb.sig),
                x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END), 'sum')
