@@ -216,6 +216,77 @@ _CHECK_FIRST = [
     "image_jpeg_decode",
 ]
 
+#: Re-verification tier (VERDICT r7 item 4). Every name below is
+#: already driver-green, but its Spark plan or oracle text changed
+#: AFTER the round that verified it — the r7 ascii_fold sweep
+#: touched every tokenize path, the r7 broadcast-hint audit changed
+#: 18 physical plans, and round 8 itself edited token_count_bpe
+#: (trim() drop) and triangle_count (degree-table persist). With the
+#: catalog at 339/339 verified, the 50-name window is free capacity:
+#: ``_rotated`` orders these FIRST within the verified tail so the
+#: driver re-proves plan-changed-since-last-verified names before
+#: burning slots on untouched ones. Names fall off this list once a
+#: CORRECTNESS artifact newer than the change records them green
+#: (kept simple: the list is pruned by hand each round).
+_REVERIFY = [
+    # round-8 semantic/plan edits first
+    "token_count_bpe_regex",
+    "triangle_count",
+    # ascii_fold-touched (r7 UNICODE_SET; r1-r5-era rows predate the fold)
+    "ams_f2_sketch",
+    "chunk_documents_udtf",
+    "bigram_doc_score",
+    "bigram_lm_counts",
+    "ccnet_perplexity_buckets",
+    "contamination_check",
+    "curation_pipeline",
+    "dedup_exact",
+    "dedup_incremental_batch",
+    "dedup_simhash",
+    "dsir_importance_resample",
+    "feature_hashing",
+    "heaps_law_curve",
+    "lsh_scurve_tuning_audit",
+    "minhash_containment",
+    "negative_sampling_table",
+    "ngram_novelty",
+    "pmi_collocations_topk",
+    "rolling_hash_fingerprint",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_diversity_simpson",
+    "unigram_logprob_quality",
+    "vocab_coverage_topk",
+    "winnowing_fingerprint",
+    "winnowing_overlap_pairs",
+    "zipf_slope_fit",
+    # more fold-touched text rows verified r1-r5, pre-fold
+    "lateral_explode_tokens",
+    "c4_line_filters",
+    "gopher_quality_rules",
+    "text_normalize_dedup",
+    "explode_outer_tokens",
+    "dedup_detector_agreement",
+    "duplicate_span_pairs",
+    "auc_roc_exact",
+    "isotonic_calibration_pav",
+    # broadcast-audit plan-changed (r7 hint drops), not covered above
+    "prefix_filter_jaccard_join",
+    "retrieval_eval_ndcg",
+    "skipgram_window_counts",
+    "bfs_bipartite_hops",
+    "link_prediction_jaccard",
+    "degree_assortativity",
+    "personalized_pagerank_seeded",
+    "pagerank_bipartite",
+    "ab_srm_bucketing_audit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+]
+
 def _driver_verified() -> set[str]:
     """Names already driver-green in ANY past round's artifact.
 
@@ -255,10 +326,12 @@ def _driver_verified() -> set[str]:
 def _rotated(names: dict) -> list[str]:
     done = _driver_verified()
     front = [n for n in _CHECK_FIRST if n in names and n not in done]
-    back = [n for n in names if n in done]
-    placed = set(front) | set(back)
+    # verified tail: plan-changed-since-last-verified first
+    reverify = [n for n in _REVERIFY if n in names and n in done]
+    back = [n for n in names if n in done and n not in set(reverify)]
+    placed = set(front) | set(reverify) | set(back)
     middle = [n for n in names if n not in placed]
-    return front + middle + back
+    return front + middle + reverify + back
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -6,15 +6,19 @@ Decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages — the payload bytes never pass through Python
 row-at-a-time, and each batch is one Arrow buffer.
 
-The container has no image/audio libraries (PIL/librosa), so the
-jpeg/mp3 codecs are STUBBED (``NotImplementedError``) behind a
-deterministic byte-level feature extractor that keeps the Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — real
-and testable. Four REAL codecs run with zero dependencies and are
-oracle-checked end-to-end: RIFF/WAV audio (stdlib ``wave``), 24-bit
-BMP and PNG images (manual DIB parse; stdlib ``zlib`` with
-CRC-checked chunks, DEFLATE, all five predictive scanline filters),
-and YUV4MPEG2 (Y4M) video (header grammar + frame demux).
+The container has no image/audio libraries (PIL/librosa); FIVE REAL
+codecs are vendored with zero dependencies and oracle-checked
+end-to-end: RIFF/WAV audio (stdlib ``wave``), 24-bit BMP and PNG
+images (manual DIB parse; stdlib ``zlib`` with CRC-checked chunks,
+DEFLATE, all five predictive scanline filters), YUV4MPEG2 (Y4M)
+video (header grammar + frame demux), and baseline JPEG (T.81
+Huffman entropy decode, dequant, IDCT — see ``jpeg_decode_gray``).
+The ONE remaining env-gate is mp3 (``decode_audio`` raises
+``NotImplementedError`` for it): a Huffman+IMDCT psychoacoustic
+decoder is a codec project, not a Spark surface, and WAV already
+exercises audio's entire Spark architecture (SCALE.md §11b); the
+gate keeps schema, partitioning, UDF signature, and batch shape
+real and testable for the format anyway.
 
 At 100 TB: payloads dominate bytes, so the partitioning rule is
 "split by target partition byte size, never by row count"
@@ -300,13 +304,13 @@ def resize_payload(media: DataFrame, target_units: int = 256) -> DataFrame:
 # ---------------------------------------------------------------------------
 # REAL codecs — formats decodable with the standard library alone
 # ---------------------------------------------------------------------------
-# jpeg/png/mp3 decode needs PIL/librosa (stubbed above), but WAV is
-# readable with stdlib `wave` and BMP is a documented public format
-# (fixed struct header + padded BGR rows), so these two paths run a
-# GENUINE binary encode -> Arrow batch -> decode round trip with no
-# dependency. The synthesizers build bytes with manual struct packing
-# and the decoders parse independently (stdlib wave / header-field
-# parsing), so a bug in either side breaks the algebraic oracle.
+# WAV is readable with stdlib `wave`; BMP, PNG, Y4M, and baseline
+# JPEG are documented public formats parsed by hand below (only mp3
+# remains env-gated). Every path runs a GENUINE binary encode ->
+# Arrow batch -> decode round trip with no dependency: the
+# synthesizers build bytes with manual struct packing and the
+# decoders parse independently, so a bug in either side breaks the
+# algebraic oracle.
 
 WAV_SCHEMA = StructType(
     [

@@ -59,6 +59,14 @@ def ascii_fold(col: Column | str) -> Column:
     return F.translate(_c(col), ASCII_UPPER, ASCII_LOWER)
 
 
+def fold_sql(x: str) -> str:
+    """The DuckDB-oracle fragment mirroring :func:`ascii_fold` on an
+    arbitrary SQL expression ``x`` — the ONE source for the 80-char
+    translate literal so the Spark side and every inlined oracle site
+    can never drift (queries_llm._FOLD is ``fold_sql('text')``)."""
+    return f"translate({x}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens, empties dropped (array<string>)."""
     # explicit class, not \s: Java \s includes vertical tab \x0B but

@@ -29,14 +29,16 @@ from concurrent_etl_spark.operators import text as T
 # shared oracle SQL fragments (must mirror operators/text.py exactly)
 # ---------------------------------------------------------------------------
 
-#: ASCII case fold of the text column — mirrors
+#: ASCII case fold of an arbitrary SQL expression — mirrors
 #: operators/text.ascii_fold exactly (translate is per-codepoint 1:1
 #: in both engines; lower() is NOT cross-engine deterministic — see
-#: the ascii_fold docstring for the İ/Σ/ß divergence table).
-_FOLD = (
-    "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
-    " 'abcdefghijklmnopqrstuvwxyz')"
-)
+#: the ascii_fold docstring for the İ/Σ/ß divergence table). ONE
+#: source for the translate literal: every inlined oracle site calls
+#: this instead of hand-copying the 80-char string.
+_fold = T.fold_sql
+
+#: the common case — fold of the `text` column.
+_FOLD = _fold("text")
 
 
 def _tok(x: str) -> str:
@@ -656,7 +658,8 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exercises the real multimodal plumbing (binary column, typed
     metadata, batched pandas UDF) with a deterministic byte-level
-    'decoder' the oracle can verify; real codecs are stubbed
+    'decoder' the oracle can verify; the five vendored real codecs
+    (WAV/BMP/PNG/Y4M/JPEG) have their own queries
     (operators/multimodal.py).
     """
     return M.extract_features(M.synthesize_payloads(_docs(spark, sf_dir)))

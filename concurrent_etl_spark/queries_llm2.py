@@ -18,6 +18,7 @@ from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.operators import text as T
 from concurrent_etl_spark.queries_llm import (
     _FOLD,
+    _fold,
     _docs,
     _shingles,
     _text_stats_sql,
@@ -326,7 +327,7 @@ _RK_K = 8  # window length in characters
     oracle=f"""
     WITH chars AS (
       SELECT doc_id,
-             list_transform(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '.'),
+             list_transform(regexp_extract_all({_fold('text')}, '.'),
                             c -> ord(c)) AS cs
       FROM documents),
     hashes AS (
@@ -751,8 +752,8 @@ _BPE_PAT = (
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             len(string_split_regex(trim(text),
-                 '[ \\t\\n\\x0B\\f\\r]+')) AS n_ws_tokens,
+             len(list_filter(string_split_regex(text,
+                 '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS n_ws_tokens,
              list_filter(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}'),
                          tok -> NOT regexp_matches(tok,
                            '^[ \\t\\n\\x0B\\f\\r]+$')) AS toks
@@ -761,7 +762,9 @@ _BPE_PAT = (
            CAST(len(toks) AS INTEGER) AS n_bpe_tokens,
            CAST(len(list_filter(toks, tok -> tok LIKE ' %')) AS INTEGER)
              AS n_space_prefixed,
-           CAST(len(toks) AS DOUBLE) / n_ws_tokens AS bpe_per_word
+           CASE WHEN n_ws_tokens > 0
+                THEN CAST(len(toks) AS DOUBLE) / n_ws_tokens END
+             AS bpe_per_word
     FROM t
     """,
 )
@@ -783,19 +786,27 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)),
         lambda t: ~t.rlike(r"^[ \t\n\x0B\f\r]+$"),
     )
+    # No trim(): DuckDB trim strips U+3000 (any Unicode whitespace),
+    # Spark trim strips ASCII space only — a document with U+3000
+    # adjacent to ASCII whitespace at a string edge would diverge.
+    # Instead split on the shared explicit-ws class and drop empty
+    # tokens on BOTH engines; an all-whitespace doc now counts 0
+    # (bpe_per_word guarded to NULL), identically on both sides.
+    n_ws = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[ \t\n\x0B\f\r]+"),
+            lambda t: t != "",
+        )
+    )
     return docs.select(
         "doc_id",
-        F.size(
-            F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")
-        ).alias("n_ws_tokens"),
+        n_ws.alias("n_ws_tokens"),
         F.size(toks).alias("n_bpe_tokens"),
         F.size(
             F.filter(toks, lambda t: t.startswith(" "))
         ).alias("n_space_prefixed"),
-        (
-            F.size(toks).cast("double")
-            / F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"))
-        ).alias("bpe_per_word"),
+        F.when(n_ws > 0, F.size(toks).cast("double") / n_ws)
+        .alias("bpe_per_word"),
     ).withColumn("n_bpe_tokens", F.col("n_bpe_tokens").cast("int")) \
      .withColumn("n_space_prefixed", F.col("n_space_prefixed").cast("int"))
 

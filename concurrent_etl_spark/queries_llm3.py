@@ -27,6 +27,7 @@ from concurrent_etl_spark.operators.dedup import (
 from concurrent_etl_spark.queries_llm import (
     _CORPUS_NEAR,
     _FOLD,
+    _fold,
     _LSH_PAIRS,
     _docs,
     _tok,
@@ -766,7 +767,7 @@ _DS_T = 3  # min shared sampled windows to report a pair
     WITH {{corpus}},
     chars AS (
       SELECT doc_id,
-             list_transform(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '.'),
+             list_transform(regexp_extract_all({_fold('text')}, '.'),
                             c -> ord(c)) AS cs
       FROM corpus),
     subs AS (
@@ -1350,7 +1351,7 @@ def _detector_agreement_sql() -> str:
     span_cte = f"""
     chars AS (
       SELECT doc_id,
-             list_transform(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '.'),
+             list_transform(regexp_extract_all({_fold('text')}, '.'),
                             c -> ord(c)) AS cs
       FROM corpus),
     subs AS (

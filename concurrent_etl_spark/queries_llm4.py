@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.operators import text as T
-from concurrent_etl_spark.queries_llm import _FOLD, _docs, _tok
+from concurrent_etl_spark.queries_llm import _FOLD, _docs, _fold, _tok
 
 #: context-window capacity (tokens) for both packers; small enough
 #: that the sf0.01 gate exercises many bins per shard, large enough
@@ -452,12 +452,12 @@ def q_llm_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_normalize_dedup",
-    oracle="""
+    oracle=f"""
     WITH n AS (
       SELECT source,
              md5(text) AS raw_h,
              md5(trim(regexp_replace(
-                   regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]', ' ', 'g'),
+                   regexp_replace({_fold('text')}, '[^a-z0-9 ]', ' ', 'g'),
                    '\\s+', ' ', 'g'))) AS norm_h
       FROM documents)
     SELECT source,
@@ -885,8 +885,8 @@ _GOPHER_STOPWORDS = "'the','be','to','of','and','that','have','with'"
     "gopher_quality_rules",
     oracle=f"""
     WITH d AS (
-      SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS w,
-             translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t
+      SELECT doc_id, string_split({_fold('text')}, ' ') AS w,
+             {_fold('text')} AS t
       FROM documents),
     m AS (
       SELECT doc_id,

@@ -58,7 +58,7 @@ from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.engine import load_table
 from concurrent_etl_spark.operators import similarity as S
 from concurrent_etl_spark.operators.text import ascii_fold, tokens
-from concurrent_etl_spark.queries_llm import _FOLD, _docs, _oracle_cos, _tok
+from concurrent_etl_spark.queries_llm import _FOLD, _docs, _fold, _oracle_cos, _tok
 
 #: tokens per derived line. 8 keeps multi-line documents at sf0.001
 #: (docs run ~25-110 tokens) while making natural 8-gram collisions
@@ -195,8 +195,8 @@ _C4_PROBES_SQL = ", ".join(f"({i}, '{t}')" for i, t in _C4_PROBES)
       SELECT doc_id, n_words,
              (n_words < 5)                              AS f_short,
              contains(line, '{{')                       AS f_brace,
-             contains(translate(line, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'javascript')        AS f_js,
-             contains(translate(line, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'lorem ipsum')       AS f_lorem
+             contains({_fold('line')}, 'javascript')        AS f_js,
+             contains({_fold('line')}, 'lorem ipsum')       AS f_lorem
       FROM lines
     ),
     l AS (

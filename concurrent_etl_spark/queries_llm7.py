@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.engine import load_table
 from concurrent_etl_spark.operators.text import ascii_fold
-from concurrent_etl_spark.queries_llm import _FOLD, _tok
+from concurrent_etl_spark.queries_llm import _FOLD, _fold, _tok
 
 #: winnowing parameters: char-gram length K, window width W.
 #: Guarantee (Schleimer et al. §3): any shared substring of length
@@ -62,7 +62,7 @@ _MAX_CHARS = _POS_MAX + _WIN_K - 1
 #: selection itself, reused verbatim by both winnowing queries so the
 #: two oracles cannot drift apart.
 _WINNOW_CTES = f"""src AS (
-      SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS txt FROM documents
+      SELECT doc_id, {_fold('text')} AS txt FROM documents
       WHERE length(text) >= {_WIN_K + _WIN_W - 1}
         AND length(text) <= {_MAX_CHARS}),
     g AS (

@@ -147,6 +147,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
+        # referenced twice (du and dv sides): persist so the
+        # union+agg shuffle runs ONCE, not once per join — the r7
+        # hint-drop left this node-sized subtree materializing twice
+        # (4.05->9.91 s at sf0.1); caching it is the lint-clean way
+        # to recover the latency (no F.broadcast on node-scaled data)
+        .persist()
     )
     oriented = (
         edges.join(
@@ -173,7 +179,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_nbrs = oriented.groupBy("u").agg(
         F.sort_array(F.collect_set("v")).alias("nb")
-    )
+    ).persist()  # referenced twice (nb_u and nb_v sides), node-sized
     j = (
         oriented.join(
             out_nbrs.select(F.col("u"), F.col("nb").alias("nb_u")), "u"

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.catalog import dsum as _dsum
 from concurrent_etl_spark.engine import load_table
-from concurrent_etl_spark.operators.text import ascii_fold
+from concurrent_etl_spark.operators.text import ascii_fold, fold_sql
 
 
 @query(
@@ -525,10 +525,10 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "explode_outer_tokens",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT doc_id,
-             list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+             list_filter(string_split_regex({fold_sql('text')},
                            '[ \\t\\n\\x0B\\f\\r]+'),
                          t -> t LIKE 'w%') AS tz
       FROM documents)

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.engine import load_table
-from concurrent_etl_spark.operators.text import ascii_fold
+from concurrent_etl_spark.operators.text import ascii_fold, fold_sql
 
 
 @query(
@@ -841,11 +841,11 @@ def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "auc_roc_exact",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
       SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g,
-             (100000 * (length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
-                        - length(replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'e', ''))))
+             (100000 * (length({fold_sql('text')})
+                        - length(replace({fold_sql('text')}, 'e', ''))))
                // length(text) AS v
       FROM documents WHERE length(text) > 0),
     tot AS (
@@ -900,8 +900,8 @@ def q_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.where(F.length("text") > 0).select(
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("g"),
         F.expr(
-            "(100000 * (length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))"
-            " - length(replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'e', '')))) div length(text)"
+            f"(100000 * (length({fold_sql('text')})"
+            f" - length(replace({fold_sql('text')}, 'e', '')))) div length(text)"
         ).alias("v"),
     )
     tot = scored.agg(
@@ -1768,11 +1768,11 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "isotonic_calibration_pav",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
       SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             (100000 * (length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))
-                        - length(replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'e', ''))))
+             (100000 * (length({fold_sql('text')})
+                        - length(replace({fold_sql('text')}, 'e', ''))))
                // length(text) // 1000 AS bin
       FROM documents WHERE length(text) > 0),
     bins AS (
@@ -1833,8 +1833,8 @@ def q_isotonic_calibration_pav(
     scored = docs.where(F.length("text") > 0).select(
         F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
         F.expr(
-            "((100000 * (length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))"
-            " - length(replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'e', ''))))"
+            f"((100000 * (length({fold_sql('text')})"
+            f" - length(replace({fold_sql('text')}, 'e', ''))))"
             " div length(text)) div 1000"
         ).alias("bin"),
     )
@@ -1990,9 +1990,9 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ams_f2_sketch",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
-      SELECT unnest(list_filter(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+      SELECT unnest(list_filter(string_split_regex({fold_sql('text')},
                                 '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS t
       FROM documents),
     freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t),

@@ -514,6 +514,7 @@ UNICODE_SET = [
     "rolling_hash_fingerprint",
     "text_stats",
     "tfidf_top_terms",
+    "token_count_bpe_regex",  # pocket 12: U+3000 adjacent to ASCII ws
     "token_diversity_simpson",
     "unigram_logprob_quality",
     "vocab_coverage_topk",

@@ -3,7 +3,7 @@
 Sixth adversarial axis (after stress / zero-row / one-day / NULL-text /
 all-duplicate): aggressive non-ASCII text. Clones ``/root/testdata/
 sf0.001`` byte-for-byte except ``documents.text``, where every
-``doc_id % 7 == 3`` row is replaced by one of twelve Unicode pockets
+``doc_id % 7 == 3`` row is replaced by one of thirteen Unicode pockets
 (cycled by ``doc_id // 7``), each chosen to expose a class of
 cross-engine string-semantics divergence between Spark's JVM string
 functions and DuckDB's utf8proc:
@@ -20,6 +20,7 @@ functions and DuckDB's utf8proc:
  9. CJK with no spaces             (single giant token)
 10. Fullwidth forms + U+3000       (ideographic space is NOT a separator)
 11. Leading/trailing U+3000        (DuckDB trim() strips it, Spark's does not)
+12. U+3000 adjacent to ASCII ws    (edge trim asymmetry shifts token counts)
 
 The round-7 full-gate sweep over this corpus surfaced 26 divergent
 queries (every tokenizing query: Java's contextual case mapping vs
@@ -86,6 +87,14 @@ POCKETS = [
     "\uff26\uff35\uff2c\uff2c\uff37\uff29\uff24\uff34\uff28\u3000\uff54\uff45\uff58\uff54\u3000\uff11\uff12\uff13",
     # 11: leading/trailing ideographic space (the trim() divergence)
     "\u3000leading ideographic space and trailing\u3000",
+    # 12: U+3000 ADJACENT to ASCII whitespace at string edges \u2014 the
+    # narrow miss of pocket 11 (where U+3000 abuts letters): with a
+    # trim() on either engine, DuckDB strips "\u3000 " entirely while
+    # Spark strips only the ASCII space, so a whitespace-split token
+    # count diverges ('\u3000 x' -> duckdb 1 vs spark 2). Pins the
+    # round-8 token_count_bpe_regex fix (trim() dropped, empty tokens
+    # filtered on both sides).
+    "\u3000 leading pair and trailing pair \u3000",
 ]
 
 
