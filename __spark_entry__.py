@@ -214,6 +214,7 @@ _CHECK_FIRST = [
     # --- cohort 5: post-freeze registrations (r7+) — appended in
     #     registration order, behind every frozen-era name ---
     "image_jpeg_decode",
+    "image_jpeg_color_decode",
 ]
 
 #: Re-verification tier (VERDICT r7 item 4). Every name below is

@@ -109,18 +109,26 @@ def decode_image(payload: bytes) -> object:
     buf = bytes(payload)
     if buf[:2] == b"\xff\xd8":  # JPEG SOI
         # malformed/truncated streams raise ValueError (a data
-        # error wherever it runs); JPEG VARIANTS the vendored
-        # baseline decoder doesn't cover (color, progressive, ...)
-        # re-raise the environment guard — PIL decodes them fine
+        # error wherever it runs); grayscale decodes via the
+        # single-component fast path, 3-component baseline (4:4:4
+        # and 4:2:0 YCbCr) via the color decoder, and only the
+        # genuinely exotic variants (progressive, arithmetic,
+        # 12-bit, other samplings) re-raise the environment guard —
+        # PIL decodes those fine
         try:
             px = jpeg_decode_gray(buf)
+            return (px.shape[0], px.shape[1], "L", px.tobytes())
+        except UnsupportedJpegError:
+            pass
+        try:
+            rgb = jpeg_decode_rgb(buf)
         except UnsupportedJpegError as exc:
             raise NotImplementedError(
                 f"JPEG variant beyond the vendored baseline decoder "
                 f"({exc}); decoding it requires PIL/opencv, which "
                 "this container does not ship"
             ) from exc
-        return (px.shape[0], px.shape[1], "L", px.tobytes())
+        return (rgb.shape[0], rgb.shape[1], "RGB", rgb.tobytes())
     raise NotImplementedError(
         "non-JPEG compressed image decode requires PIL/opencv, which "
         "this container does not ship; the vendored BMP/PNG/JPEG "
@@ -1495,6 +1503,51 @@ def _magnitude_bits(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+def _jpeg_encode_block(bw, blk, q, dcc, acc, prev_dc: int) -> int:
+    """DCT + quantize + Huffman-code ONE level-shifted 8x8 block into
+    ``bw``; returns the new DC predictor. Shared by the grayscale and
+    color encoders — identical bit output to the original inline
+    form (float DCT, round-half-away to integer, round-half-up
+    quantization in exact integer arithmetic, RLE AC with ZRL/EOB).
+    """
+    import numpy as np
+
+    C = _dct_matrix()
+    coef = C @ blk @ C.T
+    # round to integer half-away (true coefficients of the
+    # flat oracle fixture are exact integers, so float eps
+    # cannot flip this), then quantize round-half-up exactly
+    ci = np.floor(np.abs(coef) + 0.5).astype(np.int64) * np.sign(
+        coef
+    ).astype(np.int64)
+    quant = (2 * ci + q) // (2 * q)  # floor((c + q/2) / q)
+    zz = [int(quant.flat[i]) for i in _ZIGZAG]
+    size, bits = _magnitude_bits(zz[0] - prev_dc)
+    code, ln = dcc[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = acc[0xF0]  # ZRL: 16 zeros
+            bw.write(zc, zl)
+            run -= 16
+        size, bits = _magnitude_bits(zz[i])
+        code, ln = acc[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        ec, el = acc[0x00]  # EOB
+        bw.write(ec, el)
+    return zz[0]
+
+
 def jpeg_encode_gray(pix) -> bytes:
     """Encode an 8-bit grayscale raster (numpy uint8, h x w with h, w
     multiples of 8) as a baseline JFIF JPEG with the Annex K tables.
@@ -1510,7 +1563,6 @@ def jpeg_encode_gray(pix) -> bytes:
     h, w = pix.shape
     if h % 8 or w % 8:
         raise ValueError("fixture rasters are multiples of 8")
-    C = _dct_matrix()
     q = np.array(_JPEG_QTABLE, dtype=np.int64).reshape(8, 8)
     dcc = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     acc = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
@@ -1521,41 +1573,7 @@ def jpeg_encode_gray(pix) -> bytes:
             blk = pix[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
                 np.float64
             ) - 128.0
-            coef = C @ blk @ C.T
-            # round to integer half-away (true coefficients of the
-            # flat oracle fixture are exact integers, so float eps
-            # cannot flip this), then quantize round-half-up exactly
-            ci = np.floor(np.abs(coef) + 0.5).astype(np.int64) * np.sign(
-                coef
-            ).astype(np.int64)
-            quant = (2 * ci + q) // (2 * q)  # floor((c + q/2) / q)
-            zz = [int(quant.flat[i]) for i in _ZIGZAG]
-            size, bits = _magnitude_bits(zz[0] - prev_dc)
-            prev_dc = zz[0]
-            code, ln = dcc[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(bits, size)
-            run = 0
-            last_nz = max(
-                (i for i in range(1, 64) if zz[i]), default=0
-            )
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = acc[0xF0]  # ZRL: 16 zeros
-                    bw.write(zc, zl)
-                    run -= 16
-                size, bits = _magnitude_bits(zz[i])
-                code, ln = acc[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                ec, el = acc[0x00]  # EOB
-                bw.write(ec, el)
+            prev_dc = _jpeg_encode_block(bw, blk, q, dcc, acc, prev_dc)
     data = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1869,3 +1887,518 @@ def jpeg_decode_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(gen, JPEG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# color (3-component YCbCr) baseline JPEG — 4:4:4 and 4:2:0
+# ---------------------------------------------------------------------------
+# Extends the vendored T.81 machinery above from single-component to
+# the overwhelmingly common real payload: baseline YCbCr with either
+# no chroma subsampling (4:4:4, every component 1x1) or 2x2 luma /
+# 1x1 chroma sampling (4:2:0). The entropy/DCT core is shared
+# (_jpeg_encode_block, _BitReader, _huff_decoder); what color adds
+# is the interleaved MCU walk (T.81 A.2.3: within an MCU each
+# component contributes H*V blocks in raster order), per-component
+# DC predictors and table ids, chroma quantization (Annex K.2), and
+# the JFIF fixed-point YCbCr->RGB conversion — integer arithmetic
+# with pinned constants so a SQL oracle can recompute decoded pixels
+# exactly. Progressive/arithmetic/12-bit remain UnsupportedJpegError.
+
+#: ITU-T T.81 Annex K.2 chrominance quantization table (row-major).
+_JPEG_QTABLE_C = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+#: Annex K.3.3.1 chrominance DC table.
+_JPEG_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_C = list(range(12))
+
+#: Annex K.3.3.2 chrominance AC table.
+_JPEG_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_JPEG_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: libjpeg's 16-bit fixed-point YCbCr->RGB constants (JFIF / BT.601:
+#: FIX(1.40200), FIX(0.34414), FIX(0.71414), FIX(1.77200)). Public.
+_YCC_R_CR = 91881
+_YCC_G_CB = 22554
+_YCC_G_CR = 46802
+_YCC_B_CB = 116130
+#: offset making every fixed-point numerator nonnegative before the
+#: /65536 floor — so DuckDB's truncating // agrees with Python's
+#: floor //. 512*65536 > 116130*128 + 32768, and 512 divides out.
+_YCC_OFF = 512 * 65536
+
+
+def _ycc_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """JFIF fixed-point YCbCr->RGB, one pixel, exact integers; the
+    SQL oracle repeats this formula verbatim (floor via the
+    nonnegative-offset trick, then clamp)."""
+    cx, cy = cb - 128, cr - 128
+
+    def fx(num: int) -> int:
+        return (num + 32768 + _YCC_OFF) // 65536 - 512
+
+    r = min(255, max(0, y + fx(_YCC_R_CR * cy)))
+    g = min(255, max(0, y + fx(-_YCC_G_CB * cx - _YCC_G_CR * cy)))
+    b = min(255, max(0, y + fx(_YCC_B_CB * cx)))
+    return r, g, b
+
+
+def jpeg_encode_ycbcr(yp, cbp, crp, subsample: str = "420") -> bytes:
+    """Encode YCbCr planes as a baseline JFIF JPEG.
+
+    ``subsample='444'``: all three planes are h x w, every component
+    sampled 1x1, MCU = one block per component.
+    ``subsample='420'``: luma is h x w (multiples of 16), chroma
+    planes are (h/2) x (w/2); luma sampled 2x2, MCU = 4 luma blocks
+    (raster order) + 1 Cb + 1 Cr (T.81 A.2.3 interleave order).
+
+    Component ids 1/2/3, luma quant/huff tables 0, chroma tables 1,
+    independent DC predictors per component."""
+    import struct
+
+    import numpy as np
+
+    h, w = yp.shape
+    ql = np.array(_JPEG_QTABLE, dtype=np.int64).reshape(8, 8)
+    qc = np.array(_JPEG_QTABLE_C, dtype=np.int64).reshape(8, 8)
+    dcl = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    acl = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dcc = _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C)
+    acc = _huff_codes(_JPEG_AC_BITS_C, _JPEG_AC_VALS_C)
+
+    def blk(plane, by, bx):
+        return plane[
+            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+        ].astype(np.float64) - 128.0
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]  # per-component DC predictors
+    if subsample == "444":
+        if h % 8 or w % 8 or cbp.shape != (h, w) or crp.shape != (h, w):
+            raise ValueError("4:4:4 fixture planes must be h x w, /8")
+        samp = (0x11, 0x11, 0x11)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                pred[0] = _jpeg_encode_block(
+                    bw, blk(yp, by, bx), ql, dcl, acl, pred[0]
+                )
+                pred[1] = _jpeg_encode_block(
+                    bw, blk(cbp, by, bx), qc, dcc, acc, pred[1]
+                )
+                pred[2] = _jpeg_encode_block(
+                    bw, blk(crp, by, bx), qc, dcc, acc, pred[2]
+                )
+    elif subsample == "420":
+        if h % 16 or w % 16:
+            raise ValueError("4:2:0 fixture rasters are multiples of 16")
+        if cbp.shape != (h // 2, w // 2) or crp.shape != (h // 2, w // 2):
+            raise ValueError("4:2:0 chroma planes must be (h/2) x (w/2)")
+        samp = (0x22, 0x11, 0x11)
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                for v in range(2):  # 4 luma blocks, raster order
+                    for u in range(2):
+                        pred[0] = _jpeg_encode_block(
+                            bw,
+                            blk(yp, 2 * my + v, 2 * mx + u),
+                            ql, dcl, acl, pred[0],
+                        )
+                pred[1] = _jpeg_encode_block(
+                    bw, blk(cbp, my, mx), qc, dcc, acc, pred[1]
+                )
+                pred[2] = _jpeg_encode_block(
+                    bw, blk(crp, my, mx), qc, dcc, acc, pred[2]
+                )
+    else:
+        raise ValueError(f"unknown subsample mode {subsample!r}")
+    data = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xFFDB,
+        b"\x00" + bytes(_JPEG_QTABLE[i] for i in _ZIGZAG)
+        + b"\x01" + bytes(_JPEG_QTABLE_C[i] for i in _ZIGZAG),
+    )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, sf, tq in ((1, samp[0], 0), (2, samp[1], 1), (3, samp[2], 1)):
+        sof += bytes((cid, sf, tq))
+    out += seg(0xFFC0, sof)
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+        + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
+    )
+    # SOS: 3 components, Y -> tables 0/0, Cb/Cr -> tables 1/1
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_decode_rgb(buf: bytes):
+    """Decode a baseline JPEG (1- or 3-component) to an h x w x 3
+    uint8 RGB numpy raster.
+
+    Marker walk as in :func:`jpeg_decode_gray`, generalized:
+    multiple quant/Huffman tables, a 3-component SOF0 with sampling
+    factors of either all 1x1 (4:4:4) or luma 2x2 + chroma 1x1
+    (4:2:0), interleaved MCU entropy decode (per MCU each component
+    contributes H*V blocks in raster order, T.81 A.2.3), independent
+    per-component DC predictors, nearest-neighbor chroma upsample,
+    and the JFIF fixed-point integer YCbCr->RGB conversion
+    (:func:`_ycc_to_rgb_int`). A grayscale stream decodes via
+    :func:`jpeg_decode_gray` and replicates the channel. Everything
+    else (progressive, arithmetic, other samplings, 12-bit) raises
+    :class:`UnsupportedJpegError` loudly."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (td, ta)
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        if pos + 1 >= len(buf):
+            raise ValueError("truncated marker")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before SOS")
+        if pos + 2 > len(buf):
+            raise ValueError("truncated segment length")
+        (ln,) = struct.unpack_from(">H", buf, pos)
+        if ln < 2 or pos + ln > len(buf):
+            raise ValueError("truncated marker segment")
+        body = buf[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise UnsupportedJpegError(
+                        "16-bit quant tables unsupported"
+                    )
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
+                zz = list(body[b + 1 : b + 65])
+                tab = [0] * 64
+                for i, idx in enumerate(_ZIGZAG):
+                    tab[idx] = zz[i]
+                qtables[tq] = tab
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF0 segment")
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc not in (1, 3):
+                raise UnsupportedJpegError(
+                    "only 8-bit 1- or 3-component supported"
+                )
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 component specs")
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hs, vs = body[7 + 3 * c] >> 4, body[7 + 3 * c] & 0x0F
+                comps.append((cid, hs, vs, body[8 + 3 * c]))
+            samps = [(hs, vs) for _, hs, vs, _ in comps]
+            if nc == 1:
+                if samps != [(1, 1)]:
+                    raise UnsupportedJpegError("subsampling unsupported")
+            elif samps not in (
+                [(1, 1), (1, 1), (1, 1)],  # 4:4:4
+                [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+            ):
+                raise UnsupportedJpegError(
+                    "only 4:4:4 and 4:2:0 sampling supported"
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedJpegError(
+                "only baseline sequential (SOF0) supported"
+            )
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                if b + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment")
+                vals = list(body[b + 17 : b + 17 + n])
+                htables[(tc, th)] = _huff_decoder(bits, vals)
+                b += 17 + n
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise UnsupportedJpegError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if len(body) < 1:
+                raise ValueError("truncated SOS segment")
+            ns = body[0]
+            if ns != len(comps) or len(body) < 1 + 2 * ns + 3:
+                raise ValueError("SOS component count mismatch")
+            for c in range(ns):
+                cs = body[1 + 2 * c]
+                scan_tabs[cs] = (
+                    body[2 + 2 * c] >> 4,
+                    body[2 + 2 * c] & 0x0F,
+                )
+            pos += ln
+            break
+        pos += ln
+    else:
+        raise ValueError("no SOS marker")
+    if h is None or not comps:
+        raise ValueError("no SOF0 before SOS")
+    for cid, _, _, tq in comps:
+        if cid not in scan_tabs:
+            raise ValueError("SOS missing a SOF0 component")
+        td, ta = scan_tabs[cid]
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError("SOS references a missing Huffman table")
+        if tq not in qtables:
+            raise ValueError("SOF0 references a missing quant table")
+
+    C = _dct_matrix()
+
+    def read_symbol(br: _BitReader, tab: dict) -> int:
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | br.read_bit()
+            ln += 1
+            if (ln, code) in tab:
+                return tab[(ln, code)]
+            if ln > 16:
+                raise ValueError("invalid Huffman stream")
+
+    def decode_block(br, dc_tab, ac_tab, q, pred: int):
+        zz = [0] * 64
+        size = read_symbol(br, dc_tab)
+        pred += _extend(br.read_bits(size), size)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = read_symbol(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(br.read_bits(s), s)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        for i, idx in enumerate(_ZIGZAG):
+            coef[idx] = zz[i]
+        blk = C.T @ (coef.reshape(8, 8) * q) @ C
+        # +1e-9: the float IDCT of a DC-only block computes
+        # dc*q00*(0.5/sqrt2)^2*... a few ULPs BELOW the exact
+        # rational (e.g. chroma q00=17 -> true pixel offsets in
+        # eighths, 110.5 computes as 110.49999999999999), so a bare
+        # floor(x+0.5) rounds half-values down nondeterministically
+        # vs exact integer arithmetic. True values are always
+        # multiples of 1/8 here and T.81 tolerates IDCT
+        # approximation, so a fixed 1e-9 bias pins round-half-up
+        # exactly without ever crossing a non-half boundary.
+        px = np.clip(np.floor(blk + 128.0 + 0.5 + 1e-9), 0, 255)
+        return px.astype(np.uint8), pred
+
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    nmx = (w + 8 * hmax - 1) // (8 * hmax)
+    nmy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    qs = []
+    tabs = []
+    for cid, hs, vs, tq in comps:
+        planes.append(
+            np.zeros((nmy * vs * 8, nmx * hs * 8), dtype=np.uint8)
+        )
+        qs.append(np.array(qtables[tq], dtype=np.float64).reshape(8, 8))
+        td, ta = scan_tabs[cid]
+        tabs.append((htables[(0, td)], htables[(1, ta)]))
+    br = _BitReader(buf, pos)
+    preds = [0] * len(comps)
+    for my in range(nmy):
+        for mx in range(nmx):
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                for v in range(vs):
+                    for u in range(hs):
+                        px, preds[ci] = decode_block(
+                            br, tabs[ci][0], tabs[ci][1], qs[ci],
+                            preds[ci],
+                        )
+                        by, bx = my * vs + v, mx * hs + u
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = px
+
+    if len(comps) == 1:
+        g = planes[0][:h, :w]
+        return np.stack([g, g, g], axis=2)
+    yp = planes[0][:h, :w]
+    if comps[0][1] == 2:  # 4:2:0 -> nearest 2x2 chroma upsample
+        cb = planes[1].repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        cr = planes[2].repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+    else:
+        cb, cr = planes[1][:h, :w], planes[2][:h, :w]
+    # vectorized _ycc_to_rgb_int (same integer formula, numpy int64)
+    yi = yp.astype(np.int64)
+    cx = cb.astype(np.int64) - 128
+    cy = cr.astype(np.int64) - 128
+
+    def fx(num):
+        return (num + 32768 + _YCC_OFF) // 65536 - 512
+
+    r = np.clip(yi + fx(_YCC_R_CR * cy), 0, 255)
+    g = np.clip(yi + fx(-_YCC_G_CB * cx - _YCC_G_CR * cy), 0, 255)
+    b = np.clip(yi + fx(_YCC_B_CB * cx), 0, 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def _jpeg_color_value(kind: str, mx: int, my: int, doc_id: int) -> int:
+    """Closed-form plane values the color-decode oracle mirrors:
+    luma is flat per 8x8 block (same form as the grayscale fixture),
+    chroma is flat per 16x16 MACROBLOCK — so the 4:2:0 chroma block
+    and the four co-located 4:4:4 chroma blocks carry the same
+    value, making the decoded RGB raster identical in both modes."""
+    if kind == "y":
+        return (mx * 37 + my * 59 + doc_id * 13) % 256
+    if kind == "cb":
+        return (mx * 31 + my * 17 + doc_id * 7) % 256
+    return (mx * 13 + my * 41 + doc_id * 11) % 256
+
+
+def jpeg_color_bytes(doc_id: int) -> bytes:
+    """Deterministic COLOR JPEG: w=16*(1+id%3), h=16*(1+id%2); luma
+    flat per 8x8 block, chroma flat per macroblock; chroma
+    subsampling alternates per doc (even id//4 -> 4:2:0, odd ->
+    4:4:4) so ONE query exercises both interleaved-MCU layouts while
+    the oracle stays mode-independent (see _jpeg_color_value)."""
+    import numpy as np
+
+    w, h = 16 * (1 + doc_id % 3), 16 * (1 + doc_id % 2)
+    mode = "420" if (doc_id // 4) % 2 == 0 else "444"
+    yp = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            yp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _jpeg_color_value("y", bx, by, doc_id)
+            )
+    cbm = np.zeros((h // 16, w // 16), dtype=np.uint8)
+    crm = np.zeros((h // 16, w // 16), dtype=np.uint8)
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            cbm[my, mx] = _jpeg_color_value("cb", mx, my, doc_id)
+            crm[my, mx] = _jpeg_color_value("cr", mx, my, doc_id)
+    rep = 8 if mode == "420" else 16
+    cb = cbm.repeat(rep, axis=0).repeat(rep, axis=1)
+    cr = crm.repeat(rep, axis=0).repeat(rep, axis=1)
+    return jpeg_encode_ycbcr(yp, cb, cr, mode)
+
+
+JPEG_COLOR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("pos_checksum", LongType()),
+    ]
+)
+
+
+def synthesize_jpeg_color(
+    docs: DataFrame, every: int = 4, phase: int = 3
+) -> DataFrame:
+    """(doc_id, payload) of real color JPEGs for doc_id % every == phase."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"] if d % every == phase]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [jpeg_color_bytes(d) for d in ids]}
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+def jpeg_color_decode_features(media: DataFrame) -> DataFrame:
+    """REAL color decode: full 3-component baseline JPEG (interleaved
+    Huffman + dequant + IDCT + chroma upsample + fixed-point
+    YCbCr->RGB) per payload; exact integer channel sums and the
+    position-weighted checksum over the DECODED RGB raster — wrong
+    MCU interleave order, chroma table routing, upsample alignment,
+    or RGB conversion constants all break the checksum."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in JPEG_COLOR_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = jpeg_decode_rgb(bytes(payload))
+                h, w, _ = rgb.shape
+                weight = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                chan_sum = rgb.sum(axis=2, dtype=np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(rgb[:, :, 0].sum(dtype=np.int64)))
+                rows["sum_g"].append(int(rgb[:, :, 1].sum(dtype=np.int64)))
+                rows["sum_b"].append(int(rgb[:, :, 2].sum(dtype=np.int64)))
+                rows["pos_checksum"].append(int((weight * chan_sum).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, JPEG_COLOR_SCHEMA)

@@ -512,10 +512,11 @@ class TestJpegCodec:
         with _pytest.raises(ValueError, match="missing Huffman"):
             jpeg_decode_gray(bytes(buf))
 
-    def test_color_jpeg_routes_to_environment_guard(self):
-        """ADVICE r6: a valid-but-unsupported variant (3-component
-        color SOF0) is an UnsupportedJpegError from the decoder and
-        the documented NotImplementedError guard from decode_image."""
+    def test_progressive_jpeg_routes_to_environment_guard(self):
+        """ADVICE r6 (updated r8: color is now DECODED, not gated):
+        a valid-but-unsupported variant (progressive SOF2) is an
+        UnsupportedJpegError from BOTH vendored decoders and the
+        documented NotImplementedError guard from decode_image."""
         import pytest as _pytest
 
         from concurrent_etl_spark.operators.multimodal import (
@@ -524,13 +525,230 @@ class TestJpegCodec:
             decode_image,
             jpeg_bytes,
             jpeg_decode_gray,
+            jpeg_decode_rgb,
         )
 
         buf = bytearray(jpeg_bytes(3))
         i = bytes(buf).index(b"\xff\xc0")
-        buf[i + 9] = 3  # SOF0 component count: body[5] = nc
-        with _pytest.raises(UnsupportedJpegError, match="single-component"):
+        buf[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        with _pytest.raises(UnsupportedJpegError, match="baseline"):
             jpeg_decode_gray(bytes(buf))
+        with _pytest.raises(UnsupportedJpegError, match="baseline"):
+            jpeg_decode_rgb(bytes(buf))
         if not _pil_available():
             with _pytest.raises(NotImplementedError, match="variant"):
                 decode_image(bytes(buf))
+
+
+class TestJpegColorCodec:
+    """3-component baseline JPEG (4:4:4 + 4:2:0) round trips."""
+
+    def _planes(self, doc_id, mode):
+        import numpy as np
+
+        from concurrent_etl_spark.operators.multimodal import (
+            _jpeg_color_value,
+        )
+
+        w, h = 16 * (1 + doc_id % 3), 16 * (1 + doc_id % 2)
+        yp = np.zeros((h, w), dtype=np.uint8)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                yp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _jpeg_color_value("y", bx, by, doc_id)
+                )
+        cbm = np.zeros((h // 16, w // 16), dtype=np.uint8)
+        crm = np.zeros((h // 16, w // 16), dtype=np.uint8)
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                cbm[my, mx] = _jpeg_color_value("cb", mx, my, doc_id)
+                crm[my, mx] = _jpeg_color_value("cr", mx, my, doc_id)
+        rep = 8 if mode == "420" else 16
+        return (
+            yp,
+            cbm.repeat(rep, 0).repeat(rep, 1),
+            crm.repeat(rep, 0).repeat(rep, 1),
+        )
+
+    def test_both_subsamplings_decode_identically(self):
+        """Chroma constant per macroblock => the 4:2:0 and 4:4:4
+        encodings of the same image decode to the SAME RGB raster —
+        the interleave-layout invariance the oracle relies on."""
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_decode_rgb,
+            jpeg_encode_ycbcr,
+        )
+
+        for doc_id in (0, 1, 5, 17, 111):
+            rasters = []
+            for mode in ("444", "420"):
+                yp, cb, cr = self._planes(doc_id, mode)
+                rasters.append(
+                    jpeg_decode_rgb(jpeg_encode_ycbcr(yp, cb, cr, mode))
+                )
+            assert rasters[0].shape == yp.shape + (3,)
+            assert (rasters[0] == rasters[1]).all()
+
+    def test_fixture_matches_integer_closed_form(self):
+        """Decoded RGB equals the exact-integer closed form the
+        DuckDB oracle evaluates (quantizer floors + fixed-point
+        YCbCr->RGB), for every block of a mixed-mode doc sample."""
+        from concurrent_etl_spark.operators.multimodal import (
+            _jpeg_color_value,
+            jpeg_color_bytes,
+            jpeg_decode_rgb,
+        )
+
+        OFF = 512 * 65536
+
+        def fx(n):
+            return (n + 32768 + OFF) // 65536 - 512
+
+        def crec(c):
+            q = (16 * c + 2321) // 34 - 128
+            return min(255, max(0, (17 * q + 1028) // 8))
+
+        for doc_id in (3, 7, 11, 19, 110, 111):
+            rgb = jpeg_decode_rgb(jpeg_color_bytes(doc_id))
+            h, w, _ = rgb.shape
+            assert (w, h) == (16 * (1 + doc_id % 3), 16 * (1 + doc_id % 2))
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    yv = min(
+                        255,
+                        max(
+                            0,
+                            128
+                            + 2
+                            * (
+                                (_jpeg_color_value("y", bx, by, doc_id) + 129)
+                                // 2
+                                - 128
+                            ),
+                        ),
+                    )
+                    cbv = crec(_jpeg_color_value("cb", bx // 2, by // 2, doc_id))
+                    crv = crec(_jpeg_color_value("cr", bx // 2, by // 2, doc_id))
+                    exp = (
+                        min(255, max(0, yv + fx(91881 * (crv - 128)))),
+                        min(
+                            255,
+                            max(
+                                0,
+                                yv
+                                + fx(
+                                    -22554 * (cbv - 128) - 46802 * (crv - 128)
+                                ),
+                            ),
+                        ),
+                        min(255, max(0, yv + fx(116130 * (cbv - 128)))),
+                    )
+                    block = rgb[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    got = tuple(int(block[0, 0, i]) for i in range(3))
+                    assert got == exp, (doc_id, bx, by, got, exp)
+                    for i in range(3):
+                        assert (block[:, :, i] == got[i]).all()
+
+    def test_gradient_color_roundtrip_vs_reference(self):
+        """General AC path in color: a gradient YCbCr image (nonzero
+        AC coefficients in all three components) decodes to the same
+        raster as an independent numpy reconstruction of the
+        quantized stream (forward DCT + quantize + dequant + IDCT +
+        the same rounding + the same fixed-point RGB)."""
+        import numpy as np
+
+        from concurrent_etl_spark.operators.multimodal import (
+            _dct_matrix,
+            _JPEG_QTABLE,
+            _JPEG_QTABLE_C,
+            jpeg_decode_rgb,
+            jpeg_encode_ycbcr,
+        )
+
+        rng_free = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
+        yp = ((rng_free * 7) % 256).astype(np.uint8)
+        cb = ((rng_free // 3 + 40) % 256).astype(np.uint8)
+        cr = ((rng_free[::-1, ::-1] // 2 + 90) % 256).astype(np.uint8)
+        buf = jpeg_encode_ycbcr(yp, cb, cr, "444")
+        got = jpeg_decode_rgb(buf)
+
+        C = _dct_matrix()
+
+        def recon(plane, qtab):
+            q = np.array(qtab, dtype=np.int64).reshape(8, 8)
+            out = np.zeros_like(plane)
+            for by in range(plane.shape[0] // 8):
+                for bx in range(plane.shape[1] // 8):
+                    blk = plane[
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ].astype(np.float64) - 128.0
+                    coef = C @ blk @ C.T
+                    ci = np.floor(np.abs(coef) + 0.5).astype(
+                        np.int64
+                    ) * np.sign(coef).astype(np.int64)
+                    quant = (2 * ci + q) // (2 * q)
+                    rec = C.T @ (quant * q).astype(np.float64) @ C
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.floor(rec + 128.5 + 1e-9), 0, 255
+                    ).astype(np.uint8)
+            return out
+
+        ydec = recon(yp, _JPEG_QTABLE)
+        cbdec = recon(cb, _JPEG_QTABLE_C)
+        crdec = recon(cr, _JPEG_QTABLE_C)
+        yi = ydec.astype(np.int64)
+        cx = cbdec.astype(np.int64) - 128
+        cy = crdec.astype(np.int64) - 128
+        OFF = 512 * 65536
+
+        def fx(n):
+            return (n + 32768 + OFF) // 65536 - 512
+
+        exp = np.stack(
+            [
+                np.clip(yi + fx(91881 * cy), 0, 255),
+                np.clip(yi + fx(-22554 * cx - 46802 * cy), 0, 255),
+                np.clip(yi + fx(116130 * cx), 0, 255),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        assert (got == exp).all()
+
+    def test_decode_image_routes_color_without_pil(self):
+        from concurrent_etl_spark.operators.multimodal import (
+            _pil_available,
+            decode_image,
+            jpeg_color_bytes,
+            jpeg_decode_rgb,
+        )
+
+        if _pil_available():
+            return
+        buf = jpeg_color_bytes(7)
+        h, w, mode, raw = decode_image(buf)
+        rgb = jpeg_decode_rgb(buf)
+        assert (h, w, mode) == (rgb.shape[0], rgb.shape[1], "RGB")
+        assert raw == rgb.tobytes()
+
+    def test_color_error_surface(self):
+        import pytest as _pytest
+
+        from concurrent_etl_spark.operators.multimodal import (
+            UnsupportedJpegError,
+            jpeg_color_bytes,
+            jpeg_decode_rgb,
+        )
+
+        with _pytest.raises(ValueError, match="SOI"):
+            jpeg_decode_rgb(b"not a jpeg")
+        buf = bytearray(jpeg_color_bytes(3))
+        # truncate inside the entropy stream
+        with _pytest.raises(ValueError, match="truncated"):
+            jpeg_decode_rgb(bytes(buf[:-20]))
+        # unsupported sampling: luma 2x1
+        i = bytes(buf).index(b"\xff\xc0")
+        sof_comp0_sampling = i + 2 + 2 + 6 + 1  # marker+len+prec/h/w/nc, id
+        assert buf[sof_comp0_sampling] in (0x11, 0x22)
+        buf[sof_comp0_sampling] = 0x21
+        with _pytest.raises(UnsupportedJpegError, match="sampling"):
+            jpeg_decode_rgb(bytes(buf))
