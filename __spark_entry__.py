@@ -25,6 +25,7 @@ from concurrent_etl_spark import queries_llm4  # noqa: F401 — registers querie
 from concurrent_etl_spark import queries_llm5  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_llm6  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_llm7  # noqa: F401 — registers queries
+from concurrent_etl_spark import queries_llm8  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_mining  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_mining2  # noqa: F401 — registers queries
 from concurrent_etl_spark import queries_relational2  # noqa: F401 — registers queries
@@ -216,6 +217,7 @@ _CHECK_FIRST = [
     "image_jpeg_decode",
     "image_jpeg_color_decode",
     "unicode_casefold_dedup",
+    "dedup_simhash64",
 ]
 
 #: Re-verification tier (VERDICT r7 item 4). Every name below is

@@ -487,6 +487,112 @@ def simhash_pairs(
     )
 
 
+SIMHASH64_BITS = 60  #: 15 md5 hex chars — exact in signed bigint on both engines
+SIMHASH64_BANDS = 4  #: 15-bit bands; hamming<=3 + pigeonhole => >=1 band agrees
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc 60-bit SimHash fingerprint (bigint).
+
+    Why a second width exists: the Heaps'-law corpus (SCALE.md §11e)
+    showed the 32-bit fingerprint SATURATING on realistic Zipf text —
+    short lognormal docs share the stopword head, so ~1% of ALL doc
+    pairs land within Hamming 3 and the pair set is quadratic by
+    construction. At 60 bits the hamming<=3 ball occupies 2^-60 *
+    (C(60,0..3)) ≈ 3e-14 of fingerprint space; only genuinely
+    near-identical docs collide, and pair counts track the true
+    duplicate structure linearly. 60 bits (15 md5 hex chars), not 64,
+    so the value and every shift stay exact NON-NEGATIVE signed-64
+    arithmetic in both Spark and DuckDB — no unsigned/overflow edge.
+
+    Plan shape improves on :func:`simhash` too: instead of exploding
+    tokens x bit positions (a bits-fold row expansion), this runs ONE
+    groupBy(doc_id) carrying 60 literal-unrolled CASE sums — map-side
+    combinable, no second explode, whole-stage codegen keeps all 60
+    in one pass over the token rows. Bit extraction is shiftright
+    (exact integer op; the 32-bit version's floor(h / 2^b) double
+    trick does not survive 60-bit magnitudes).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(ascii_fold(F.col(text_col)))).alias("tok")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    )
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH64_BITS)
+        ]
+    )
+    fp = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+                for b in range(SIMHASH64_BITS)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
+    )
+    return fp
+
+
+def simhash64_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by 60-bit SimHash: 15-bit-band candidates, exact verify.
+
+    Pigeonhole: hamming <= 3 over 4 disjoint 15-bit bands => >=1 band
+    agrees, so the bucket join on (band_idx, band_val) is a complete
+    candidate generator. Bands are 32768-ary (vs the 32-bit version's
+    256-ary bytes), so random-collision bucket sizes shrink by 128x
+    on top of the fingerprint no longer saturating.
+    """
+    width = SIMHASH64_BITS // SIMHASH64_BANDS
+    fp = simhash64(docs, text_col)
+    bands_df = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), k * width)
+                    % F.lit(1 << width)
+                    for k in range(SIMHASH64_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    ).persist()
+    a = bands_df.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands_df.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band_idx",
+        "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def span_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,96 @@
+"""Round-8 tranche: operators the Heaps'-law corpus proved necessary.
+
+The realistic-corpus gate (tools/make_heaps_data.py, SCALE.md §11e)
+measures the pair emitters on Zipf text with log-normal lengths and
+a planted 5% duplicate structure — the corpus shape the sf-scaled
+fixture family cannot produce. Its first finding: the 32-bit SimHash
+fingerprint SATURATES on realistic text (~1% of ALL doc pairs within
+Hamming 3 at 5k docs — the pair set is quadratic by construction,
+because short docs share the Zipf stopword head). The scale fix is a
+wider fingerprint, added here as a first-class operator rather than
+a parameter tweak, because the width changes the bit-extraction
+arithmetic (60-bit magnitudes break the floor(h / 2^b) double trick)
+and the aggregation plan (one 60-column groupBy replaces the
+tokens x bits explode).
+
+Reference parity: none (the reference has no text surface —
+SURVEY §2.4); this extends the beyond-reference dedup family.
+
+House determinism rules as ever: md5-derived integer hashes, exact
+integer shifts on both engines, no floats in any grouped key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from concurrent_etl_spark.catalog import query
+from concurrent_etl_spark.engine import load_table
+from concurrent_etl_spark.operators import dedup as D
+from concurrent_etl_spark.queries_llm import _CORPUS_NEAR, _FOLD, _tok
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+_S64_BITS = D.SIMHASH64_BITS
+_S64_BANDS = D.SIMHASH64_BANDS
+_S64_WIDTH = _S64_BITS // _S64_BANDS
+
+#: 60 per-bit sign sums in ONE grouped aggregate (mirrors the Spark
+#: plan exactly: no bits-fold row expansion on either engine).
+_S64_SUMS = ",\n             ".join(
+    f"SUM(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(_S64_BITS)
+)
+_S64_FP = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+    for b in range(_S64_BITS)
+)
+_S64_BAND_VALS = ", ".join(
+    f"((simhash >> {k * _S64_WIDTH}) % {1 << _S64_WIDTH})"
+    for k in range(_S64_BANDS)
+)
+
+
+@query(
+    "dedup_simhash64",
+    oracle=f"""
+    WITH {_CORPUS_NEAR},
+    tok AS (SELECT doc_id, unnest({_tok(_FOLD)}) AS t FROM corpus),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+    sums AS (SELECT doc_id,
+             {_S64_SUMS}
+             FROM h GROUP BY doc_id),
+    fp AS MATERIALIZED (SELECT doc_id, {_S64_FP} AS simhash FROM sums),
+    bands AS MATERIALIZED (
+      SELECT doc_id, simhash, k.band_idx,
+             ([{_S64_BAND_VALS}])[k.band_idx + 1] AS band_val
+      FROM fp CROSS JOIN (SELECT unnest(range(0, {_S64_BANDS})) AS band_idx) k),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+)
+def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup at 60 bits: 15-bit-band Hamming-LSH.
+
+    The saturation fix for :func:`q_dedup_simhash` (SCALE.md §11e):
+    at 32 bits the hamming<=3 ball covers ~1.3e-6 of fingerprint
+    space and realistic short docs collide en masse; at 60 bits it
+    covers ~3e-14 and only true near-duplicates pair. Pigeonhole
+    still holds: hamming <= 3 over 4 disjoint 15-bit bands => >=1
+    band agrees, so the band-bucket join is a complete candidate
+    generator — never a cross join.
+    """
+    pairs = D.simhash64_pairs(
+        D.with_injected_near_dups(_docs(spark, sf_dir)), max_hamming=3
+    )
+    return pairs.withColumn("hamming", F.col("hamming").cast("int"))

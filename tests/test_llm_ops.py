@@ -93,6 +93,49 @@ class TestSimHash:
         assert pairs[(0, 1)] == 0
 
 
+class TestSimHash64:
+    def test_fingerprint_in_60_bits(self, docs):
+        fps = [r["simhash"] for r in D.simhash64(docs).collect()]
+        assert all(0 <= f < 2**60 for f in fps)
+
+    def test_identical_docs_same_fingerprint(self, docs):
+        fp = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+        assert fp[0] == fp[1]
+
+    def test_pairs_find_exact_dup_reject_unrelated(self, docs):
+        pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+                 for r in D.simhash64_pairs(docs, max_hamming=3).collect()}
+        assert pairs[(0, 1)] == 0
+        assert (0, 3) not in pairs
+
+    def test_band_join_complete_vs_brute_force(self, docs):
+        # pigeonhole completeness: every pair within hamming<=3 of the
+        # BRUTE-FORCE fingerprint cross must be emitted by the band join
+        fp = {r["doc_id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+        ids = sorted(fp)
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(fp[a] ^ fp[b]).count("1") <= 3
+        }
+        got = {(r["doc_a"], r["doc_b"])
+               for r in D.simhash64_pairs(docs, max_hamming=3).collect()}
+        assert got == want
+
+    def test_less_saturated_than_32_bit(self, spark):
+        # the Heaps-corpus finding in miniature: short docs sharing a
+        # stopword head collide at 32 bits, separate at 60
+        rows = [
+            (i, f"the of and to in w{i}a w{i}b w{i}c w{i}d w{i}e")
+            for i in range(30)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        n32 = D.simhash_pairs(docs, max_hamming=3).count()
+        n64 = D.simhash64_pairs(docs, max_hamming=3).count()
+        assert n64 <= n32
+
+
 class TestSimilarity:
     def test_hyperplanes_deterministic(self):
         a, b = S.hyperplanes(), S.hyperplanes()
