@@ -218,6 +218,7 @@ _CHECK_FIRST = [
     "image_jpeg_color_decode",
     "unicode_casefold_dedup",
     "dedup_simhash64",
+    "image_jpeg_progressive_decode",
 ]
 
 #: Re-verification tier (VERDICT r7 item 4). Every name below is

@@ -111,10 +111,11 @@ def decode_image(payload: bytes) -> object:
         # malformed/truncated streams raise ValueError (a data
         # error wherever it runs); grayscale decodes via the
         # single-component fast path, 3-component baseline (4:4:4
-        # and 4:2:0 YCbCr) via the color decoder, and only the
-        # genuinely exotic variants (progressive, arithmetic,
-        # 12-bit, other samplings) re-raise the environment guard —
-        # PIL decodes those fine
+        # and 4:2:0 YCbCr) via the color decoder (which hands SOF2
+        # streams to the progressive multi-scan decoder), and only
+        # the genuinely exotic variants (arithmetic coding, 12-bit,
+        # other samplings) re-raise the environment guard — PIL
+        # decodes those fine
         try:
             px = jpeg_decode_gray(buf)
             return (px.shape[0], px.shape[1], "L", px.tobytes())
@@ -2148,10 +2149,13 @@ def jpeg_decode_rgb(buf: bytes):
                 raise UnsupportedJpegError(
                     "only 4:4:4 and 4:2:0 sampling supported"
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+        elif marker == 0xC2:  # SOF2: hand the whole stream to the
+            # progressive decoder (same reconstruction pipeline)
+            return jpeg_decode_progressive(buf)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedJpegError(
-                "only baseline sequential (SOF0) supported"
+                "only baseline sequential and progressive supported"
             )
         elif marker == 0xC4:  # DHT
             b = 0
@@ -2299,6 +2303,661 @@ def jpeg_decode_rgb(buf: bytes):
     return np.stack([r, g, b], axis=2).astype(np.uint8)
 
 
+# --- progressive DCT (SOF2) ------------------------------------------------
+#
+# The last JPEG mode real crawls contain in volume (libjpeg's default
+# web encoding for years): the same quantized coefficients as
+# baseline, delivered across MULTIPLE scans — spectral selection
+# (each scan carries one zigzag band) and successive approximation
+# (each scan carries one more magnitude bit). Entropy semantics per
+# ITU-T T.81 G.1/G.2: DC first scans code point-transformed diffs,
+# DC refinement scans are raw bits, AC first scans add EOBn run
+# codes (an End-Of-Band run spanning up to 32767 blocks), and AC
+# refinement scans interleave newly-nonzero (run, ±1) codes with
+# buffered correction bits for already-nonzero history. Because the
+# entropy layer is lossless, decode(progressive(x)) must be
+# BIT-IDENTICAL to decode(baseline(x)) — which is exactly how the
+# tests pin this decoder against the already-oracle-verified
+# baseline path (tests/test_multimodal_codecs.py).
+
+
+#: progressive AC Huffman table: the Annex-K sequential AC tables do
+#: NOT contain the EOBn symbols (0x10..0xE0 — run-of-EOB length
+#: categories) progressive AC scans require, so the progressive
+#: encoder writes its own canonical table carrying ALL 256 symbols
+#: (128 at 8 bits + 128 at 9 bits; Kraft sum 0.75 < 1, so the
+#: canonical construction is valid). Compression is deliberately
+#: not the point — completeness and decoder coverage are; the
+#: decoder always rebuilds whatever table the DHT carries.
+_JPEG_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PROG_AC_VALS = list(range(256))
+
+
+def _jpeg_quantize_planes(planes, qs):
+    """Quantized zigzag coefficient grids for whole planes.
+
+    Returns per component an int array (by, bx, 64) in ZIGZAG order,
+    using the exact rounding pipeline of :func:`_jpeg_encode_block`
+    (float DCT, round-half-away to integer, round-half-up quantize in
+    exact integer arithmetic) so progressive and baseline encodings
+    of the same raster carry identical coefficients."""
+    import numpy as np
+
+    C = _dct_matrix()
+    out = []
+    for plane, q in zip(planes, qs):
+        h, w = plane.shape
+        grid = np.zeros((h // 8, w // 8, 64), dtype=np.int64)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = plane[
+                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                ].astype(np.float64) - 128.0
+                coef = C @ blk @ C.T
+                ci = np.floor(np.abs(coef) + 0.5).astype(np.int64) * np.sign(
+                    coef
+                ).astype(np.int64)
+                quant = (2 * ci + q) // (2 * q)
+                grid[by, bx] = [int(quant.flat[i]) for i in _ZIGZAG]
+        out.append(grid)
+    return out
+
+
+def _ac_point_transform(v: int, al: int) -> int:
+    """AC successive-approximation point transform: divide by 2^Al
+    truncating toward ZERO (T.81 G.1.2.2 — NOT an arithmetic shift;
+    DC uses the arithmetic shift, AC uses this)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _enc_ac_first(bw, blocks, act, ss: int, se: int, al: int) -> None:
+    """AC first scan (Ah=0) for one component's blocks, T.81 G.1.2.2:
+    in-band RLE with ZRL, End-Of-Band RUNS accumulated across blocks
+    and coded as EOBn = ((n)<<4)|0 plus n appended bits."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, ln = act[n << 4]
+            bw.write(code, ln)
+            bw.write(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for zz in blocks:
+        band = [_ac_point_transform(int(zz[k]), al) for k in range(64)]
+        last = max((k for k in range(ss, se + 1) if band[k]), default=None)
+        if last is None:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for k in range(ss, last + 1):
+            v = band[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            size, bits = _magnitude_bits(v)
+            code, ln = act[(run << 4) | size]
+            bw.write(code, ln)
+            bw.write(bits, size)
+            run = 0
+        if last < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(bw, blocks, act, ss: int, se: int, al: int) -> None:
+    """AC refinement scan (Ah=Al+1), T.81 G.1.2.3: newly-nonzero
+    coefficients are (zero-history-run, ±1) codes; history
+    coefficients contribute one correction bit each, buffered and
+    emitted after the covering symbol (including across EOB runs)."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits buffered across an EOB run
+
+    def flush() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, ln = act[n << 4]
+            bw.write(code, ln)
+            bw.write(eobrun - (1 << n), n)
+            eobrun = 0
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+
+    for zz in blocks:
+        newly = [
+            k
+            for k in range(ss, se + 1)
+            if abs(int(zz[k])) >> al == 1
+        ]
+        last_new = max(newly, default=None)
+        if last_new is None:
+            for k in range(ss, se + 1):
+                if abs(int(zz[k])) >> (al + 1):
+                    pending.append((abs(int(zz[k])) >> al) & 1)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        corr: list[int] = []
+        for k in range(ss, last_new + 1):
+            v = int(zz[k])
+            a = abs(v) >> al
+            if a == 0:
+                run += 1
+            elif a == 1:
+                while run > 15:
+                    code, ln = act[0xF0]
+                    bw.write(code, ln)
+                    for b in corr:
+                        bw.write(b, 1)
+                    corr = []
+                    run -= 16
+                code, ln = act[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if v > 0 else 0, 1)
+                for b in corr:
+                    bw.write(b, 1)
+                corr = []
+                run = 0
+            else:
+                corr.append(a & 1)
+        # corr is empty here: the k == last_new iteration flushed it
+        if last_new < se:
+            for k in range(last_new + 1, se + 1):
+                if abs(int(zz[k])) >> (al + 1):
+                    pending.append((abs(int(zz[k])) >> al) & 1)
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _jpeg_encode_progressive(planes, qtabs, samp, hufftabs) -> bytes:
+    """Shared progressive (SOF2) encoder over 1 or 3 planes.
+
+    Scan script (the libjpeg-style shape, exercising every
+    progressive decode path): interleaved DC first at Al=1, DC
+    refinement to Al=0, per-component AC bands 1-5 then 6-63 at
+    Al=1, per-component AC refinement 1-63 to Al=0."""
+    import struct
+
+    import numpy as np
+
+    ncomp = len(planes)
+    qs = [np.array(q, dtype=np.int64).reshape(8, 8) for q in qtabs]
+    grids = _jpeg_quantize_planes(planes, qs)
+    nmx = grids[0].shape[1] // samp[0][0]
+    nmy = grids[0].shape[0] // samp[0][1]
+    for g, (hs, vs) in zip(grids, samp):
+        if g.shape[0] != nmy * vs or g.shape[1] != nmx * hs:
+            raise ValueError("fixture planes must fill whole MCUs")
+
+    scans: list[bytes] = []
+
+    def sos(comps_in_scan, ss, se, ah, al, body_bits) -> None:
+        # DC tables: luma 0 / chroma 1 (Annex K); AC: the shared
+        # progressive table 0 (see _JPEG_PROG_AC_BITS)
+        hdr = bytes([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            td = 1 if (ci and ncomp == 3) else 0
+            hdr += bytes([ci + 1, (td << 4) | 0])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        scans.append(
+            struct.pack(">HH", 0xFFDA, len(hdr) + 2) + hdr + body_bits
+        )
+
+    dc_codes = [hufftabs[(0, 1 if (ci and ncomp == 3) else 0)] for ci in range(ncomp)]
+    ac_prog = _huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    ac_codes = [ac_prog] * ncomp
+
+    # scan 1: DC first, interleaved, Al=1 (diffs of dc >> 1, T.81 G.1.2.1:
+    # the DC point transform is an ARITHMETIC shift, unlike AC)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for my in range(nmy):
+        for mx in range(nmx):
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                for v in range(vs):
+                    for u in range(hs):
+                        dc = int(grids[ci][my * vs + v, mx * hs + u, 0]) >> 1
+                        size, bits = _magnitude_bits(dc - pred[ci])
+                        code, ln = dc_codes[ci][size]
+                        bw.write(code, ln)
+                        if size:
+                            bw.write(bits, size)
+                        pred[ci] = dc
+    sos(list(range(ncomp)), 0, 0, 0, 1, bw.flush())
+
+    # scans 2..: AC bands per component at Al=1
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            bw = _BitWriter()
+            blocks = grids[ci].reshape(-1, 64)
+            _enc_ac_first(bw, blocks, ac_codes[ci], ss, se, 1)
+            sos([ci], ss, se, 0, 1, bw.flush())
+
+    # DC refinement to Al=0: one raw bit per block, interleaved
+    bw = _BitWriter()
+    for my in range(nmy):
+        for mx in range(nmx):
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                for v in range(vs):
+                    for u in range(hs):
+                        bw.write(int(grids[ci][my * vs + v, mx * hs + u, 0]) & 1, 1)
+    sos(list(range(ncomp)), 0, 0, 1, 0, bw.flush())
+
+    # AC refinement per component to Al=0
+    for ci in range(ncomp):
+        bw = _BitWriter()
+        blocks = grids[ci].reshape(-1, 64)
+        _enc_ac_refine(bw, blocks, ac_codes[ci], 1, 63, 0)
+        sos([ci], 1, 63, 1, 0, bw.flush())
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    h, w = planes[0].shape  # luma plane is full-resolution
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = b"\x00" + bytes(_JPEG_QTABLE[i] for i in _ZIGZAG)
+    if ncomp == 3:
+        dqt += b"\x01" + bytes(_JPEG_QTABLE_C[i] for i in _ZIGZAG)
+    out += seg(0xFFDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        t = 1 if (ci and ncomp == 3) else 0
+        sof += bytes((ci + 1, (hs << 4) | vs, t))
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    dht = (
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_PROG_AC_BITS) + bytes(_JPEG_PROG_AC_VALS)
+    )
+    if ncomp == 3:
+        dht += b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
+    out += seg(0xFFC4, dht)
+    for s in scans:
+        out += s
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_progressive_gray(pix) -> bytes:
+    """Progressive (SOF2) encoding of an 8-bit grayscale raster with
+    the full scan script — same quantized coefficients as
+    :func:`jpeg_encode_gray`, different entropy delivery."""
+    h, w = pix.shape
+    if h % 8 or w % 8:
+        raise ValueError("fixture rasters are multiples of 8")
+    tabs = {(0, 0): _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)}
+    return _jpeg_encode_progressive([pix], [_JPEG_QTABLE], [(1, 1)], tabs)
+
+
+def jpeg_encode_progressive_ycbcr(yp, cbp, crp, subsample: str = "420") -> bytes:
+    """Progressive (SOF2) encoding of YCbCr planes (4:4:4 or 4:2:0),
+    same plane contract as :func:`jpeg_encode_ycbcr`."""
+    h, w = yp.shape
+    if subsample == "444":
+        if h % 8 or w % 8 or cbp.shape != (h, w) or crp.shape != (h, w):
+            raise ValueError("4:4:4 fixture planes must be h x w, /8")
+        samp = [(1, 1), (1, 1), (1, 1)]
+    elif subsample == "420":
+        if h % 16 or w % 16:
+            raise ValueError("4:2:0 fixture rasters are multiples of 16")
+        if cbp.shape != (h // 2, w // 2) or crp.shape != (h // 2, w // 2):
+            raise ValueError("4:2:0 chroma planes must be (h/2) x (w/2)")
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unknown subsample mode {subsample!r}")
+    tabs = {
+        (0, 0): _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0, 1): _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C),
+    }
+    return _jpeg_encode_progressive(
+        [yp, cbp, crp], [_JPEG_QTABLE, _JPEG_QTABLE_C, _JPEG_QTABLE_C], samp, tabs
+    )
+
+
+def jpeg_decode_progressive(buf: bytes):
+    """Decode a progressive (SOF2) JPEG to a uint8 RGB raster.
+
+    Multi-scan marker walk (DQT/DHT may be redefined between scans),
+    per-component zigzag coefficient accumulators, and the four T.81
+    scan kinds: interleaved/non-interleaved DC first + refinement,
+    AC first with EOBn runs, AC refinement with correction bits.
+    After EOI the accumulated coefficients run the same dezigzag +
+    dequant + IDCT + round-half-up + chroma upsample + fixed-point
+    YCbCr->RGB pipeline as the baseline decoder. 1- or 3-component,
+    4:4:4 or 4:2:0, 8-bit; everything else raises
+    :class:`UnsupportedJpegError`."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
+    grids = None  # per-component zigzag coefficient accumulators
+    preds = None
+    dims: list[tuple[int, int]] = []  # true (bx, by) block dims per comp
+    nmx = nmy = 0
+
+    def read_symbol(br: _BitReader, tab: dict) -> int:
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | br.read_bit()
+            ln += 1
+            if (ln, code) in tab:
+                return tab[(ln, code)]
+            if ln > 16:
+                raise ValueError("invalid Huffman stream")
+
+    def skip_to_marker(p: int) -> int:
+        while p + 1 < len(buf):
+            if buf[p] == 0xFF and buf[p + 1] != 0x00:
+                return p
+            p += 1
+        raise ValueError("truncated entropy-coded segment")
+
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        if pos + 1 >= len(buf):
+            raise ValueError("truncated marker")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 2 > len(buf):
+            raise ValueError("truncated segment length")
+        (ln,) = struct.unpack_from(">H", buf, pos)
+        if ln < 2 or pos + ln > len(buf):
+            raise ValueError("truncated marker segment")
+        body = buf[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise UnsupportedJpegError("16-bit quant tables unsupported")
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
+                zz = list(body[b + 1 : b + 65])
+                tab = [0] * 64
+                for i, idx in enumerate(_ZIGZAG):
+                    tab[idx] = zz[i]
+                qtables[tq] = tab
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                if b + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment")
+                vals = list(body[b + 17 : b + 17 + n])
+                htables[(tc, th)] = _huff_decoder(bits, vals)
+                b += 17 + n
+        elif marker == 0xC2:  # SOF2 progressive
+            if len(body) < 6:
+                raise ValueError("truncated SOF2 segment")
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc not in (1, 3):
+                raise UnsupportedJpegError(
+                    "only 8-bit 1- or 3-component supported"
+                )
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF2 component specs")
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hs, vs = body[7 + 3 * c] >> 4, body[7 + 3 * c] & 0x0F
+                comps.append((cid, hs, vs, body[8 + 3 * c]))
+            samps = [(hs, vs) for _, hs, vs, _ in comps]
+            if nc == 1:
+                if samps != [(1, 1)]:
+                    raise UnsupportedJpegError("subsampling unsupported")
+            elif samps not in (
+                [(1, 1), (1, 1), (1, 1)],
+                [(2, 2), (1, 1), (1, 1)],
+            ):
+                raise UnsupportedJpegError(
+                    "only 4:4:4 and 4:2:0 sampling supported"
+                )
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            nmx = (w + 8 * hmax - 1) // (8 * hmax)
+            nmy = (h + 8 * vmax - 1) // (8 * vmax)
+            grids = []
+            preds = [0] * nc
+            for _, hs, vs, _ in comps:
+                grids.append(
+                    np.zeros((nmy * vs, nmx * hs, 64), dtype=np.int64)
+                )
+                cw = (w * hs + hmax - 1) // hmax
+                ch = (h * vs + vmax - 1) // vmax
+                dims.append(((cw + 7) // 8, (ch + 7) // 8))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "jpeg_decode_progressive expects SOF2 (use jpeg_decode_rgb "
+                "for baseline)"
+            )
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2 or struct.unpack_from(">H", body, 0)[0] != 0:
+                raise UnsupportedJpegError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS: decode one scan
+            if grids is None:
+                raise ValueError("SOS before SOF2")
+            if len(body) < 1:
+                raise ValueError("truncated SOS segment")
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS segment")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if not (0 <= ss <= se <= 63):
+                raise ValueError("invalid spectral band")
+            scomps = []  # (component index, dc tab, ac tab)
+            cids = [c[0] for c in comps]
+            for c in range(ns):
+                cs = body[1 + 2 * c]
+                if cs not in cids:
+                    raise ValueError("SOS selects unknown component")
+                ci = cids.index(cs)
+                td, ta = body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F
+                dct = htables.get((0, td))
+                act = htables.get((1, ta))
+                if ss == 0 and ah == 0 and dct is None:
+                    raise ValueError("DC scan references a missing table")
+                if ss > 0 and act is None:
+                    raise ValueError("AC scan references a missing table")
+                scomps.append((ci, dct, act))
+            if ns > 1 and ss != 0:
+                raise ValueError("interleaved AC scan is illegal")
+            if ss == 0 and se != 0:
+                raise UnsupportedJpegError("mixed DC+AC band unsupported")
+            br = _BitReader(buf, pos + ln)
+            eobrun = 0
+            p1 = 1 << al
+            if ss == 0:
+                # DC scan: interleaved MCU order (ns>1, T.81 A.2.3)
+                # or the component's own block raster (ns==1)
+                def dc_units():
+                    if ns > 1:
+                        for my in range(nmy):
+                            for mx in range(nmx):
+                                for ci, _, _ in scomps:
+                                    hs, vs = comps[ci][1], comps[ci][2]
+                                    for v in range(vs):
+                                        for u in range(hs):
+                                            yield ci, my * vs + v, mx * hs + u
+                    else:
+                        ci = scomps[0][0]
+                        bxd, byd = dims[ci]
+                        for by in range(byd):
+                            for bx in range(bxd):
+                                yield ci, by, bx
+
+                units = dc_units()
+                tab_of = {ci: dct for ci, dct, _ in scomps}
+                for ci, by, bx in units:
+                    if ah == 0:
+                        size = read_symbol(br, tab_of[ci])
+                        if size > 11:
+                            raise ValueError("invalid DC size category")
+                        preds[ci] += _extend(br.read_bits(size), size)
+                        grids[ci][by, bx, 0] = preds[ci] << al
+                    else:
+                        if br.read_bit():
+                            grids[ci][by, bx, 0] |= p1
+            else:
+                # AC scan: always one component, block raster order
+                ci, _, act = scomps[0]
+                bxd, byd = dims[ci]
+                for by in range(byd):
+                    for bx in range(bxd):
+                        zz = grids[ci][by, bx]
+                        if ah == 0:
+                            if eobrun > 0:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                rs = read_symbol(br, act)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r != 15:
+                                        eobrun = (1 << r) - 1
+                                        if r:
+                                            eobrun += br.read_bits(r)
+                                        break
+                                    k += 16
+                                else:
+                                    k += r
+                                    if k > se:
+                                        raise ValueError("AC run past band end")
+                                    zz[k] = _extend(br.read_bits(s), s) << al
+                                    k += 1
+                        else:
+                            # refinement: T.81 G.2 / libjpeg
+                            # decode_mcu_AC_refine control flow
+                            k = ss
+                            if eobrun == 0:
+                                while k <= se:
+                                    rs = read_symbol(br, act)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    newval = 0
+                                    if s == 0:
+                                        if r != 15:
+                                            eobrun = 1 << r
+                                            if r:
+                                                eobrun += br.read_bits(r)
+                                            break
+                                    elif s == 1:
+                                        newval = p1 if br.read_bit() else -p1
+                                    else:
+                                        raise ValueError(
+                                            "invalid refinement symbol"
+                                        )
+                                    while k <= se:
+                                        c = int(zz[k])
+                                        if c != 0:
+                                            if br.read_bit() and not (
+                                                abs(c) & p1
+                                            ):
+                                                zz[k] = c + (
+                                                    p1 if c > 0 else -p1
+                                                )
+                                        else:
+                                            if r == 0:
+                                                break
+                                            r -= 1
+                                        k += 1
+                                    if newval and k <= se:
+                                        zz[k] = newval
+                                    k += 1
+                            if eobrun > 0:
+                                while k <= se:
+                                    c = int(zz[k])
+                                    if c != 0:
+                                        if br.read_bit() and not (abs(c) & p1):
+                                            zz[k] = c + (p1 if c > 0 else -p1)
+                                    k += 1
+                                eobrun -= 1
+            pos = skip_to_marker(br.pos)
+            continue
+        pos += ln
+
+    if grids is None or h is None:
+        raise ValueError("no SOF2 frame decoded")
+
+    # reconstruction: identical pipeline to the baseline decoders
+    C = _dct_matrix()
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qtables:
+            raise ValueError("SOF2 references a missing quant table")
+        q = np.array(qtables[tq], dtype=np.float64).reshape(8, 8)
+        byd, bxd = grids[ci].shape[0], grids[ci].shape[1]
+        plane = np.zeros((byd * 8, bxd * 8), dtype=np.uint8)
+        for by in range(byd):
+            for bx in range(bxd):
+                coef = np.zeros(64, dtype=np.float64)
+                for i, idx in enumerate(_ZIGZAG):
+                    coef[idx] = grids[ci][by, bx, i]
+                blk = C.T @ (coef.reshape(8, 8) * q) @ C
+                px = np.clip(np.floor(blk + 128.0 + 0.5 + 1e-9), 0, 255)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px.astype(
+                    np.uint8
+                )
+        planes.append(plane)
+
+    if len(comps) == 1:
+        g = planes[0][:h, :w]
+        return np.stack([g, g, g], axis=2)
+    yp = planes[0][:h, :w]
+    if comps[0][1] == 2:
+        cb = planes[1].repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+        cr = planes[2].repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+    else:
+        cb, cr = planes[1][:h, :w], planes[2][:h, :w]
+    yi = yp.astype(np.int64)
+    cx = cb.astype(np.int64) - 128
+    cy = cr.astype(np.int64) - 128
+
+    def fx(num):
+        return (num + 32768 + _YCC_OFF) // 65536 - 512
+
+    r = np.clip(yi + fx(_YCC_R_CR * cy), 0, 255)
+    g = np.clip(yi + fx(-_YCC_G_CB * cx - _YCC_G_CR * cy), 0, 255)
+    b = np.clip(yi + fx(_YCC_B_CB * cx), 0, 255)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
 def _jpeg_color_value(kind: str, mx: int, my: int, doc_id: int) -> int:
     """Closed-form plane values the color-decode oracle mirrors:
     luma is flat per 8x8 block (same form as the grayscale fixture),
@@ -2338,6 +2997,57 @@ def jpeg_color_bytes(doc_id: int) -> bytes:
     cb = cbm.repeat(rep, axis=0).repeat(rep, axis=1)
     cr = crm.repeat(rep, axis=0).repeat(rep, axis=1)
     return jpeg_encode_ycbcr(yp, cb, cr, mode)
+
+
+def jpeg_progressive_bytes(doc_id: int) -> bytes:
+    """Deterministic PROGRESSIVE color JPEG over the exact same
+    closed-form planes as :func:`jpeg_color_bytes` (luma flat per
+    block, chroma flat per macroblock, alternating 4:2:0/4:4:4) —
+    the quantized coefficients are identical, only the entropy
+    delivery differs (SOF2 multi-scan: spectral selection +
+    successive approximation), so the color-decode oracle's pixel
+    math carries over verbatim."""
+    import numpy as np
+
+    w, h = 16 * (1 + doc_id % 3), 16 * (1 + doc_id % 2)
+    mode = "420" if (doc_id // 4) % 2 == 0 else "444"
+    yp = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            yp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _jpeg_color_value("y", bx, by, doc_id)
+            )
+    cbm = np.zeros((h // 16, w // 16), dtype=np.uint8)
+    crm = np.zeros((h // 16, w // 16), dtype=np.uint8)
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            cbm[my, mx] = _jpeg_color_value("cb", mx, my, doc_id)
+            crm[my, mx] = _jpeg_color_value("cr", mx, my, doc_id)
+    rep = 8 if mode == "420" else 16
+    cb = cbm.repeat(rep, axis=0).repeat(rep, axis=1)
+    cr = crm.repeat(rep, axis=0).repeat(rep, axis=1)
+    return jpeg_encode_progressive_ycbcr(yp, cb, cr, mode)
+
+
+def synthesize_jpeg_progressive(
+    docs: DataFrame, every: int = 4, phase: int = 2
+) -> DataFrame:
+    """(doc_id, payload) of real progressive JPEGs for doc_id % every == phase."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"] if d % every == phase]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [jpeg_progressive_bytes(d) for d in ids],
+                }
+            )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return docs.select("doc_id").mapInPandas(gen, schema)
 
 
 JPEG_COLOR_SCHEMA = StructType(

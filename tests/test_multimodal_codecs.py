@@ -512,17 +512,18 @@ class TestJpegCodec:
         with _pytest.raises(ValueError, match="missing Huffman"):
             jpeg_decode_gray(bytes(buf))
 
-    def test_progressive_jpeg_routes_to_environment_guard(self):
-        """ADVICE r6 (updated r8: color is now DECODED, not gated):
-        a valid-but-unsupported variant (progressive SOF2) is an
-        UnsupportedJpegError from BOTH vendored decoders and the
-        documented NotImplementedError guard from decode_image."""
+    def test_progressive_jpeg_routing(self):
+        """ADVICE r6, rewritten twice as coverage grew (r7: color
+        decoded; r8: progressive decoded). The grayscale fast path
+        still rejects SOF2; jpeg_decode_rgb now DELEGATES it to the
+        multi-scan progressive decoder; and a franken-stream whose
+        SOF0 was relabeled SOF2 but whose single scan spans the full
+        0..63 band (illegal in progressive) raises loudly instead of
+        decoding garbage."""
         import pytest as _pytest
 
         from concurrent_etl_spark.operators.multimodal import (
             UnsupportedJpegError,
-            _pil_available,
-            decode_image,
             jpeg_bytes,
             jpeg_decode_gray,
             jpeg_decode_rgb,
@@ -533,11 +534,8 @@ class TestJpegCodec:
         buf[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
         with _pytest.raises(UnsupportedJpegError, match="baseline"):
             jpeg_decode_gray(bytes(buf))
-        with _pytest.raises(UnsupportedJpegError, match="baseline"):
-            jpeg_decode_rgb(bytes(buf))
-        if not _pil_available():
-            with _pytest.raises(NotImplementedError, match="variant"):
-                decode_image(bytes(buf))
+        with _pytest.raises(UnsupportedJpegError, match="band"):
+            jpeg_decode_rgb(bytes(buf))  # delegates, then rejects Ss=0/Se=63
 
 
 class TestJpegColorCodec:
@@ -752,3 +750,135 @@ class TestJpegColorCodec:
         buf[sof_comp0_sampling] = 0x21
         with _pytest.raises(UnsupportedJpegError, match="sampling"):
             jpeg_decode_rgb(bytes(buf))
+
+
+class TestJpegProgressiveCodec:
+    """Progressive (SOF2) JPEG: multi-scan entropy over the same
+    quantized coefficients as baseline — so decode(progressive(x))
+    must be BIT-IDENTICAL to decode(baseline(x)), which pins the
+    whole scan-script surface (spectral selection, successive
+    approximation, EOBn runs, AC refinement correction bits)
+    against the already-oracle-verified baseline path."""
+
+    def test_gray_random_rasters_match_baseline(self):
+        import numpy as np
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_decode_gray,
+            jpeg_decode_progressive,
+            jpeg_encode_gray,
+            jpeg_encode_progressive_gray,
+        )
+
+        rng = np.random.default_rng(17)
+        for shape in [(8, 8), (16, 24), (40, 32)]:
+            pix = rng.integers(0, 256, shape).astype(np.uint8)
+            base = jpeg_decode_gray(jpeg_encode_gray(pix))
+            prog = jpeg_decode_progressive(jpeg_encode_progressive_gray(pix))
+            assert np.array_equal(np.stack([base] * 3, axis=2), prog)
+
+    def test_flat_raster_exercises_long_eob_runs(self):
+        import numpy as np
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_decode_gray,
+            jpeg_decode_progressive,
+            jpeg_encode_gray,
+            jpeg_encode_progressive_gray,
+        )
+
+        # all-AC-zero blocks: every AC scan is one EOBn covering all
+        # 48 blocks (the multi-block End-Of-Band run path)
+        pix = np.full((48, 64), 131, dtype=np.uint8)
+        base = jpeg_decode_gray(jpeg_encode_gray(pix))
+        prog = jpeg_decode_progressive(jpeg_encode_progressive_gray(pix))
+        assert np.array_equal(np.stack([base] * 3, axis=2), prog)
+
+    def test_color_both_subsamplings_match_baseline(self):
+        import numpy as np
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_decode_progressive,
+            jpeg_decode_rgb,
+            jpeg_encode_progressive_ycbcr,
+            jpeg_encode_ycbcr,
+        )
+
+        rng = np.random.default_rng(23)
+        for mode, csh in (("444", 1), ("420", 2)):
+            h, w = 32, 48
+            yp = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            cb = rng.integers(0, 256, (h // csh, w // csh)).astype(np.uint8)
+            cr = rng.integers(0, 256, (h // csh, w // csh)).astype(np.uint8)
+            base = jpeg_decode_rgb(jpeg_encode_ycbcr(yp, cb, cr, mode))
+            prog = jpeg_decode_progressive(
+                jpeg_encode_progressive_ycbcr(yp, cb, cr, mode)
+            )
+            assert np.array_equal(base, prog)
+
+    def test_decode_rgb_delegates_sof2(self):
+        import numpy as np
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_decode_progressive,
+            jpeg_decode_rgb,
+            jpeg_progressive_bytes,
+        )
+
+        buf = jpeg_progressive_bytes(6)
+        assert b"\xff\xc2" in buf  # really SOF2
+        assert np.array_equal(jpeg_decode_rgb(buf), jpeg_decode_progressive(buf))
+
+    def test_fixture_matches_color_fixture_pixels(self):
+        import numpy as np
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_color_bytes,
+            jpeg_decode_progressive,
+            jpeg_decode_rgb,
+            jpeg_progressive_bytes,
+        )
+
+        # same planes, same quantized coefficients, different entropy
+        # delivery => identical decoded pixels (what lets the query
+        # reuse the color oracle's closed form)
+        for doc_id in (0, 3, 5, 10):
+            assert np.array_equal(
+                jpeg_decode_rgb(jpeg_color_bytes(doc_id)),
+                jpeg_decode_progressive(jpeg_progressive_bytes(doc_id)),
+            )
+
+    def test_decode_image_routes_progressive_without_pil(self):
+        from concurrent_etl_spark.operators.multimodal import (
+            _pil_available,
+            decode_image,
+            jpeg_decode_progressive,
+            jpeg_progressive_bytes,
+        )
+
+        if _pil_available():
+            return
+        buf = jpeg_progressive_bytes(9)
+        h, w, mode, raw = decode_image(buf)
+        rgb = jpeg_decode_progressive(buf)
+        assert (h, w, mode) == (rgb.shape[0], rgb.shape[1], "RGB")
+        assert raw == rgb.tobytes()
+
+    def test_error_surface(self):
+        import pytest as _pytest
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_decode_progressive,
+            jpeg_progressive_bytes,
+        )
+
+        with _pytest.raises(ValueError, match="SOI"):
+            jpeg_decode_progressive(b"not a jpeg")
+        buf = jpeg_progressive_bytes(2)
+        with _pytest.raises(ValueError, match="truncated|Huffman|band"):
+            jpeg_decode_progressive(buf[: len(buf) - 8])
+        with _pytest.raises(ValueError, match="SOF2"):
+            # a baseline stream is the WRONG input for this decoder
+            from concurrent_etl_spark.operators.multimodal import jpeg_bytes
+
+            jpeg_decode_progressive(jpeg_bytes(1))

@@ -633,3 +633,76 @@ def test_giant_corpus_query_matches_oracle(spark, giant_dir, giant_con, name):
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert len(sdf) == len(odf)
     assert value_hash(sdf) == value_hash(odf)
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law corpus: realistic text statistics (round 8)
+# ---------------------------------------------------------------------------
+
+#: the pair-emitter family on REALISTIC corpus shape — unbounded-Zipf
+#: vocabulary (Heaps growth, a true stopword head), log-normal
+#: lengths, and a PLANTED duplicate structure (1% exact + 4% near
+#: copies) instead of the fixed-30-word fixture whose every shingle
+#: has corpus-proportional df. What this corpus found (round 8): the
+#: 32-bit simhash fingerprint saturates (~1% of ALL doc pairs within
+#: hamming 3 — quadratic output by construction), fixed by the 60-bit
+#: dedup_simhash64; everything else held green at first contact, the
+#: strongest evidence yet that the df-gates/LSH bands generalize off
+#: the synthetic fixtures. At-scale growth evidence: HEAPS_r8.json
+#: (12.5k vs 50k docs, rows_ratio per emitter).
+HEAPS_SET = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_simhash64",
+    "dedup_incremental_batch",
+    "minhash_containment",
+    "containment_similarity_join",
+    "prefix_filter_jaccard_join",
+    "duplicate_span_pairs",
+    "winnowing_overlap_pairs",
+    "text_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def heaps_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("heaps_sf")
+    subprocess.run(
+        [
+            sys.executable,
+            str(REPO_ROOT / "tools" / "make_heaps_data.py"),
+            "2000",
+            str(d),
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def heaps_con(heaps_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{heaps_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", HEAPS_SET)
+def test_heaps_corpus_query_matches_oracle(spark, heaps_dir, heaps_con, name):
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    try:
+        sdf = queries[name](spark, heaps_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()
+    odf = heaps_con.sql(oracles[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    assert value_hash(sdf) == value_hash(odf)
