@@ -492,33 +492,51 @@ SIMHASH64_BANDS = 4  #: 15-bit bands; hamming<=3 + pigeonhole => >=1 band agrees
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc 60-bit SimHash fingerprint (bigint).
+    """Per-doc 60-bit SimHash fingerprint over BIGRAM shingles (bigint).
 
     Why a second width exists: the Heaps'-law corpus (SCALE.md §11e)
     showed the 32-bit fingerprint SATURATING on realistic Zipf text —
     short lognormal docs share the stopword head, so ~1% of ALL doc
     pairs land within Hamming 3 and the pair set is quadratic by
-    construction. At 60 bits the hamming<=3 ball occupies 2^-60 *
-    (C(60,0..3)) ≈ 3e-14 of fingerprint space; only genuinely
-    near-identical docs collide, and pair counts track the true
-    duplicate structure linearly. 60 bits (15 md5 hex chars), not 64,
-    so the value and every shift stay exact NON-NEGATIVE signed-64
+    construction. At 60 bits the hamming<=3 ball occupies ~3e-14 of
+    fingerprint space. 60 bits (15 md5 hex chars), not 64, so the
+    value and every shift stay exact NON-NEGATIVE signed-64
     arithmetic in both Spark and DuckDB — no unsigned/overflow edge.
 
+    Why bigram-shingle features, not unigrams: the same corpus then
+    showed width alone is NOT sufficient — with multiplicity-weighted
+    unigram features, short stopword-dominated docs are GENUINELY
+    near-collinear (their token multisets nearly coincide), so even a
+    60-bit fingerprint pairs them quadratically (measured rows_ratio
+    15.8 on a 4x corpus). Distinct bigram shingles — the same feature
+    set as the MinHash path — decorrelate the stopword head (sharing
+    'the of and' as unigrams no longer implies sharing 'the of'/'of
+    and' bigrams in the same positions), and pair growth drops to
+    linear. Feature choice, not fingerprint width, controls simhash
+    discrimination; production simhash (idf-weighted / shingled)
+    embeds the same lesson. Docs with <2 tokens have no features and
+    drop out of the fingerprint set on both engines (explode/unnest
+    of an empty list — the minhash empty-shingle gate's analogue,
+    here for free).
+
     Plan shape improves on :func:`simhash` too: instead of exploding
-    tokens x bit positions (a bits-fold row expansion), this runs ONE
-    groupBy(doc_id) carrying 60 literal-unrolled CASE sums — map-side
-    combinable, no second explode, whole-stage codegen keeps all 60
-    in one pass over the token rows. Bit extraction is shiftright
-    (exact integer op; the 32-bit version's floor(h / 2^b) double
-    trick does not survive 60-bit magnitudes).
+    features x bit positions (a bits-fold row expansion), this runs
+    ONE groupBy(doc_id) carrying 60 literal-unrolled CASE sums —
+    map-side combinable, no second explode, whole-stage codegen keeps
+    all 60 in one pass over the shingle rows. Bit extraction is
+    shiftright (exact integer op; the 32-bit version's
+    floor(h / 2^b) double trick does not survive 60-bit magnitudes).
     """
-    tok = docs.select(
-        "doc_id", F.explode(tokens(ascii_fold(F.col(text_col)))).alias("tok")
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    staged = docs.select(
+        "doc_id", tokens(ascii_fold(F.col(text_col))).alias("_t")
     )
-    sums = tok.groupBy("doc_id").agg(
+    sh = staged.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("_t"), 2)).alias("sh"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
+    )
+    sums = sh.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1)

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from concurrent_etl_spark.catalog import query
 from concurrent_etl_spark.engine import load_table
 from concurrent_etl_spark.operators import dedup as D
-from concurrent_etl_spark.queries_llm import _CORPUS_NEAR, _FOLD, _tok
+from concurrent_etl_spark.queries_llm import _CORPUS_NEAR, _FOLD, _shingles
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,8 +59,8 @@ _S64_BAND_VALS = ", ".join(
     "dedup_simhash64",
     oracle=f"""
     WITH {_CORPUS_NEAR},
-    tok AS (SELECT doc_id, unnest({_tok(_FOLD)}) AS t FROM corpus),
-    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+    sh AS (SELECT doc_id, unnest({_shingles(_FOLD)}) AS t FROM corpus),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM sh),
     sums AS (SELECT doc_id,
              {_S64_SUMS}
              FROM h GROUP BY doc_id),
@@ -80,15 +80,19 @@ _S64_BAND_VALS = ", ".join(
     """,
 )
 def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dedup at 60 bits: 15-bit-band Hamming-LSH.
+    """SimHash near-dedup at 60 bits over bigram shingles.
 
-    The saturation fix for :func:`q_dedup_simhash` (SCALE.md §11e):
-    at 32 bits the hamming<=3 ball covers ~1.3e-6 of fingerprint
-    space and realistic short docs collide en masse; at 60 bits it
-    covers ~3e-14 and only true near-duplicates pair. Pigeonhole
-    still holds: hamming <= 3 over 4 disjoint 15-bit bands => >=1
-    band agrees, so the band-bucket join is a complete candidate
-    generator — never a cross join.
+    The TWO-PART saturation fix for :func:`q_dedup_simhash`
+    (SCALE.md §11e): width (32 -> 60 bits shrinks the hamming<=3
+    ball from ~1.3e-6 to ~3e-14 of fingerprint space) AND feature
+    choice (unigram multisets of short stopword-heavy docs are
+    genuinely near-collinear — the Heaps gate measured the 60-bit
+    unigram variant still quadratic at rows_ratio 15.8 on a 4x
+    corpus; distinct bigram shingles, the MinHash path's feature
+    set, restore linear pair growth). Pigeonhole still holds:
+    hamming <= 3 over 4 disjoint 15-bit bands => >=1 band agrees,
+    so the band-bucket join is a complete candidate generator —
+    never a cross join.
     """
     pairs = D.simhash64_pairs(
         D.with_injected_near_dups(_docs(spark, sf_dir)), max_hamming=3

@@ -41,6 +41,8 @@ QUERIES = [
     "dedup_clusters",
     "winnowing_overlap_pairs",
     "dedup_incremental_batch",
+    # the round-8 saturation fix, measured on the corpus that found it
+    "dedup_simhash64",
 ]
 # dedup_simhash is deliberately NOT here, and that is itself a Heaps-
 # corpus finding (SCALE.md §11e): its 32-bit fingerprint SATURATES on
