@@ -268,6 +268,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pigeonhole: hamming <= 3 over 4 bytes => >=1 byte agrees, so the
     byte-bucket join is a complete candidate generator.
+
+    SCALE WARNING (measured, SCALE.md §11e): on realistic Zipf text
+    the 32-bit unigram fingerprint SATURATES — ~1% of ALL doc pairs
+    fall within hamming 3 at just 5k docs, so the output itself is
+    quadratic in corpus size. This query stays registered as the
+    textbook form; production corpora should use
+    :func:`queries_llm8.q_dedup_simhash64` (60-bit fingerprint over
+    bigram shingles — measured linear pair growth on the Heaps
+    corpus, HEAPS_r8.json).
     """
     pairs = D.simhash_pairs(
         D.with_injected_near_dups(_docs(spark, sf_dir)), max_hamming=3
