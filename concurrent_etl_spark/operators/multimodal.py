@@ -1479,6 +1479,17 @@ class _BitWriter:
             self.acc, self.nbits = 0, 0
         return bytes(self.out)
 
+    def restart(self, idx: int) -> None:
+        """Byte-align (pad) and emit an RSTn marker — markers live
+        OUTSIDE the stuffed entropy stream, so the 0xFF is raw."""
+        if self.nbits:
+            self.acc <<= 8 - self.nbits
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.nbits = 0, 0
+        self.out += bytes((0xFF, 0xD0 + idx))
+
 
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """Canonical Huffman (T.81 C.2): symbol -> (code, length)."""
@@ -1638,6 +1649,18 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def sync_restart(self, idx: int) -> None:
+        """Consume an expected RSTn marker at a restart boundary:
+        discard the current byte's padding bits, then require
+        0xFFD0+idx exactly (out-of-order restarts mean lost MCUs —
+        a hard data error, not something to resynchronize silently)."""
+        self.nbits = 0
+        if self.pos + 1 >= len(self.buf):
+            raise ValueError("truncated entropy-coded segment")
+        if self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] != 0xD0 + idx:
+            raise ValueError("missing or out-of-order restart marker")
+        self.pos += 2
+
 
 def _huff_decoder(bits: list[int], vals: list[int]):
     """(code, length) -> symbol map for canonical decode."""
@@ -1655,10 +1678,15 @@ def _extend(bits: int, size: int) -> int:
 
 
 class UnsupportedJpegError(ValueError):
-    """A well-formed JPEG using a feature the vendored baseline
-    decoder does not implement (progressive, multi-component/color,
-    subsampling, 16-bit quant tables, restart intervals). Distinct
-    from plain ``ValueError`` (malformed/truncated data) so
+    """A well-formed JPEG using a feature the vendored decoders do
+    not implement. The grayscale fast path raises it for anything
+    beyond 1-component baseline; the general path
+    (:func:`jpeg_decode_rgb`, which handles baseline 1/3-component
+    with 4:4:4 / 4:2:0 sampling, restart intervals, and delegates
+    progressive SOF2) raises it only for the genuinely exotic
+    residue: arithmetic coding, 12-bit precision, 16-bit quant
+    tables, other sampling factors, progressive-with-restarts.
+    Distinct from plain ``ValueError`` (malformed/truncated data) so
     ``decode_image`` can re-raise its environment guard: these
     streams ARE decodable where PIL is installed."""
 
@@ -1968,7 +1996,9 @@ def _ycc_to_rgb_int(y: int, cb: int, cr: int) -> tuple[int, int, int]:
     return r, g, b
 
 
-def jpeg_encode_ycbcr(yp, cbp, crp, subsample: str = "420") -> bytes:
+def jpeg_encode_ycbcr(
+    yp, cbp, crp, subsample: str = "420", restart_interval: int = 0
+) -> bytes:
     """Encode YCbCr planes as a baseline JFIF JPEG.
 
     ``subsample='444'``: all three planes are h x w, every component
@@ -1976,6 +2006,11 @@ def jpeg_encode_ycbcr(yp, cbp, crp, subsample: str = "420") -> bytes:
     ``subsample='420'``: luma is h x w (multiples of 16), chroma
     planes are (h/2) x (w/2); luma sampled 2x2, MCU = 4 luma blocks
     (raster order) + 1 Cb + 1 Cr (T.81 A.2.3 interleave order).
+
+    ``restart_interval=N`` emits a DRI segment and an RSTn marker
+    (cycling D0..D7) every N MCUs, resetting all DC predictors at
+    each boundary — the error-resilience layout camera firmware
+    writes. 0 (default) disables it.
 
     Component ids 1/2/3, luma quant/huff tables 0, chroma tables 1,
     independent DC predictors per component."""
@@ -1998,10 +2033,24 @@ def jpeg_encode_ycbcr(yp, cbp, crp, subsample: str = "420") -> bytes:
 
     bw = _BitWriter()
     pred = [0, 0, 0]  # per-component DC predictors
+    state = {"done": 0, "rst": 0}
+
+    def mcu_boundary(total: int) -> None:
+        state["done"] += 1
+        if (
+            restart_interval
+            and state["done"] % restart_interval == 0
+            and state["done"] < total
+        ):
+            bw.restart(state["rst"] % 8)
+            state["rst"] += 1
+            pred[0] = pred[1] = pred[2] = 0
+
     if subsample == "444":
         if h % 8 or w % 8 or cbp.shape != (h, w) or crp.shape != (h, w):
             raise ValueError("4:4:4 fixture planes must be h x w, /8")
         samp = (0x11, 0x11, 0x11)
+        total = (h // 8) * (w // 8)
         for by in range(h // 8):
             for bx in range(w // 8):
                 pred[0] = _jpeg_encode_block(
@@ -2013,12 +2062,14 @@ def jpeg_encode_ycbcr(yp, cbp, crp, subsample: str = "420") -> bytes:
                 pred[2] = _jpeg_encode_block(
                     bw, blk(crp, by, bx), qc, dcc, acc, pred[2]
                 )
+                mcu_boundary(total)
     elif subsample == "420":
         if h % 16 or w % 16:
             raise ValueError("4:2:0 fixture rasters are multiples of 16")
         if cbp.shape != (h // 2, w // 2) or crp.shape != (h // 2, w // 2):
             raise ValueError("4:2:0 chroma planes must be (h/2) x (w/2)")
         samp = (0x22, 0x11, 0x11)
+        total = (h // 16) * (w // 16)
         for my in range(h // 16):
             for mx in range(w // 16):
                 for v in range(2):  # 4 luma blocks, raster order
@@ -2034,6 +2085,7 @@ def jpeg_encode_ycbcr(yp, cbp, crp, subsample: str = "420") -> bytes:
                 pred[2] = _jpeg_encode_block(
                     bw, blk(crp, my, mx), qc, dcc, acc, pred[2]
                 )
+                mcu_boundary(total)
     else:
         raise ValueError(f"unknown subsample mode {subsample!r}")
     data = bw.flush()
@@ -2059,6 +2111,8 @@ def jpeg_encode_ycbcr(yp, cbp, crp, subsample: str = "420") -> bytes:
         + b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
         + b"\x11" + bytes(_JPEG_AC_BITS_C) + bytes(_JPEG_AC_VALS_C),
     )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     # SOS: 3 components, Y -> tables 0/0, Cb/Cr -> tables 1/1
     out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     out += data
@@ -2077,10 +2131,14 @@ def jpeg_decode_rgb(buf: bytes):
     contributes H*V blocks in raster order, T.81 A.2.3), independent
     per-component DC predictors, nearest-neighbor chroma upsample,
     and the JFIF fixed-point integer YCbCr->RGB conversion
-    (:func:`_ycc_to_rgb_int`). A grayscale stream decodes via
-    :func:`jpeg_decode_gray` and replicates the channel. Everything
-    else (progressive, arithmetic, other samplings, 12-bit) raises
-    :class:`UnsupportedJpegError` loudly."""
+    (:func:`_ycc_to_rgb_int`). Restart intervals are honored (DRI +
+    RSTn markers: byte-align, verify the cycling marker index, reset
+    all DC predictors — T.81 E.2.4). A grayscale stream decodes via
+    :func:`jpeg_decode_gray` and replicates the channel; a
+    progressive (SOF2) stream is delegated to
+    :func:`jpeg_decode_progressive`. Everything else (arithmetic,
+    other samplings, 12-bit) raises :class:`UnsupportedJpegError`
+    loudly."""
     import struct
 
     import numpy as np
@@ -2093,6 +2151,7 @@ def jpeg_decode_rgb(buf: bytes):
     h = w = None
     comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
     scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (td, ta)
+    dri = 0  # restart interval in MCUs (DRI; 0 = no restarts)
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -2170,11 +2229,10 @@ def jpeg_decode_rgb(buf: bytes):
                 vals = list(body[b + 17 : b + 17 + n])
                 htables[(tc, th)] = _huff_decoder(bits, vals)
                 b += 17 + n
-        elif marker == 0xDD:  # DRI
+        elif marker == 0xDD:  # DRI: restart every N MCUs (0 = off)
             if len(body) < 2:
                 raise ValueError("truncated DRI segment")
-            if struct.unpack_from(">H", body, 0)[0] != 0:
-                raise UnsupportedJpegError("restart intervals unsupported")
+            dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             if len(body) < 1:
                 raise ValueError("truncated SOS segment")
@@ -2266,8 +2324,16 @@ def jpeg_decode_rgb(buf: bytes):
         tabs.append((htables[(0, td)], htables[(1, ta)]))
     br = _BitReader(buf, pos)
     preds = [0] * len(comps)
+    n_done = 0
+    n_rst = 0
     for my in range(nmy):
         for mx in range(nmx):
+            if dri and n_done and n_done % dri == 0:
+                # restart boundary: byte-align, require the cycling
+                # RSTn marker, reset every DC predictor (T.81 E.2.4)
+                br.sync_restart(n_rst % 8)
+                n_rst += 1
+                preds = [0] * len(comps)
             for ci, (cid, hs, vs, tq) in enumerate(comps):
                 for v in range(vs):
                     for u in range(hs):
@@ -2279,6 +2345,7 @@ def jpeg_decode_rgb(buf: bytes):
                         planes[ci][
                             by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                         ] = px
+            n_done += 1
 
     if len(comps) == 1:
         g = planes[0][:h, :w]
@@ -2976,7 +3043,12 @@ def jpeg_color_bytes(doc_id: int) -> bytes:
     flat per 8x8 block, chroma flat per macroblock; chroma
     subsampling alternates per doc (even id//4 -> 4:2:0, odd ->
     4:4:4) so ONE query exercises both interleaved-MCU layouts while
-    the oracle stays mode-independent (see _jpeg_color_value)."""
+    the oracle stays mode-independent (see _jpeg_color_value).
+    Half the docs ((id//8) odd) additionally carry a DRI=2 restart
+    layout (RSTn markers + predictor resets every 2 MCUs — the
+    camera-firmware stream shape); restarts change the entropy
+    framing, never the pixels, so the oracle is restart-independent
+    too."""
     import numpy as np
 
     w, h = 16 * (1 + doc_id % 3), 16 * (1 + doc_id % 2)
@@ -2996,7 +3068,8 @@ def jpeg_color_bytes(doc_id: int) -> bytes:
     rep = 8 if mode == "420" else 16
     cb = cbm.repeat(rep, axis=0).repeat(rep, axis=1)
     cr = crm.repeat(rep, axis=0).repeat(rep, axis=1)
-    return jpeg_encode_ycbcr(yp, cb, cr, mode)
+    rst = 2 if (doc_id // 8) % 2 == 1 else 0
+    return jpeg_encode_ycbcr(yp, cb, cr, mode, restart_interval=rst)
 
 
 def jpeg_progressive_bytes(doc_id: int) -> bytes:

@@ -882,3 +882,63 @@ class TestJpegProgressiveCodec:
             from concurrent_etl_spark.operators.multimodal import jpeg_bytes
 
             jpeg_decode_progressive(jpeg_bytes(1))
+
+
+class TestJpegRestartIntervals:
+    """DRI/RSTn support in the general baseline decoder: restart
+    markers change the entropy FRAMING (byte-aligned RSTn every N
+    MCUs, DC predictors reset), never the pixels."""
+
+    def test_roundtrip_matches_plain_both_modes(self):
+        import numpy as np
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_decode_rgb,
+            jpeg_encode_ycbcr,
+        )
+
+        rng = np.random.default_rng(29)
+        for mode, csh, mcus in (("444", 1, 24), ("420", 2, 6)):
+            h, w = 32, 48
+            yp = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            cb = rng.integers(0, 256, (h // csh, w // csh)).astype(np.uint8)
+            cr = rng.integers(0, 256, (h // csh, w // csh)).astype(np.uint8)
+            plain = jpeg_decode_rgb(jpeg_encode_ycbcr(yp, cb, cr, mode))
+            for rst in (1, 2, 3, 7):
+                buf = jpeg_encode_ycbcr(
+                    yp, cb, cr, mode, restart_interval=rst
+                )
+                if mcus > rst:  # at least one boundary falls inside
+                    assert any(
+                        bytes((0xFF, 0xD0 + i)) in buf for i in range(8)
+                    )
+                assert np.array_equal(plain, jpeg_decode_rgb(buf))
+
+    def test_fixture_restart_docs_carry_markers(self):
+        from concurrent_etl_spark.operators.multimodal import jpeg_color_bytes
+
+        plain = jpeg_color_bytes(3)   # (3//8)%2 == 0
+        rst = jpeg_color_bytes(11)    # (11//8)%2 == 1
+        assert b"\xff\xdd" not in plain
+        assert b"\xff\xdd" in rst
+
+    def test_out_of_order_restart_is_valueerror(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_decode_rgb,
+            jpeg_encode_ycbcr,
+        )
+
+        rng = np.random.default_rng(31)
+        yp = rng.integers(0, 256, (32, 48)).astype(np.uint8)
+        cb = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+        cr = rng.integers(0, 256, (16, 24)).astype(np.uint8)
+        buf = bytearray(
+            jpeg_encode_ycbcr(yp, cb, cr, "420", restart_interval=2)
+        )
+        i = bytes(buf).index(b"\xff\xd0")
+        buf[i + 1] = 0xD5  # wrong restart index -> lost-MCU data error
+        with _pytest.raises(ValueError, match="restart"):
+            jpeg_decode_rgb(bytes(buf))
