@@ -1685,7 +1685,7 @@ class UnsupportedJpegError(ValueError):
     with 4:4:4 / 4:2:0 sampling, restart intervals, and delegates
     progressive SOF2) raises it only for the genuinely exotic
     residue: arithmetic coding, 12-bit precision, 16-bit quant
-    tables, other sampling factors, progressive-with-restarts.
+    tables, other sampling factors.
     Distinct from plain ``ValueError`` (malformed/truncated data) so
     ``decode_image`` can re-raise its environment guard: these
     streams ARE decodable where PIL is installed."""
@@ -2437,11 +2437,17 @@ def _ac_point_transform(v: int, al: int) -> int:
     return v >> al if v >= 0 else -((-v) >> al)
 
 
-def _enc_ac_first(bw, blocks, act, ss: int, se: int, al: int) -> None:
+def _enc_ac_first(
+    bw, blocks, act, ss: int, se: int, al: int, ri: int = 0
+) -> None:
     """AC first scan (Ah=0) for one component's blocks, T.81 G.1.2.2:
     in-band RLE with ZRL, End-Of-Band RUNS accumulated across blocks
-    and coded as EOBn = ((n)<<4)|0 plus n appended bits."""
+    and coded as EOBn = ((n)<<4)|0 plus n appended bits. ``ri``
+    inserts an RSTn boundary every ri blocks (non-interleaved scans
+    count one block per MCU); an EOB run cannot cross a restart, so
+    it is flushed first."""
     eobrun = 0
+    rst = 0
 
     def flush() -> None:
         nonlocal eobrun
@@ -2452,7 +2458,11 @@ def _enc_ac_first(bw, blocks, act, ss: int, se: int, al: int) -> None:
             bw.write(eobrun - (1 << n), n)
             eobrun = 0
 
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if ri and bi and bi % ri == 0:
+            flush()
+            bw.restart(rst % 8)
+            rst += 1
         band = [_ac_point_transform(int(zz[k]), al) for k in range(64)]
         last = max((k for k in range(ss, se + 1) if band[k]), default=None)
         if last is None:
@@ -2483,12 +2493,17 @@ def _enc_ac_first(bw, blocks, act, ss: int, se: int, al: int) -> None:
     flush()
 
 
-def _enc_ac_refine(bw, blocks, act, ss: int, se: int, al: int) -> None:
+def _enc_ac_refine(
+    bw, blocks, act, ss: int, se: int, al: int, ri: int = 0
+) -> None:
     """AC refinement scan (Ah=Al+1), T.81 G.1.2.3: newly-nonzero
     coefficients are (zero-history-run, ±1) codes; history
     coefficients contribute one correction bit each, buffered and
-    emitted after the covering symbol (including across EOB runs)."""
+    emitted after the covering symbol (including across EOB runs).
+    ``ri`` inserts an RSTn boundary every ri blocks; the EOB run AND
+    its buffered correction bits flush before the marker."""
     eobrun = 0
+    rst = 0
     pending: list[int] = []  # correction bits buffered across an EOB run
 
     def flush() -> None:
@@ -2503,7 +2518,11 @@ def _enc_ac_refine(bw, blocks, act, ss: int, se: int, al: int) -> None:
             bw.write(b, 1)
         pending = []
 
-    for zz in blocks:
+    for bi, zz in enumerate(blocks):
+        if ri and bi and bi % ri == 0:
+            flush()
+            bw.restart(rst % 8)
+            rst += 1
         newly = [
             k
             for k in range(ss, se + 1)
@@ -2554,13 +2573,19 @@ def _enc_ac_refine(bw, blocks, act, ss: int, se: int, al: int) -> None:
     flush()
 
 
-def _jpeg_encode_progressive(planes, qtabs, samp, hufftabs) -> bytes:
+def _jpeg_encode_progressive(
+    planes, qtabs, samp, hufftabs, restart_interval: int = 0
+) -> bytes:
     """Shared progressive (SOF2) encoder over 1 or 3 planes.
 
     Scan script (the libjpeg-style shape, exercising every
     progressive decode path): interleaved DC first at Al=1, DC
     refinement to Al=0, per-component AC bands 1-5 then 6-63 at
-    Al=1, per-component AC refinement 1-63 to Al=0."""
+    Al=1, per-component AC refinement 1-63 to Al=0.
+    ``restart_interval=N`` emits DRI and inserts RSTn boundaries in
+    EVERY scan — every N MCUs in the interleaved DC scans, every N
+    blocks in the non-interleaved AC scans (one block per MCU
+    there), with the restart counter reset per scan (T.81 E.2.4)."""
     import struct
 
     import numpy as np
@@ -2592,12 +2617,19 @@ def _jpeg_encode_progressive(planes, qtabs, samp, hufftabs) -> bytes:
     ac_prog = _huff_codes(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
     ac_codes = [ac_prog] * ncomp
 
+    ri = restart_interval
+
     # scan 1: DC first, interleaved, Al=1 (diffs of dc >> 1, T.81 G.1.2.1:
     # the DC point transform is an ARITHMETIC shift, unlike AC)
     bw = _BitWriter()
     pred = [0] * ncomp
+    n_mcu = rst = 0
     for my in range(nmy):
         for mx in range(nmx):
+            if ri and n_mcu and n_mcu % ri == 0:
+                bw.restart(rst % 8)
+                rst += 1
+                pred = [0] * ncomp
             for ci in range(ncomp):
                 hs, vs = samp[ci]
                 for v in range(vs):
@@ -2609,6 +2641,7 @@ def _jpeg_encode_progressive(planes, qtabs, samp, hufftabs) -> bytes:
                         if size:
                             bw.write(bits, size)
                         pred[ci] = dc
+            n_mcu += 1
     sos(list(range(ncomp)), 0, 0, 0, 1, bw.flush())
 
     # scans 2..: AC bands per component at Al=1
@@ -2616,25 +2649,30 @@ def _jpeg_encode_progressive(planes, qtabs, samp, hufftabs) -> bytes:
         for ci in range(ncomp):
             bw = _BitWriter()
             blocks = grids[ci].reshape(-1, 64)
-            _enc_ac_first(bw, blocks, ac_codes[ci], ss, se, 1)
+            _enc_ac_first(bw, blocks, ac_codes[ci], ss, se, 1, ri)
             sos([ci], ss, se, 0, 1, bw.flush())
 
     # DC refinement to Al=0: one raw bit per block, interleaved
     bw = _BitWriter()
+    n_mcu = rst = 0
     for my in range(nmy):
         for mx in range(nmx):
+            if ri and n_mcu and n_mcu % ri == 0:
+                bw.restart(rst % 8)
+                rst += 1
             for ci in range(ncomp):
                 hs, vs = samp[ci]
                 for v in range(vs):
                     for u in range(hs):
                         bw.write(int(grids[ci][my * vs + v, mx * hs + u, 0]) & 1, 1)
+            n_mcu += 1
     sos(list(range(ncomp)), 0, 0, 1, 0, bw.flush())
 
     # AC refinement per component to Al=0
     for ci in range(ncomp):
         bw = _BitWriter()
         blocks = grids[ci].reshape(-1, 64)
-        _enc_ac_refine(bw, blocks, ac_codes[ci], 1, 63, 0)
+        _enc_ac_refine(bw, blocks, ac_codes[ci], 1, 63, 0, ri)
         sos([ci], 1, 63, 1, 0, bw.flush())
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -2660,13 +2698,15 @@ def _jpeg_encode_progressive(planes, qtabs, samp, hufftabs) -> bytes:
     if ncomp == 3:
         dht += b"\x01" + bytes(_JPEG_DC_BITS_C) + bytes(_JPEG_DC_VALS_C)
     out += seg(0xFFC4, dht)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     for s in scans:
         out += s
     out += b"\xff\xd9"
     return bytes(out)
 
 
-def jpeg_encode_progressive_gray(pix) -> bytes:
+def jpeg_encode_progressive_gray(pix, restart_interval: int = 0) -> bytes:
     """Progressive (SOF2) encoding of an 8-bit grayscale raster with
     the full scan script — same quantized coefficients as
     :func:`jpeg_encode_gray`, different entropy delivery."""
@@ -2674,10 +2714,14 @@ def jpeg_encode_progressive_gray(pix) -> bytes:
     if h % 8 or w % 8:
         raise ValueError("fixture rasters are multiples of 8")
     tabs = {(0, 0): _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)}
-    return _jpeg_encode_progressive([pix], [_JPEG_QTABLE], [(1, 1)], tabs)
+    return _jpeg_encode_progressive(
+        [pix], [_JPEG_QTABLE], [(1, 1)], tabs, restart_interval
+    )
 
 
-def jpeg_encode_progressive_ycbcr(yp, cbp, crp, subsample: str = "420") -> bytes:
+def jpeg_encode_progressive_ycbcr(
+    yp, cbp, crp, subsample: str = "420", restart_interval: int = 0
+) -> bytes:
     """Progressive (SOF2) encoding of YCbCr planes (4:4:4 or 4:2:0),
     same plane contract as :func:`jpeg_encode_ycbcr`."""
     h, w = yp.shape
@@ -2698,7 +2742,11 @@ def jpeg_encode_progressive_ycbcr(yp, cbp, crp, subsample: str = "420") -> bytes
         (0, 1): _huff_codes(_JPEG_DC_BITS_C, _JPEG_DC_VALS_C),
     }
     return _jpeg_encode_progressive(
-        [yp, cbp, crp], [_JPEG_QTABLE, _JPEG_QTABLE_C, _JPEG_QTABLE_C], samp, tabs
+        [yp, cbp, crp],
+        [_JPEG_QTABLE, _JPEG_QTABLE_C, _JPEG_QTABLE_C],
+        samp,
+        tabs,
+        restart_interval,
     )
 
 
@@ -2709,10 +2757,13 @@ def jpeg_decode_progressive(buf: bytes):
     per-component zigzag coefficient accumulators, and the four T.81
     scan kinds: interleaved/non-interleaved DC first + refinement,
     AC first with EOBn runs, AC refinement with correction bits.
-    After EOI the accumulated coefficients run the same dezigzag +
-    dequant + IDCT + round-half-up + chroma upsample + fixed-point
-    YCbCr->RGB pipeline as the baseline decoder. 1- or 3-component,
-    4:4:4 or 4:2:0, 8-bit; everything else raises
+    Restart intervals are honored in every scan kind (DRI + RSTn:
+    byte-align, verify the per-scan cycling marker index, reset DC
+    predictors and terminate EOB runs at each boundary). After EOI
+    the accumulated coefficients run the same dezigzag + dequant +
+    IDCT + round-half-up + chroma upsample + fixed-point YCbCr->RGB
+    pipeline as the baseline decoder. 1- or 3-component, 4:4:4 or
+    4:2:0, 8-bit; everything else raises
     :class:`UnsupportedJpegError`."""
     import struct
 
@@ -2726,6 +2777,7 @@ def jpeg_decode_progressive(buf: bytes):
     h = w = None
     comps: list[tuple[int, int, int, int]] = []  # (id, hs, vs, tq)
     grids = None  # per-component zigzag coefficient accumulators
+    dri = 0  # restart interval in MCUs (DRI; 0 = no restarts)
     preds = None
     dims: list[tuple[int, int]] = []  # true (bx, by) block dims per comp
     nmx = nmy = 0
@@ -2833,9 +2885,10 @@ def jpeg_decode_progressive(buf: bytes):
                 "jpeg_decode_progressive expects SOF2 (use jpeg_decode_rgb "
                 "for baseline)"
             )
-        elif marker == 0xDD:  # DRI
-            if len(body) < 2 or struct.unpack_from(">H", body, 0)[0] != 0:
-                raise UnsupportedJpegError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart every N MCUs (0 = off)
+            if len(body) < 2:
+                raise ValueError("truncated DRI segment")
+            dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS: decode one scan
             if grids is None:
                 raise ValueError("SOS before SOF2")
@@ -2873,25 +2926,13 @@ def jpeg_decode_progressive(buf: bytes):
             if ss == 0:
                 # DC scan: interleaved MCU order (ns>1, T.81 A.2.3)
                 # or the component's own block raster (ns==1)
-                def dc_units():
-                    if ns > 1:
-                        for my in range(nmy):
-                            for mx in range(nmx):
-                                for ci, _, _ in scomps:
-                                    hs, vs = comps[ci][1], comps[ci][2]
-                                    for v in range(vs):
-                                        for u in range(hs):
-                                            yield ci, my * vs + v, mx * hs + u
-                    else:
-                        ci = scomps[0][0]
-                        bxd, byd = dims[ci]
-                        for by in range(byd):
-                            for bx in range(bxd):
-                                yield ci, by, bx
-
-                units = dc_units()
+                # a restart boundary falls every dri MCUs (an MCU is
+                # one block in a non-interleaved scan); the restart
+                # counter resets per scan (T.81 E.2.4)
                 tab_of = {ci: dct for ci, dct, _ in scomps}
-                for ci, by, bx in units:
+                n_rst = 0
+
+                def dc_block(ci: int, by: int, bx: int) -> None:
                     if ah == 0:
                         size = read_symbol(br, tab_of[ci])
                         if size > 11:
@@ -2901,12 +2942,50 @@ def jpeg_decode_progressive(buf: bytes):
                     else:
                         if br.read_bit():
                             grids[ci][by, bx, 0] |= p1
+
+                if ns > 1:
+                    n_mcu = 0
+                    for my in range(nmy):
+                        for mx in range(nmx):
+                            if dri and n_mcu and n_mcu % dri == 0:
+                                br.sync_restart(n_rst % 8)
+                                n_rst += 1
+                                for i in range(len(preds)):
+                                    preds[i] = 0
+                            for ci, _, _ in scomps:
+                                hs, vs = comps[ci][1], comps[ci][2]
+                                for v in range(vs):
+                                    for u in range(hs):
+                                        dc_block(ci, my * vs + v, mx * hs + u)
+                            n_mcu += 1
+                else:
+                    ci = scomps[0][0]
+                    bxd, byd = dims[ci]
+                    n_mcu = 0
+                    for by in range(byd):
+                        for bx in range(bxd):
+                            if dri and n_mcu and n_mcu % dri == 0:
+                                br.sync_restart(n_rst % 8)
+                                n_rst += 1
+                                preds[ci] = 0
+                            dc_block(ci, by, bx)
+                            n_mcu += 1
             else:
                 # AC scan: always one component, block raster order
                 ci, _, act = scomps[0]
                 bxd, byd = dims[ci]
+                n_blk = 0
+                n_rst = 0
                 for by in range(byd):
                     for bx in range(bxd):
+                        if dri and n_blk and n_blk % dri == 0:
+                            # encoder flushed the EOB run before the
+                            # marker; a dangling run here means the
+                            # stream violated E.2.4 — reset hard
+                            br.sync_restart(n_rst % 8)
+                            n_rst += 1
+                            eobrun = 0
+                        n_blk += 1
                         zz = grids[ci][by, bx]
                         if ah == 0:
                             if eobrun > 0:
@@ -3078,8 +3157,9 @@ def jpeg_progressive_bytes(doc_id: int) -> bytes:
     block, chroma flat per macroblock, alternating 4:2:0/4:4:4) —
     the quantized coefficients are identical, only the entropy
     delivery differs (SOF2 multi-scan: spectral selection +
-    successive approximation), so the color-decode oracle's pixel
-    math carries over verbatim."""
+    successive approximation; half the docs, (id//8) odd, add DRI=2
+    restart framing to every scan), so the color-decode oracle's
+    pixel math carries over verbatim."""
     import numpy as np
 
     w, h = 16 * (1 + doc_id % 3), 16 * (1 + doc_id % 2)
@@ -3099,7 +3179,8 @@ def jpeg_progressive_bytes(doc_id: int) -> bytes:
     rep = 8 if mode == "420" else 16
     cb = cbm.repeat(rep, axis=0).repeat(rep, axis=1)
     cr = crm.repeat(rep, axis=0).repeat(rep, axis=1)
-    return jpeg_encode_progressive_ycbcr(yp, cb, cr, mode)
+    rst = 2 if (doc_id // 8) % 2 == 1 else 0
+    return jpeg_encode_progressive_ycbcr(yp, cb, cr, mode, restart_interval=rst)
 
 
 def synthesize_jpeg_progressive(

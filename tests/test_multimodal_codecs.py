@@ -942,3 +942,55 @@ class TestJpegRestartIntervals:
         buf[i + 1] = 0xD5  # wrong restart index -> lost-MCU data error
         with _pytest.raises(ValueError, match="restart"):
             jpeg_decode_rgb(bytes(buf))
+
+
+class TestJpegProgressiveRestarts:
+    """Restart intervals inside PROGRESSIVE scans: every scan kind
+    (DC first/refine, AC first with EOBn, AC refine with buffered
+    correction bits) byte-aligns at RSTn boundaries, resets its
+    predictors / EOB run, and still reconstructs pixels bit-identical
+    to the baseline encoding of the same raster."""
+
+    def test_gray_and_color_match_baseline(self):
+        import numpy as np
+
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_decode_gray,
+            jpeg_decode_progressive,
+            jpeg_decode_rgb,
+            jpeg_encode_gray,
+            jpeg_encode_progressive_gray,
+            jpeg_encode_progressive_ycbcr,
+            jpeg_encode_ycbcr,
+        )
+
+        rng = np.random.default_rng(43)
+        pix = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+        base = jpeg_decode_gray(jpeg_encode_gray(pix))
+        for rst in (1, 2, 5):
+            buf = jpeg_encode_progressive_gray(pix, restart_interval=rst)
+            assert b"\xff\xdd" in buf
+            assert np.array_equal(
+                np.stack([base] * 3, axis=2), jpeg_decode_progressive(buf)
+            )
+        for mode, csh in (("444", 1), ("420", 2)):
+            h, w = 32, 48
+            yp = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            cb = rng.integers(0, 256, (h // csh, w // csh)).astype(np.uint8)
+            cr = rng.integers(0, 256, (h // csh, w // csh)).astype(np.uint8)
+            b0 = jpeg_decode_rgb(jpeg_encode_ycbcr(yp, cb, cr, mode))
+            for rst in (1, 3):
+                prog = jpeg_decode_progressive(
+                    jpeg_encode_progressive_ycbcr(
+                        yp, cb, cr, mode, restart_interval=rst
+                    )
+                )
+                assert np.array_equal(b0, prog)
+
+    def test_fixture_restart_docs_carry_markers(self):
+        from concurrent_etl_spark.operators.multimodal import (
+            jpeg_progressive_bytes,
+        )
+
+        assert b"\xff\xdd" not in jpeg_progressive_bytes(2)   # (2//8)%2 == 0
+        assert b"\xff\xdd" in jpeg_progressive_bytes(10)      # (10//8)%2 == 1
