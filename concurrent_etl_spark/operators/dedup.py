@@ -636,11 +636,17 @@ def span_pairs(
     )
     staged = docs.select("doc_id", cs.alias("cs")).where(F.size("cs") >= k)
     weights = [int(base ** (k - 1 - j)) for j in range(k)]
+    # flat 16-term polynomial, NOT aggregate(transform(sequence(...)))
+    # — the HOF form allocates three arrays per char position
+    # (sequence, weight literal, transform output) and interprets the
+    # aggregate lambda; the inlined multiply-add chain is pure codegen
+    # arithmetic (measured 5.9 -> 3.6 s for the scan at sf0.1, byte-
+    # identical sampled windows at sf0.001/sf0.01)
     window_hash = (
-        "aggregate(transform(sequence(0, {k} - 1), "
-        "j -> cs[i + j - 1] * element_at(array({w}), j + 1)), "
-        "0L, (acc, x) -> acc + x) % {p}"
-    ).format(k=k, w=", ".join(f"{w}L" for w in weights), p=mod)
+        "("
+        + " + ".join(f"cs[i + {j} - 1] * {w}L" for j, w in enumerate(weights))
+        + f") % {mod}"
+    )
     # the total (size-guarded) form matters even though ``staged``
     # filters short docs already: InferFiltersFromGenerate replicates
     # this expression into inferred filter conjuncts, and codegen's
@@ -662,6 +668,11 @@ def span_pairs(
     # the expensive expression is evaluated exactly once per doc on
     # the staged `cs`; the explicit null filter below removes the
     # empty-sample rows the outer explode keeps.
+    # persisted: the RK window scan is the dominant per-row compute
+    # and EVERY downstream consumer (DF gate, gate join, pair stage)
+    # otherwise re-derives it — the un-persisted r7 plan evaluated
+    # the Generate subtree FOUR times (both self-join sides x
+    # (gate + join)), measured 9.7 s at sf0.1 vs ~3 s persisted
     ex = (
         staged.select("doc_id", subs.alias("subs"))
         .select(
@@ -670,29 +681,59 @@ def span_pairs(
             F.explode_outer("subs").alias("sub"),
         )
         .where(F.col("sub").isNotNull())
+        .persist()
     )
+    # two-phase DF gate: count first (map-side-combinable, no row
+    # lists materialized on hot boilerplate keys), THEN collect the
+    # 2..df_max survivors — a single-phase collect_list gate would
+    # buffer an unbounded member list per boilerplate key at 100 TB
     keep = (
         ex.groupBy("sub")
         .agg(F.count("*").alias("df"))
         .where(F.col("df").between(2, df_max))
         .select("sub")
     )
-    exf = ex.join(keep, "sub")
-    a, b = exf.alias("a"), exf.alias("b")
+    # group-then-pair replaces the r7 self-join: after the gate every
+    # window key has 2..df_max members, so collect_list is bounded
+    # (<= df_max structs per key) and the i<j pair fan-out happens
+    # in-array — one pass over the window stream instead of two join
+    # sides, and the C(df_max,2) cap per key is unchanged
+    members = (
+        ex.join(keep, "sub")
+        .groupBy("sub")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n_samp"))).alias(
+                "ms"
+            )
+        )
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_lo"),
+                    y["doc_id"].alias("doc_hi"),
+                    x["n_samp"].alias("n_lo"),
+                    y["n_samp"].alias("n_hi"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_lo"),
-            F.col("b.doc_id").alias("doc_hi"),
-        )
+        # _outer + isNotNull: the house rule against InferFilters
+        # cloning the combos expression below the projection (the
+        # array is provably non-empty after the df >= 2 gate, so the
+        # outer rows are never null in practice)
+        members.select(F.explode_outer(combos).alias("p"))
+        .where(F.col("p").isNotNull())
+        .select("p.doc_lo", "p.doc_hi", "p.n_lo", "p.n_hi")
+        .groupBy("doc_lo", "doc_hi")
         .agg(
             F.count("*").alias("n_shared"),
-            F.min("a.n_samp").alias("n_lo"),
-            F.min("b.n_samp").alias("n_hi"),
+            F.min("n_lo").alias("n_lo"),
+            F.min("n_hi").alias("n_hi"),
         )
         .where(F.col("n_shared") >= min_shared)
     )
