@@ -93,44 +93,39 @@ def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.length("text") <= _MAX_CHARS)
     )
     src = docs.select("doc_id", ascii_fold("text").alias("txt"))
-    grams = src.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(1, length(txt) - {_WIN_K - 1}),"
-            f" i -> substring(txt, i, {_WIN_K}))"
-        ).alias("gs"),
-        (F.length("txt") - (_WIN_K - 1)).alias("n_grams"),
-    ).select(
-        "doc_id",
-        "n_grams",
-        # _outer + isNotNull, NOT plain posexplode: the plain form
-        # lets InferFiltersFromGenerate clone the whole gram
-        # transform into an inferred size()>0 filter that pushes
-        # BELOW the doc-length gate — every doc (including gated-out
-        # over-long ones) then pays the O(len^2) interpreted
-        # substring walk twice (the operators/dedup.span_pairs trap)
-        F.posexplode_outer("gs").alias("p0", "g"),
-    ).where(F.col("g").isNotNull())
-    keyed = grams.select(
-        "doc_id",
-        "n_grams",
-        (F.col("p0") + 1).alias("pos"),
-        (
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
-            * _POS_W
-            + (_POS_MAX - (F.col("p0") + 1))
-        ).alias("key"),
+    # the whole selection stays in ARRAY-LAND per document: packed
+    # keys per gram position, then the W-row sliding minimum as a
+    # flat least() over the W neighbor elements, then array_distinct.
+    # The r7 form exploded EVERY gram to a row and ran a
+    # Window(partitionBy doc).min over the stream — one exchange +
+    # per-doc sort + full-stream distinct shuffle whose only purpose
+    # was a per-doc sequential scan the array form does in place.
+    # Only the selected ~2/(W+1) fingerprints are ever exploded
+    # (measured 4.6 -> ~2.5 s isolated at sf0.1, identical rows).
+    keys = F.expr(
+        f"transform(sequence(1, length(txt) - {_WIN_K - 1}), i -> "
+        f"cast(conv(substring(md5(substring(txt, i, {_WIN_K})), 1, 8),"
+        f" 16, 10) as bigint) * {_POS_W}L + ({_POS_MAX}L - i))"
     )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    # sliding min over positions i..i+W-1 (1-based), flat least() —
+    # no per-window slice/array_min allocations
+    least_terms = ", ".join(f"ks[i + {j} - 1]" for j in range(_WIN_W))
+    sks = (
+        f"array_distinct(transform("
+        f"sequence(1, size(ks) - {_WIN_W - 1}), "
+        f"i -> least({least_terms})))"
+    )
     # persisted: every consumer (doc-frequency, per-doc agg, the pair
     # join's two sides, gated sizes) would otherwise re-run the
-    # per-char md5 explode + window scan — the catalog's densest
-    # per-row expression work (catalog.py's persist convention).
+    # per-char md5 scan — the catalog's densest per-row expression
+    # work (catalog.py's persist convention). _outer + isNotNull per
+    # the house explode rule (InferFiltersFromGenerate would clone
+    # the selection expression below the doc-length gate otherwise).
     return (
-        keyed.withColumn("sk", F.min("key").over(win))
-        .where(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
-        .select("doc_id", "sk")
-        .distinct()
+        src.select("doc_id", keys.alias("ks"))
+        .select("doc_id", F.expr(sks).alias("sks"))
+        .select("doc_id", F.explode_outer("sks").alias("sk"))
+        .where(F.col("sk").isNotNull())
         .withColumn("h", F.expr(f"sk div {_POS_W}"))
         .persist()
     )
@@ -227,14 +222,21 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = docs.select("doc_id", ascii_fold("text").alias("txt"))
     fp = _winnow_sel(spark, sf_dir)
-    dfreq = fp.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    # pre-group to one row per (doc, hash): every downstream measure
+    # is then a plain count/sum — the r7 form ran TWO countDistincts
+    # over the raw fingerprint stream (an Expand doubling every row
+    # through two exchanges) plus a countDistinct-based dfreq; on g,
+    # doc-frequency is count(*) and the distinct-hash count is the
+    # group count, with no Expand anywhere
+    g = fp.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = g.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     agg = (
-        fp.join(dfreq, "h")
+        g.join(dfreq, "h")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_fp"),
-            F.countDistinct("h").cast("long").alias("n_fp_hashes"),
-            F.countDistinct(F.when(F.col("nd") >= 2, F.col("h")))
+            F.sum("c").cast("long").alias("n_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_fp_hashes"),
+            F.count(F.when(F.col("nd") >= 2, F.lit(1)))
             .cast("long")
             .alias("n_shared_fp"),
         )
