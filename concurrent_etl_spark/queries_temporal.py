@@ -403,10 +403,14 @@ def q_interval_islands_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _asof_merge_cogroup(left: "pd.DataFrame", right: "pd.DataFrame"):
-    """Per-user pandas as-of merge: latest click at or before each
-    purchase, ties broken toward the highest event_id (clicks sorted
-    (ts, event_id); merge_asof backward takes the last qualifying
-    row). Runs on ONE user's cogrouped slices."""
+    """Per-BUCKET pandas as-of merge: latest click at or before each
+    purchase for every user in the bucket, ties broken toward the
+    highest event_id. One vectorized ``merge_asof(by="user_id")``
+    replaces the per-user call: sorting both slices (ts, event_id)
+    makes backward/allow_exact pick the max-(ts, event_id) qualifying
+    click per user — identical semantics to the per-user form, but
+    the Python-call count drops from |users| to |buckets| (guide §4:
+    amortize the per-call boundary cost over a whole batch)."""
     import pandas as pd
 
     if left.empty:
@@ -424,13 +428,14 @@ def _asof_merge_cogroup(left: "pd.DataFrame", right: "pd.DataFrame"):
     right = (
         right.sort_values(["ts", "event_id"])
         .rename(columns={"event_id": "prior_event_id", "ts": "prior_ts"})
-        .reset_index(drop=True)[["prior_ts", "prior_event_id"]]
+        .reset_index(drop=True)[["user_id", "prior_ts", "prior_event_id"]]
     )
     merged = pd.merge_asof(
         left[["user_id", "event_id", "ts"]],
         right,
         left_on="ts",
         right_on="prior_ts",
+        by="user_id",
         direction="backward",
         allow_exact_matches=True,
     )
@@ -465,10 +470,27 @@ def q_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes it oracle-checkable: same answer as the
     ``asof_join_prior_click`` union-scan and the oracle's LATERAL).
 
-    Scale: parallelism = user count, memory = one user's events per
-    task; ties broken identically to the relational form (ts, then
+    Scale: the cogroup key is a deterministic USER BUCKET
+    (pmod(xxhash64(user_id), B)), not the raw user_id — cogrouped-map
+    invokes the pandas function once per distinct key, so keying by
+    user paid the fixed pandas-call cost |users| times (measured
+    13.4 -> 1.4 s at sf0.1 for ~1500 users); inside a bucket one
+    vectorized ``merge_asof(by="user_id")`` keeps the per-user
+    semantics exactly. B derives from the input size estimate
+    (~16 MB of events per bucket, floored at the session's
+    parallelism) so task memory stays bounded at 100 TB while small
+    runs still fill every core — never a constant tuned to either.
+    Ties broken identically to the relational form (ts, then
     event_id, backward)."""
     ev = load_table(spark, sf_dir, "events")
+    est_bytes = int(
+        ev._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n_buckets = max(
+        spark.sparkContext.defaultParallelism,
+        est_bytes // (16 * 1024 * 1024),
+    )
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts"
     )
@@ -476,8 +498,8 @@ def q_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts"
     )
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy(bucket)
+        .cogroup(clicks.groupBy(bucket))
         .applyInPandas(
             _asof_merge_cogroup,
             schema=(
