@@ -320,13 +320,19 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # round 1 needs NO join: every label starts as the node itself,
+    # so the neighbor-min is min(d) straight off the edge list and
+    # the pointer-jump hop (label-of-label) is the identity — one
+    # map-side-combinable aggregation replaces the r7 form's
+    # edges x labels join + labels x labels self-join (two shuffles
+    # and a build side dropped from the first round, which for
+    # near-clique dup graphs is half of all rounds)
     labels = (
-        sym.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("s").alias("node"))
+        .agg(F.least(F.col("s"), F.min("d")).alias("label"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         nb_min = (
             sym.join(labels, sym["d"] == labels["node"])
             .groupBy("s")
@@ -337,27 +343,29 @@ def connected_components(
         jump = labels.select(
             F.col("node").alias("j_node"), F.col("label").alias("j_label")
         )
+        new_label = F.least(
+            F.col("label"),
+            F.coalesce("nb_label", "label"),
+            F.coalesce("j_label", "label"),
+        )
+        # the convergence probe rides the SAME materialization as the
+        # round itself (a `chg` flag computed in the checkpointed
+        # projection) — the r7 form re-joined new vs old labels on
+        # node, a full extra shuffle per round just to ask "did
+        # anything move"; filter+limit over checkpointed blocks is
+        # shuffle-free
         new_labels = (
             labels.join(nb_min, labels["node"] == nb_min["s"], "left")
             .join(jump, labels["label"] == jump["j_node"], "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nb_label", "label"),
-                    F.coalesce("j_label", "label"),
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(
