@@ -680,21 +680,57 @@ def q_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     slopes = pairs.select(
         F.expr("(num - ((num % k) + k) % k) div k").alias("v")
     )
-    # persist: pv is the reduced 2.9M-pair slope table; tot (below)
-    # and the _cum_by_value path both consume it, and tot re-evaluates
-    # at final-result time — without the persist the whole pair build
-    # runs twice more after the median collect
-    pv = slopes.groupBy("v").agg(
-        F.count(F.lit(1)).cast("long").alias("t")
-    ).withColumn("a", F.col("t")).persist()
-    tot = pv.agg(F.sum("t").cast("long").alias("n_pairs"))
-    cum = _cum_by_value(pv, width_bits=33).crossJoin(F.broadcast(tot))
-    med = cum.where(2 * F.col("cum_t") >= F.col("n_pairs")).agg(
-        F.min("v").cast("long").alias("slope_e4")
+    # BUCKET-TARGETED exact median (replaces the r7 full-cumsum
+    # path): the slopes are at sf0.1 a 2.9M-row, nearly-all-distinct
+    # multiset, so the old groupBy-v + bucket-offset window cumsum
+    # shuffled and window-sorted the whole pair table just to read
+    # one order statistic (measured 7.5 s of the query's 15). The
+    # lower median only needs (a) per-bucket COUNTS — a map-side
+    # partial agg whose output is value-domain-bounded (slope domain
+    # / 2^33, ~1.3k rows at every SF) and driver-collected like every
+    # _cum_by_value offset table, and (b) a full sort of the ONE
+    # bucket holding the median rank (~|slopes|/buckets rows). The
+    # selected v is identical: grouping ties cannot move the minimal
+    # qualifying value.
+    sl = slopes.withColumn(
+        "bucket", F.expr(f"v div {1 << 33}")
+    ).persist()
+    _btotals = sorted(
+        sl.groupBy("bucket").agg(F.count(F.lit(1)).alias("bt")).collect(),
+        key=lambda r: r["bucket"],
     )
-    # bounded 1-scalar collect between the two median passes (the
-    # dims max-id pattern): the fitted slope re-enters as a literal
-    _slope_row = med.collect()[0]["slope_e4"]
+    _n_pairs = sum(int(r["bt"]) for r in _btotals)
+    _slope_row = None
+    if _btotals:
+        _acc = 0
+        for r in _btotals:
+            if 2 * (_acc + int(r["bt"])) >= _n_pairs:
+                _b_star, _off_t = int(r["bucket"]), _acc
+                break
+            _acc += int(r["bt"])
+        wv = Window.partitionBy("bucket").orderBy("v")
+        in_b = (
+            sl.where(F.col("bucket") == _b_star)
+            .groupBy("bucket", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .select(
+                "v",
+                (F.lit(_off_t) + F.sum("t").over(wv)).alias("cum_t"),
+            )
+        )
+        med = in_b.where(2 * F.col("cum_t") >= _n_pairs).agg(
+            F.min("v").cast("long").alias("slope_e4")
+        )
+        # bounded 1-scalar collect between the two median passes (the
+        # dims max-id pattern): the fitted slope re-enters as a literal
+        _slope_row = med.collect()[0]["slope_e4"]
+    # n_pairs as a 1-row frame: NULL on the empty pair set (the
+    # oracle's SUM-over-empty), else the exact driver-side count
+    tot = spark.range(1).select(
+        (
+            F.lit(_n_pairs if _btotals else None).cast("long")
+        ).alias("n_pairs")
+    )
     if _slope_row is None:
         # degenerate domain (n_days <= 1 -> zero pairwise slopes):
         # the oracle's med/imed CTEs propagate NULL through BOTH
