@@ -1477,6 +1477,14 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # each greedy step references the selected set THREE times
+    # (anti-join, max-sim join, union) — left lazy, the unrolled plan
+    # grew ~3^k (measured: 1123 physical operators, 6.1 s at sf0.1,
+    # nearly all of it analysis + re-executed limit-1 subtrees). The
+    # kcore lesson applies: localCheckpoint each k-row selected set
+    # so every step starts from materialized rows (k <= 5 rows — the
+    # eager job is a no-shuffle micro-materialization, and on a
+    # cluster the same call swaps to reliable checkpoint).
     sel = (
         pool_sc.orderBy(F.desc("rel_pm"), "doc_id")
         .limit(1)
@@ -1487,6 +1495,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("max_sim_pm"),
             (7 * F.col("rel_pm")).cast("long").alias("mmr_x10"),
         )
+        .localCheckpoint()
     )
     for k in range(2, _MMR_K + 1):
         cand = (
@@ -1513,5 +1522,5 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("mmr_x10"), "doc_id")
             .limit(1)
         )
-        sel = sel.unionByName(pick)
+        sel = sel.unionByName(pick).localCheckpoint()
     return sel
