@@ -565,6 +565,13 @@ def q_power_iteration_top_eigvec(
             .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
         )
         mx = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        # measured negative result (r8): checkpointing v per round is
+        # SLOWER here (4.4 -> 5.1 s) — the loop state is DIM-bounded
+        # (64 rows over the checkpointed 4096-row Gram), so the lazy
+        # plan's duplicated subtrees are near-free while eager
+        # round-by-round materialization serializes six extra jobs.
+        # The bellman/hits checkpoint discipline applies to
+        # CORPUS-scaled loop state only.
         v = w.crossJoin(F.broadcast(mx)).select(
             "i",
             F.floor(

@@ -502,10 +502,16 @@ def q_bellman_ford_weighted_hops(
                 (F.col("dist") + F.col("w")).alias("dist"),
             )
         )
+        # dist is referenced twice per round (relax join + union), so
+        # the lazy unrolled plan doubled per round (2^4 copies of the
+        # seed chain, each re-executed); the node-sized frontier
+        # checkpoints per round like the kcore peel — plan and
+        # execution stay linear in rounds
         dist = (
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
         )
     return dist.select(
         F.col("node").alias("suppkey"),
@@ -577,9 +583,18 @@ def q_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _norm(scores: DataFrame, key: str) -> DataFrame:
+        # scores is referenced twice (L1 total + rescale) and every
+        # half-round norms the previous one — left lazy the unrolled
+        # plan doubled per half-round (2^3 copies of the e-join
+        # chains, each re-executed). The node-sized vector checkpoints
+        # so each half-round runs exactly once (kcore discipline).
         tot = scores.agg(F.sum("v").alias("t"))
-        return scores.crossJoin(F.broadcast(tot)).select(
-            key, F.expr("CAST(v * 1000000 div t AS BIGINT)").alias("v")
+        return (
+            scores.crossJoin(F.broadcast(tot))
+            .select(
+                key, F.expr("CAST(v * 1000000 div t AS BIGINT)").alias("v")
+            )
+            .localCheckpoint()
         )
 
     a1 = e.groupBy("s").agg(
