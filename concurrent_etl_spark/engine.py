@@ -132,7 +132,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     provided SparkSession built without :func:`get_spark`.
     """
     pin_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -146,7 +147,77 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # NTZ -> LTZ is value-preserving; downstream epoch casts
             # (cast ts as long) are only legal on LTZ.
             df = df.withColumn("ts", df["ts"].cast("timestamp"))
-    return df
+    return _spread_scan(spark, df, path)
+
+
+#: Post-scan spread floor: tables smaller than this stay unspread —
+#: they are broadcast-side dimensions (region/nation/supplier/part at
+#: test SFs) where an extra exchange buys nothing. Env-parameterised
+#: like the other scale knobs; the default only distinguishes
+#: dimension-sized from fact-sized inputs, it is not a tuning constant.
+_SPREAD_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(192 * 1024))
+)
+#: planned-scan-parallelism probe cache: (master, path) -> partitions.
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+#: Hash-spread key per table: the dominant downstream join/group key,
+#: so the inserted exchange is one "operations keyed the same way
+#: share one exchange" partitioning (guide §2.4) that key-aligned
+#: windows/aggregations/joins reuse outright — unlike a round-robin
+#: repartition, whose deterministic pre-sort (sortBeforeRepartition)
+#: runs on the single scan core and whose partitioning helps nobody
+#: (measured on the bench mix: round-robin cost dedup_by_key
+#: 0.52 -> 1.02 s; the l_orderkey hash form WINS it 0.52 -> 0.39 s
+#: because the dedup's own exchange disappears).
+_SPREAD_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "events": "user_id",
+}
+
+
+def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Conditionally repartition a fresh table scan to the runtime's
+    parallelism (guide §2.5: one unsplittable input file -> repartition
+    immediately after the read).
+
+    The shipped testdata writes each table as ONE parquet file with
+    ONE row group, so the scan plans exactly one input split and every
+    map-side operator up to the first exchange — filters, projections,
+    tokenization, partial aggregation, broadcast-join probes — runs on
+    a single core no matter how many the session has. When the planned
+    scan parallelism is below the runtime default AND the file is
+    bigger than the dimension-table floor, insert a round-robin
+    repartition right after the read. Catalyst pushes column pruning
+    and filter predicates through Repartition, so the exchange carries
+    only the pruned, filtered scan output — 8-byte-per-row ids in the
+    worst synth pipelines, never the unpruned table. On a real
+    multi-file / multi-row-group table the planned parallelism already
+    meets the runtime's and this is a no-op: the condition is derived
+    from the plan at hand, not from a local[32] constant.
+    """
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return df  # directory-backed tables plan real splits already
+    if size < _SPREAD_MIN_BYTES:
+        return df
+    n = spark.sparkContext.defaultParallelism
+    key = (spark.sparkContext.master, path)
+    parts = _SCAN_PARTS.get(key)
+    if parts is None:
+        # planning-only probe (no job): FileScan split count
+        parts = df.rdd.getNumPartitions()
+        _SCAN_PARTS[key] = parts
+    if parts >= n:
+        return df
+    name = os.path.basename(path).removesuffix(".parquet")
+    key_col = _SPREAD_KEYS.get(name, df.columns[0])
+    return df.repartition(n, key_col)
 
 
 def load_tables(

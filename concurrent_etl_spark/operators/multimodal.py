@@ -359,6 +359,27 @@ def wav_bytes(doc_id: int) -> bytes:
     )
 
 
+def _spread_ids(docs: DataFrame, every: int, phase: int) -> DataFrame:
+    """Stage a synth id stream for a Python codec stage: push the
+    modulo slice into Spark (so only 1/``every`` of the ids ever
+    cross the JVM->Python boundary) and hash-repartition by doc_id
+    to the session's default parallelism. The doc_id-only projection
+    prunes the documents scan down to one tiny input split, which
+    would otherwise serialize ALL downstream encode/decode work on a
+    single task (guide §2.5/§2.6: the one-unsplittable-input
+    pathology — repartition right after the read). The added
+    exchange moves 8-byte ids only, orders of magnitude cheaper than
+    the per-row codec work it parallelizes; the partition count
+    derives from the runtime (scale-adaptive), not a constant.
+    """
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id")
+        .where(F.col("doc_id") % every == phase)
+        .repartition(n, "doc_id")
+    )
+
+
 def synthesize_wav(docs: DataFrame, every: int = 5) -> DataFrame:
     """(doc_id, payload) of real RIFF/WAV bytes for every k-th doc."""
 
@@ -372,7 +393,7 @@ def synthesize_wav(docs: DataFrame, every: int = 5) -> DataFrame:
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(gen, schema)
+    return _spread_ids(docs, every, 0).mapInPandas(gen, schema)
 
 
 def wav_decode_features(media: DataFrame) -> DataFrame:
@@ -466,7 +487,7 @@ def synthesize_bmp(docs: DataFrame, every: int = 4, phase: int = 1) -> DataFrame
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(gen, schema)
+    return _spread_ids(docs, every, phase).mapInPandas(gen, schema)
 
 
 def bmp_decode_features(media: DataFrame) -> DataFrame:
@@ -802,7 +823,7 @@ def synthesize_png(docs: DataFrame, every: int = 4, phase: int = 2) -> DataFrame
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(gen, schema)
+    return _spread_ids(docs, every, phase).mapInPandas(gen, schema)
 
 
 def png_decode_features(media: DataFrame) -> DataFrame:
@@ -888,7 +909,7 @@ def synthesize_y4m(docs: DataFrame, every: int = 4, phase: int = 3) -> DataFrame
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(gen, schema)
+    return _spread_ids(docs, every, phase).mapInPandas(gen, schema)
 
 
 def y4m_decode_stats(buf: bytes) -> list[tuple[int, int, int, int, int, int, int]]:
@@ -1224,7 +1245,7 @@ def synthesize_y4m_scene(
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(gen, schema)
+    return _spread_ids(docs, every, phase).mapInPandas(gen, schema)
 
 
 def y4m_motion_stats(buf: bytes) -> list[tuple[int, int, int]]:
@@ -1893,7 +1914,7 @@ def synthesize_jpeg(docs: DataFrame, every: int = 4, phase: int = 0) -> DataFram
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(gen, schema)
+    return _spread_ids(docs, every, phase).mapInPandas(gen, schema)
 
 
 def jpeg_decode_features(media: DataFrame) -> DataFrame:
@@ -3201,7 +3222,7 @@ def synthesize_jpeg_progressive(
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(gen, schema)
+    return _spread_ids(docs, every, phase).mapInPandas(gen, schema)
 
 
 JPEG_COLOR_SCHEMA = StructType(
@@ -3232,7 +3253,7 @@ def synthesize_jpeg_color(
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
-    return docs.select("doc_id").mapInPandas(gen, schema)
+    return _spread_ids(docs, every, phase).mapInPandas(gen, schema)
 
 
 def jpeg_color_decode_features(media: DataFrame) -> DataFrame:
