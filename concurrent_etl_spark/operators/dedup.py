@@ -403,42 +403,65 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     bit b of the fingerprint is set when the sum over tokens (with
     multiplicity) of (bit_b(h) ? +1 : -1) is positive.
 
-    Bit extraction uses floor(h / 2^b) % 2 — exact in doubles for
-    32-bit h, and expressible identically in any SQL engine (PySpark's
-    shift functions only take literal shift amounts).
+    Bit extraction: integer shiftright on the non-negative 32-bit h —
+    value-identical to the oracle's floor(h / 2^b) % 2 double trick.
 
-    Plan shape: explode tokens, explode bit positions, two keyed
-    aggregations — all map-side combinable; no pairwise work here.
+    Plan shape: explode tokens, then ONE map-side-combinable
+    groupBy(doc_id) over packed per-bit counters (see inline comment);
+    no bit-position explode, no pairwise work here.
     """
     tok = docs.select(
         "doc_id", F.explode(tokens(ascii_fold(F.col(text_col)))).alias("tok")
     ).withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     )
-    sums = (
-        tok.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bits - 1)),
-                    lambda i: F.when(
-                        F.floor(F.col("h") / F.pow(F.lit(2.0), i)).cast("bigint") % 2
-                        == 1,
-                        1,
-                    ).otherwise(-1),
-                )
-            ).alias("bit_idx", "sign"),
-        )
-        .groupBy("doc_id", "bit_idx")
-        .agg(F.sum("sign").alias("s"))
-    )
-    return sums.groupBy("doc_id").agg(
+    # ONE groupBy(doc_id) with packed per-bit ones-counters (the
+    # simhash64 plan shape back-ported): the previous form exploded a
+    # fresh 32-element sign array PER TOKEN (transform+sequence HOF
+    # allocation — the span_pairs lesson) into tokens x bits rows and
+    # aggregated twice. Packing 3 bit-counters per 63-bit sum in
+    # 21-bit lanes needs ceil(bits/3) buffers, no bits explode, no
+    # second aggregation. Exact: lane b holds c_b = #tokens (with
+    # multiplicity) whose bit b is set; carries impossible while
+    # every c_b < 2^21 (a 2M-token PER-DOCUMENT bound — the
+    # giant-document axis is 50k). Bit rule unchanged:
+    # sign(sum(+/-1)) > 0 <=> 2*c_b > n, ties to 0 on both engines;
+    # bit_b(h) via shiftright == the oracle's floor(h / 2^b) % 2 for
+    # the non-negative 32-bit h.
+    lanes, lane_w = 3, 21
+    lane_mask = (1 << lane_w) - 1
+    n_packs = (bits + lanes - 1) // lanes
+    packed = [
         F.sum(
-            F.when(
-                F.col("s") > 0,
-                F.pow(F.lit(2.0), F.col("bit_idx")).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-        ).alias("simhash")
+            sum(
+                [
+                    F.shiftright(F.col("h"), g * lanes + j)
+                    .bitwiseAND(F.lit(1))
+                    * F.lit(1 << (j * lane_w)).cast("bigint")
+                    for j in range(lanes)
+                    if g * lanes + j < bits
+                ],
+                F.lit(0).cast("bigint"),
+            )
+        ).alias(f"p{g}")
+        for g in range(n_packs)
+    ]
+    sums = tok.groupBy("doc_id").agg(*packed, F.count(F.lit(1)).alias("_n"))
+    return sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.shiftright(F.col(f"p{b // lanes}"), (b % lanes) * lane_w)
+                    .bitwiseAND(F.lit(lane_mask))
+                    * 2
+                    > F.col("_n"),
+                    F.lit(1 << b).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+                for b in range(bits)
+            ],
+            F.lit(0).cast("bigint"),
+        ).alias("simhash"),
     )
 
 
@@ -544,21 +567,53 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn(
         "h", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
     )
+    # Packed per-bit ones-counters: 3 bits share one 63-bit sum in
+    # 21-bit lanes, so the groupBy carries 20 aggregate buffers + n
+    # instead of 60. The naive 60-buffer form blew the whole-stage
+    # codegen budget and the ENTIRE stage (tokenize + md5 + agg) ran
+    # interpreted — zero `codegen id` markers in the physical plan;
+    # the packed form restores codegen (guide §1.2 step 2: per-task
+    # work). Exactness: lane b counts c_b = #shingles with bit b set,
+    # lanes cannot carry while every c_b < 2^21 — i.e. up to 2M
+    # shingles PER DOCUMENT (per-doc bound, not corpus; the
+    # giant-document axis is 50k). Sign rule unchanged:
+    # sign(2*c_b - n) == sign(sum(+/-1)) bit for bit, ties to 0 on
+    # both engines, so the fingerprint is bit-identical to the
+    # 60-sum oracle form.
+    lanes = 3
+    lane_w = 21
+    lane_mask = (1 << lane_w) - 1
+    n_packs = SIMHASH64_BITS // lanes  # 20
+    packed = [
+        F.sum(
+            sum(
+                [
+                    (
+                        F.shiftright(F.col("h"), g * lanes + j)
+                        .bitwiseAND(F.lit(1))
+                    )
+                    * F.lit(1 << (j * lane_w)).cast("bigint")
+                    for j in range(lanes)
+                ],
+                F.lit(0).cast("bigint"),
+            )
+        ).alias(f"p{g}")
+        for g in range(n_packs)
+    ]
     sums = sh.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(SIMHASH64_BITS)
-        ]
+        *packed, F.count(F.lit(1)).alias("_n")
     )
     fp = sums.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
-                    F.lit(0).cast("bigint")
-                )
+                F.when(
+                    F.shiftright(F.col(f"p{b // lanes}"), (b % lanes) * lane_w)
+                    .bitwiseAND(F.lit(lane_mask))
+                    * 2
+                    > F.col("_n"),
+                    F.lit(1 << b).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
                 for b in range(SIMHASH64_BITS)
             ],
             F.lit(0).cast("bigint"),
