@@ -771,28 +771,72 @@ def q_link_prediction_jaccard(
     TakeOrdered. All-integer scoring, ties broken on the pair.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # no items-level distinct: the edge list is deduplicated below
+    # anyway, so the extra (ok, it) exchange+aggregate bought nothing
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("it")
-    ).distinct()
+    )
     a = items.select("ok", F.col("it").alias("u"))
     b = items.select("ok", F.col("it").alias("v"))
+    # Edge list partitioned by u up front: dropDuplicates only needs
+    # (u, v) clustering and HashPartitioning(u) satisfies it (subset
+    # rule), so the dedup rides the same exchange. localCheckpoint
+    # stops the items self-join re-executing for each of the four
+    # consumers (deg, nbrs, wedge stream, anti-join build).
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (
         a.join(b, "ok")
         .where(F.col("u") != F.col("v"))
         .select("u", "v")
-        .distinct()
+        .repartition(n_parts, "u")
+        .dropDuplicates(["u", "v"])
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("w"))
-    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("w"))
+    # Wedge enumeration rewritten (guide §8/§2.4): per-node neighbor
+    # arrays attach to the edge list by a node-keyed join (AQE sizes
+    # it as broadcast at this scale — plain join, no hint; on a
+    # web-scale graph it degrades to a shuffle join, never a driver
+    # bottleneck) and wedges explode from the arrays — the previous
+    # e1 x e2 SMJ self-join and its two edge-stream exchanges+sorts
+    # are gone. Wedge count, pair set and common counts are
+    # definitionally identical: (a, w) edge + b in N(w), b > a
+    # enumerates exactly the e1.v = e2.v, a < b wedges.
+    nbrs = edges.groupBy("u").agg(F.collect_list("v").alias("nb"))
+    wl = edges.select(F.col("u").alias("a"), F.col("v").alias("w")).join(
+        nbrs.select(F.col("u").alias("w"), "nb"), "w"
+    )
+    # The pair aggregation's keys are near-unique (~105M distinct
+    # pairs from ~149M wedges at sf0.1), so map-side partial
+    # aggregation compresses nothing and its overflowing hash maps
+    # degenerate to per-task sort+spill — measured 39 s for the bare
+    # groupBy(a, b) vs 13 s with an explicit repartition that skips
+    # the partial pass (guide §1.2: don't compute things you throw
+    # away). Partitioning by "a" alone (subset rule again) leaves the
+    # final aggregate exchange-free, and the partition count derives
+    # from the EXACT wedge total sum(deg^2)/2 — a bounded one-row
+    # scalar off the checkpointed degree table — targeting ~2M pair
+    # rows (~50 MB of aggregate map) per task at any corpus size.
+    n_wedges = (
+        deg.agg(F.sum(F.col("d") * F.col("d")).alias("s")).collect()[0]["s"]
+        or 0
+    ) // 2
+    m_pair = max(n_parts, min(32768, -(-n_wedges // 2_000_000)))
     cn = (
-        e1.join(e2, "w")
-        .where(F.col("a") < F.col("b"))
+        # explode-ok: nb is a join-attached ARRAY COLUMN — nothing for
+        # InferFiltersFromGenerate to re-derive below the Generate
+        wl.select("a", F.explode("nb").alias("b"))
+        .where(F.col("b") > F.col("a"))
+        .repartition(m_pair, "a")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("common"))
         .join(
-            edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            # only u < v edge rows can ever match an a < b pair, so
+            # pre-halving the anti-join build side is result-identical
+            # and keeps it comfortably inside the broadcast threshold
+            edges.where(F.col("u") < F.col("v")).select(
+                F.col("u").alias("a"), F.col("v").alias("b")
+            ),
             ["a", "b"],
             "left_anti",
         )

@@ -111,6 +111,8 @@ _DRIVER_MATERIALIZE_OK = {
     ("queries_stats2.py", "q_kendall_tau", "collect"),
     # two bounded collects: 1-row day-domain stats + 1-row median
     ("queries_stats2.py", "q_theilsen_slope", "collect"),
+    # 1-row sum(deg^2) scalar sizing the pair-stage repartition
+    ("queries_mining.py", "q_link_prediction_jaccard", "collect"),
     # k-row / domain-bounded reduces
     ("queries_analytics.py", "q_skyline_pareto_parts", "collect"),  # <=240 price buckets
     ("queries_clustering.py", "_dist_to", "collect"),  # _PQ_NQ query rows
