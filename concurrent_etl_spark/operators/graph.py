@@ -33,7 +33,6 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
         .distinct()
         .select("node", F.col("node").alias("lbl"))
     )
-    rn_w = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("lbl"))
     for _ in range(rounds):
         votes = (
             edges.join(labels, edges.dst == labels.node)
@@ -41,9 +40,12 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
             .agg(F.sum("w").alias("wt"))
             .withColumnRenamed("vnode", "node")
         )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(rn_w))
-            .where(F.col("rn") == 1)
-            .select("node", "lbl")
-        )
+        # top-1 per node as a MAX over the unique ordering struct
+        # (wt desc, lbl asc == max of (wt, -lbl)): map-side
+        # combinable aggregation instead of a row_number window's
+        # exchange + per-partition sort. (wt, -lbl) is unique per
+        # node because lbl is a group key of `votes`, so the max is
+        # deterministic and identical to the window's rn = 1 row.
+        top = F.max(F.struct(F.col("wt"), (-F.col("lbl")).alias("nl")))
+        labels = votes.groupBy("node").agg((-top["nl"]).alias("lbl"))
     return labels

@@ -794,6 +794,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = stats.where(
         (F.col("quality") >= 1.0) & (F.col("lang_guess") != "und")
     )
+    # measured negative result (optimization round 8): rewriting this
+    # keep-min as groupBy(content_hash).agg(min(struct(...))) was
+    # 4.3 -> 4.6 s at sf0.1 — content hashes are near-unique, so the
+    # map-side partial agg builds a full-size struct hash map and
+    # compresses nothing (the link_prediction partial-agg lesson);
+    # the window's sort of the kept rows is cheaper here. Reverted.
     w = Window.partitionBy("content_hash").orderBy("doc_id")
     return (
         kept.withColumn("rn", F.row_number().over(w))
@@ -910,7 +916,17 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    lev = F.levenshtein("text_a", "text_b")
+    # banded DP (guide §1.2 per-task work): sim >= 0.8 already bounds
+    # the edit distance by 0.2*maxlen (+rounding slack), so the
+    # 3-arg THRESHOLD levenshtein computes the same value inside an
+    # O(len * 0.2 len) band instead of the full O(len^2) table; a
+    # pair beyond the band returns -1, and those are exactly the
+    # rows the sim filter discards (lossless, same contract as the
+    # length prefilter below)
+    lev = F.expr(
+        "levenshtein(text_a, text_b,"
+        " cast(greatest(length(text_a), length(text_b)) * 0.2 as int) + 1)"
+    )
     sim = F.round(
         1.0 - lev / F.greatest(F.length("text_a"), F.length("text_b")), 9
     )
@@ -932,7 +948,8 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("int").alias("lev"),
             sim.alias("sim"),
         )
-        .where(F.col("sim") >= 0.8)
+        # lev = -1 marks beyond-band pairs; provably sim < 0.8 there
+        .where((F.col("lev") >= 0) & (F.col("sim") >= 0.8))
     )
 
 

@@ -634,6 +634,11 @@ def q_prefix_filter_jaccard_join(
             + 1
         )
         .select("doc_id", "t", "pos", "sz")
+        # persisted: BOTH sides of the prefix self-join read this
+        # frame, and without it each side re-runs the df join and the
+        # row_number window (the plan has no common-subtree reuse
+        # above exchanges)
+        .persist()
     )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
@@ -688,19 +693,29 @@ def q_prefix_filter_jaccard_join(
         .where(F.col("inter") * 100 >= F.col("un") * _JACCARD_T_PCT)
         .select("doc_a", "doc_b", "inter", "un")
     )
+    # symmetrize with ONE pass: the union form referenced `pairs`
+    # twice, and union subtrees execute independently — the whole
+    # candidate+verify chain (the query's dominant cost) ran TWICE.
+    # explode of a 2-struct literal array emits both orientations
+    # from a single evaluation; row multiset identical to the union.
     sym = pairs.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("nbr"),
-        "inter",
-        "un",
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("nbr"),
-            "inter",
-            "un",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("nbr"),
+                    F.col("inter").alias("inter"),
+                    F.col("un").alias("un"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("nbr"),
+                    F.col("inter").alias("inter"),
+                    F.col("un").alias("un"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.doc_id", "s.nbr", "s.inter", "s.un")
     return sym.groupBy("doc_id").agg(
         F.count("*").alias("n_neighbors"),
         F.max(F.floor(F.col("inter") * 1000 / F.col("un")))

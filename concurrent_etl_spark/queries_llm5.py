@@ -645,6 +645,10 @@ def q_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("sz") - F.ceil(F.col("sz") * 50 / 100.0).cast("bigint") + 1
         )
         .select("doc_id", "t", "sz")
+        # persisted: both sides of the self-join below otherwise
+        # re-run the df join and the row_number window (same fix as
+        # prefix_filter_jaccard_join)
+        .persist()
     )
     # canonical PPJoin length filter: |A| and |B| must be within a
     # factor 1/t of each other or Jaccard >= t is impossible
@@ -677,8 +681,13 @@ def q_lsh_scurve_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.size(F.array_intersect("sa", "sb")).alias("inter"),
-            F.size(F.array_union("sa", "sb")).alias("un"),
+            # inclusion-exclusion on the DISTINCT shingle arrays:
+            # |A u B| = |A| + |B| - |A n B| — drops the second
+            # per-pair set materialization (array_union built and
+            # hashed both arrays again just to take its size)
+            (F.size("sa") + F.size("sb")).alias("_szsum"),
         )
+        .withColumn("un", F.col("_szsum") - F.col("inter"))
         .where(F.col("inter") * 2 >= F.col("un"))
         .select("doc_a", "doc_b", F.expr("inter * 1000 div un").alias("pm"))
     )
