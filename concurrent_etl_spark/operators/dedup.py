@@ -550,13 +550,12 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     of an empty list — the minhash empty-shingle gate's analogue,
     here for free).
 
-    Plan shape improves on :func:`simhash` too: instead of exploding
-    features x bit positions (a bits-fold row expansion), this runs
-    ONE groupBy(doc_id) carrying 60 literal-unrolled CASE sums —
-    map-side combinable, no second explode, whole-stage codegen keeps
-    all 60 in one pass over the shingle rows. Bit extraction is
-    shiftright (exact integer op; the 32-bit version's
-    floor(h / 2^b) double trick does not survive 60-bit magnitudes).
+    Plan shape: no bits-fold row expansion — ONE groupBy(doc_id)
+    carrying 20 packed 3-lane ones-counters (see inline comment) —
+    map-side combinable, no second explode, one pass over the
+    shingle rows. Bit extraction is shiftright (exact integer op;
+    the 32-bit oracle form's floor(h / 2^b) double trick does not
+    survive 60-bit magnitudes).
     """
     staged = docs.select(
         "doc_id", tokens(ascii_fold(F.col(text_col))).alias("_t")
