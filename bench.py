@@ -21,7 +21,12 @@ how contended this run's quietest moments were; value_normalized =
 value / probe_ratio is the comparable number. Interpretation rule:
 if probe ratio ~1.0 the raw value IS the signal; a ratio >> 1 says
 "machine was busy, trust value_normalized (and re-run if the two
-disagree wildly)".
+disagree wildly)". Caveat: PROBE_REF_SEC is calibrated at the full
+32-core session, and the probe is compute-bound, so running with a
+reduced $SPARK_GRAFT_CPUS inflates the ratio by ~32/cores as well —
+cross-core-count scaling comparisons must use the RAW value (the
+probe separates host contention from engine time only at a fixed
+core count).
 """
 
 from __future__ import annotations
