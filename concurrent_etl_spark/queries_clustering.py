@@ -337,31 +337,75 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _qv(spark, sf_dir).persist()
     a = _PQ_ITERS - 1
 
-    # --- train one codebook per block (bounded k-row collects) ---
-    codebooks: list[list[list[int]]] = []
-    enc_cols = []
-    for b in range(_PQ_M):
-        sl = F.slice(F.col("qv"), b * _PQ_DSUB + 1, _PQ_DSUB)
-        block = qv.select("vec_id", sl.alias("qv"))
-        cents = C.init_centroids(block, _PQ_K)
-        assigned = C.assign(block, cents)
-        for _ in range(_PQ_ITERS - 1):
-            cents = C.update_centroids(assigned, cents, _PQ_DSUB)
-            assigned = C.assign(block, cents)
-        codebooks.append(cents)
-        # NB: capture `sl` via a closure factory, NOT a default arg —
-        # pyspark infers the HOF lambda's arity from its signature, so
-        # `lambda c, _sl=sl:` would become the binary (element, index)
-        # form and bind _sl to the INT index.
-        def _dist_to(block_slice):
-            return lambda c: C.sq_dist(block_slice, c)
+    # --- train all M codebooks TOGETHER (optimization round 8) ---
+    # The per-block loop ran init + update as separate driver jobs
+    # per block (2 collects x M blocks = 8 serial jobs over the
+    # cached corpus, almost all fixed job latency). Batched: ONE
+    # bounded collect seeds every block (the seeds are slices of the
+    # same k rows), and each Lloyd iteration updates every codebook
+    # with ONE (block, cluster, subvec)-exploded k*M-row-bounded
+    # reduce. Centroid trajectories are bit-identical: same seed
+    # rows, same per-(block, cluster) integer sums and counts, same
+    # floor(sum/count) arithmetic as operators/clustering.
+    import math as _math
 
-        dists = F.transform(C._centroid_lit(cents), _dist_to(sl))
-        enc_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias(f"c{b}")
+    # NB: capture `sl` via a closure factory, NOT a default arg —
+    # pyspark infers the HOF lambda's arity from its signature, so
+    # `lambda c, _sl=sl:` would become the binary (element, index)
+    # form and bind _sl to the INT index.
+    def _dist_to(block_slice):
+        return lambda c: C.sq_dist(block_slice, c)
+
+    def _slice(b: int):
+        return F.slice(F.col("qv"), b * _PQ_DSUB + 1, _PQ_DSUB)
+
+    def _cluster_col(b: int, cents: list[list[int]]):
+        dists = F.transform(C._centroid_lit(cents), _dist_to(_slice(b)))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast(
+            "int"
         )
+
+    seed_rows = sorted(
+        qv.where(F.col("vec_id") < _PQ_K).select("vec_id", "qv").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    codebooks: list[list[list[int]]] = [
+        [
+            list(r["qv"])[b * _PQ_DSUB : (b + 1) * _PQ_DSUB]
+            for r in seed_rows
+        ]
+        for b in range(_PQ_M)
+    ]
+    for _ in range(_PQ_ITERS - 1):
+        ex = qv.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("blk"),
+                            _cluster_col(b, codebooks[b]).alias("cluster"),
+                            _slice(b).alias("sv"),
+                        )
+                        for b in range(_PQ_M)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.blk", "e.cluster", "e.sv")
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(F.element_at(F.col("sv"), i + 1)).alias(f"_s{i}")
+            for i in range(_PQ_DSUB)
+        ]
+        rows = ex.groupBy("blk", "cluster").agg(*aggs).collect()
+        nxt = [[list(c) for c in codebooks[b]] for b in range(_PQ_M)]
+        for r in rows:
+            nxt[r["blk"]][r["cluster"]] = [
+                int(_math.floor(r[f"_s{i}"] / r["_n"]))
+                for i in range(_PQ_DSUB)
+            ]
+        codebooks = nxt
+    enc_cols = [
+        _cluster_col(b, codebooks[b]).alias(f"c{b}") for b in range(_PQ_M)
+    ]
 
     # --- encode the corpus: one shuffle-free projection ---
     enc = qv.select("vec_id", "qv", *enc_cols)

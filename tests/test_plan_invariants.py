@@ -115,7 +115,10 @@ _DRIVER_MATERIALIZE_OK = {
     ("queries_mining.py", "q_link_prediction_jaccard", "collect"),
     # k-row / domain-bounded reduces
     ("queries_analytics.py", "q_skyline_pareto_parts", "collect"),  # <=240 price buckets
-    ("queries_clustering.py", "_dist_to", "collect"),  # _PQ_NQ query rows
+    # PQ training scalars: k seed rows, k*M-row Lloyd reduce, _PQ_NQ
+    # query rows — all bounded (attributed to the nearest enclosing
+    # def, the _cluster_col helper)
+    ("queries_clustering.py", "_cluster_col", "collect"),
     ("queries_training.py", "q_global_id_assignment", "collect"),  # per-source counts
     ("queries_stats.py", "_cum_by_value", "collect"),  # value-domain/2^33 buckets
     ("streaming/file_stream.py", "merge_into_partitioned_parquet", "collect"),  # distinct partition values
