@@ -206,13 +206,20 @@ def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
         return df  # directory-backed tables plan real splits already
     if size < _SPREAD_MIN_BYTES:
         return df
-    n = spark.sparkContext.defaultParallelism
-    key = (spark.sparkContext.master, path)
-    parts = _SCAN_PARTS.get(key)
-    if parts is None:
-        # planning-only probe (no job): FileScan split count
-        parts = df.rdd.getNumPartitions()
-        _SCAN_PARTS[key] = parts
+    try:
+        # classic-session probes (sparkContext / .rdd are absent
+        # under Spark Connect) — the spread is an optimization, so
+        # fail OPEN to the unspread scan rather than ever failing a
+        # query on an exotic caller session
+        n = spark.sparkContext.defaultParallelism
+        key = (spark.sparkContext.master, path)
+        parts = _SCAN_PARTS.get(key)
+        if parts is None:
+            # planning-only probe (no job): FileScan split count
+            parts = df.rdd.getNumPartitions()
+            _SCAN_PARTS[key] = parts
+    except Exception:
+        return df
     if parts >= n:
         return df
     name = os.path.basename(path).removesuffix(".parquet")
