@@ -118,7 +118,9 @@ def get_spark(
     return spark
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = True
+) -> DataFrame:
     """Read one canonical parquet table.
 
     Parquet scan => free column pruning + predicate pushdown; the
@@ -130,6 +132,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds — the same truncation DuckDB applies. The conf is
     (re)set at runtime so the tables load correctly even on a caller-
     provided SparkSession built without :func:`get_spark`.
+
+    ``spread=False`` opts a consumer out of the post-scan spread
+    (:func:`_spread_scan`). Use it for pure aggregations whose map
+    side is already a partial aggregation over cheap per-row work
+    (e.g. a time-window count/sum): there the spread exchange moves
+    every full row only to parallelize work the partial agg would
+    have collapsed on the scan side, so it adds a stage without
+    removing one (the tumbling_window_agg 0.63x regression, VERDICT
+    r8 item 2). Results are identical either way — this is purely a
+    partitioning choice.
     """
     pin_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -191,14 +203,21 @@ def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     tokenization, partial aggregation, broadcast-join probes — runs on
     a single core no matter how many the session has. When the planned
     scan parallelism is below the runtime default AND the file is
-    bigger than the dimension-table floor, insert a round-robin
-    repartition right after the read. Catalyst pushes column pruning
-    and filter predicates through Repartition, so the exchange carries
-    only the pruned, filtered scan output — 8-byte-per-row ids in the
-    worst synth pipelines, never the unpruned table. On a real
-    multi-file / multi-row-group table the planned parallelism already
-    meets the runtime's and this is a no-op: the condition is derived
-    from the plan at hand, not from a local[32] constant.
+    bigger than the dimension-table floor, insert a KEYED HASH
+    repartition on the table's dominant downstream join/group key
+    (:data:`_SPREAD_KEYS`) right after the read — key-aligned
+    consumers then reuse the exchange outright (guide §2.4; round-
+    robin was measured and rejected, see the _SPREAD_KEYS comment).
+    Tables without a declared key fall back to a keyless round-robin
+    repartition: an even spread with no assumption that any column is
+    hashable or high-cardinality (guide §2.2 skew note). Catalyst
+    pushes column pruning and filter predicates through Repartition,
+    so the exchange carries only the pruned, filtered scan output —
+    8-byte-per-row ids in the worst synth pipelines, never the
+    unpruned table. On a real multi-file / multi-row-group table the
+    planned parallelism already meets the runtime's and this is a
+    no-op: the condition is derived from the plan at hand, not from a
+    local[32] constant.
     """
     try:
         size = os.path.getsize(path)
@@ -218,13 +237,18 @@ def _spread_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
             # planning-only probe (no job): FileScan split count
             parts = df.rdd.getNumPartitions()
             _SCAN_PARTS[key] = parts
+        if parts >= n:
+            return df
+        name = os.path.basename(path).removesuffix(".parquet")
+        key_col = _SPREAD_KEYS.get(name)
+        # the repartition itself stays inside the fail-open guard: an
+        # exotic schema (unhashable key type, renamed column) must
+        # degrade to the unspread scan, never fail the query
+        if key_col is None:
+            return df.repartition(n)
+        return df.repartition(n, key_col)
     except Exception:
         return df
-    if parts >= n:
-        return df
-    name = os.path.basename(path).removesuffix(".parquet")
-    key_col = _SPREAD_KEYS.get(name, df.columns[0])
-    return df.repartition(n, key_col)
 
 
 def load_tables(

@@ -111,6 +111,35 @@ def nfc_casefold(col: Column | str) -> Column:
     return pandas_udf(_cf, "string")(_c(col))
 
 
+def unpushable(pred: Column) -> Column:
+    """Wrap a filter predicate so Catalyst cannot push it down.
+
+    Value-identical to ``pred`` (`rand() >= -1` is always true, and a
+    NULL ``pred`` stays NULL — Filter drops NULL exactly like false),
+    but the CaseWhen containing ``rand()`` makes the whole condition
+    non-deterministic and non-splittable, so PushDownPredicates leaves
+    the Filter where the query placed it instead of pushing it through
+    Project/Repartition to the scan.
+
+    Why this exists (guide §2.5 + §1.2; VERDICT r8 item 1): the
+    post-scan spread inserts an Exchange right after a single-split
+    scan so map-side work parallelizes — but a *pushable* filter over
+    compute-dense derived columns (the gopher/langid quality gates:
+    several regexes + HOF token passes per row) gets pushed below that
+    Exchange and runs on the one scan core, serializing the most
+    expensive per-row compute in the pipeline. Wrapping the heavy,
+    non-selective predicate keeps it above the Exchange where all
+    cores evaluate it. Use ONLY for compute-dense, non-selective
+    predicates: a cheap selective predicate belongs at the scan
+    (PushedFilters), where it cuts exchange bytes.
+
+    The same guide-§4.4 mechanism (non-determinism as an optimizer
+    fence) Spark documents for expensive UDFs, applied to a built-in
+    expression tree.
+    """
+    return F.when(F.rand() >= F.lit(-1.0), pred).otherwise(F.lit(False))
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens, empties dropped (array<string>)."""
     # explicit class, not \s: Java \s includes vertical tab \x0B but

@@ -6,7 +6,8 @@ after a warmup rep), labels each job, and optionally dumps
 
 Usage:
     python tools/opt_measure.py [--sf=/root/testdata/sf0.1] [--reps=3]
-        [--explain-tag=before] [--all | NAME ...]
+        [--explain-tag=before] [--plans-dir=/root/repo/plans/r09]
+        [--all | NAME ...]
 
 Prints one JSON line: {"sf": ..., "timings": {name: best_sec},
 "reps": N}. Methodology matches bench.py: clearCache between reps so
@@ -30,6 +31,7 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.1"
     reps = 3
     explain_tag = None
+    plans_dir = "/root/repo/plans/r09"
     for fl in list(flags):
         if fl.startswith("--sf="):
             sf_dir = fl.split("=", 1)[1]
@@ -37,6 +39,8 @@ def main() -> int:
             reps = int(fl.split("=", 1)[1])
         elif fl.startswith("--explain-tag="):
             explain_tag = fl.split("=", 1)[1]
+        elif fl.startswith("--plans-dir="):
+            plans_dir = fl.split("=", 1)[1]
 
     import __spark_entry__ as entrymod
     from concurrent_etl_spark.engine import get_spark
@@ -52,7 +56,6 @@ def main() -> int:
         app_name="opt-measure",
         extra_conf={"spark.driver.memory": "8g"},
     )
-    plans_dir = "/root/repo/plans/r08"
     os.makedirs(plans_dir, exist_ok=True)
 
     timings: dict[str, float] = {}
